@@ -1,0 +1,133 @@
+"""Vector quantization with straight-through gradients.
+
+Rebuilds the reference's custom autograd Functions
+(``src/vector_quantization.py``):
+
+  * ``vq(inputs, codebook)`` — nearest-codebook indices via the
+    ||x||^2 + ||e||^2 - 2 x.e^T distance expansion (reference computes it
+    with one ``addmm``, vector_quantization.py:12-19). Non-differentiable.
+  * ``vq_st(inputs, codebook)`` — codes + indices with a straight-through
+    estimator: encoder grad is the upstream grad passed through unchanged
+    (vector_quantization.py:50-52); codebook grad is the scatter-add of
+    upstream grads by code index (``index_add_`` semantics,
+    vector_quantization.py:53-61), realized here as ``segment_sum``.
+
+TPU notes: the distance term ``x @ e^T`` is a large (N, D) x (D, K) matmul
+that maps straight onto the MXU; argmin is a VPU reduction. On TPU the
+fused Pallas kernel in ``ops/pallas/vq_kernel.py`` computes distances tile
+by tile in VMEM without materializing the (N, K) distance matrix in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _nearest_indices(inputs_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Argmin_k ||x - e_k||^2 for (N, D) inputs and (K, D) codebook."""
+    codebook_sqr = jnp.sum(codebook**2, axis=1)  # (K,)
+    inputs_sqr = jnp.sum(inputs_flat**2, axis=1, keepdims=True)  # (N, 1)
+    # (N, K) distances; the -2 x e^T term is the MXU matmul.
+    distances = (
+        codebook_sqr[None, :]
+        + inputs_sqr
+        - 2.0
+        * jnp.dot(inputs_flat, codebook.T, preferred_element_type=jnp.float32)
+    )
+    return jnp.argmin(distances, axis=1).astype(jnp.int32)
+
+
+def vq(inputs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-codebook indices, shaped ``inputs.shape[:-1]``.
+
+    Like the reference ``vq``, this path carries no gradient: it is wrapped
+    in ``stop_gradient`` (the reference raises on backward,
+    vector_quantization.py:26-30; in JAX the honest equivalent is a zero
+    cotangent on a discrete output).
+    """
+    embedding_size = codebook.shape[1]
+    inputs_flat = jnp.reshape(inputs, (-1, embedding_size))
+    indices = _nearest_indices(
+        jax.lax.stop_gradient(inputs_flat), jax.lax.stop_gradient(codebook)
+    )
+    return jnp.reshape(indices, inputs.shape[:-1])
+
+
+@jax.custom_vjp
+def vq_st(inputs: jnp.ndarray, codebook: jnp.ndarray):
+    """Straight-through vector quantization.
+
+    Returns ``(codes, indices_flat)`` exactly like the reference ``vq_st``
+    (vector_quantization.py:32-44): ``codes`` has the shape of ``inputs``;
+    ``indices_flat`` is the flattened int32 code ids.
+    """
+    embedding_size = codebook.shape[1]
+    inputs_flat = jnp.reshape(inputs, (-1, embedding_size))
+    indices_flat = _nearest_indices(inputs_flat, codebook)
+    codes_flat = jnp.take(codebook, indices_flat, axis=0)
+    codes = jnp.reshape(codes_flat, inputs.shape)
+    return codes, indices_flat
+
+
+def _vq_st_fwd(inputs, codebook):
+    codes, indices_flat = vq_st(inputs, codebook)
+    return (codes, indices_flat), (indices_flat, codebook.shape[0])
+
+
+def _vq_st_bwd(residuals, cotangents):
+    indices_flat, num_codes = residuals
+    grad_codes, _ = cotangents  # cotangent on int indices is float0 — ignored
+    # Straight-through: encoder receives the upstream grad unchanged.
+    grad_inputs = grad_codes
+    # Codebook: scatter-add of upstream grads by selected index
+    # (reference index_add_, vector_quantization.py:60-61).
+    embedding_size = grad_codes.shape[-1]
+    grad_flat = jnp.reshape(grad_codes, (-1, embedding_size))
+    grad_codebook = jax.ops.segment_sum(
+        grad_flat, indices_flat, num_segments=num_codes
+    )
+    return grad_inputs, grad_codebook
+
+
+vq_st.defvjp(_vq_st_fwd, _vq_st_bwd)
+
+
+def codebook_lookup(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable embedding lookup: grads flow to the codebook via
+    scatter-add (the reference's second ``index_select`` against the
+    non-detached weight, models.py:137-141)."""
+    return jnp.take(codebook, indices, axis=0)
+
+
+def codebook_ema_update(
+    codebook: jnp.ndarray,
+    cluster_size_ema: jnp.ndarray,
+    embed_sum_ema: jnp.ndarray,
+    inputs_flat: jnp.ndarray,
+    indices_flat: jnp.ndarray,
+    decay: float,
+    eps: float = 1e-5,
+):
+    """EMA codebook update (VQ-VAE-2 style), optional alternative to
+    gradient-descent codebook learning (ModelConfig.ema_codebook).
+
+    Returns (new_codebook, new_cluster_size_ema, new_embed_sum_ema). Under
+    data parallelism, call inside pjit/shard_map: the segment sums below are
+    batch reductions and compile to ICI all-reduces automatically.
+    """
+    num_codes = codebook.shape[0]
+    one_hot_counts = jax.ops.segment_sum(
+        jnp.ones((indices_flat.shape[0],), jnp.float32),
+        indices_flat,
+        num_segments=num_codes,
+    )
+    embed_sums = jax.ops.segment_sum(inputs_flat, indices_flat, num_segments=num_codes)
+
+    new_cluster = decay * cluster_size_ema + (1 - decay) * one_hot_counts
+    new_embed_sum = decay * embed_sum_ema + (1 - decay) * embed_sums
+
+    n = jnp.sum(new_cluster)
+    cluster = (new_cluster + eps) / (n + num_codes * eps) * n
+    new_codebook = new_embed_sum / cluster[:, None]
+    return new_codebook, new_cluster, new_embed_sum

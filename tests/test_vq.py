@@ -1,0 +1,156 @@
+"""Vector-quantization op tests: forward nearest-code parity and exact
+straight-through / scatter-add gradient semantics
+(reference: src/vector_quantization.py)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.ops.vq import (
+    codebook_ema_update,
+    codebook_lookup,
+    vq,
+    vq_st,
+)
+
+
+def _data(rng, n=64, d=16, k=32):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cb = rng.standard_normal((k, d)).astype(np.float32)
+    return x, cb
+
+
+def test_vq_nearest_indices_brute_force(rng):
+    x, cb = _data(rng)
+    idx = np.asarray(vq(jnp.asarray(x), jnp.asarray(cb)))
+    dists = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(idx, dists.argmin(1))
+
+
+def test_vq_multidim_shape(rng):
+    x = rng.standard_normal((4, 5, 6, 16)).astype(np.float32)
+    cb = rng.standard_normal((32, 16)).astype(np.float32)
+    idx = vq(jnp.asarray(x), jnp.asarray(cb))
+    assert idx.shape == (4, 5, 6)
+
+
+def test_vq_st_codes_are_nearest(rng):
+    x, cb = _data(rng)
+    codes, indices = vq_st(jnp.asarray(x), jnp.asarray(cb))
+    np.testing.assert_allclose(np.asarray(codes), cb[np.asarray(indices)], atol=0)
+
+
+def test_vq_st_straight_through_grad(rng):
+    """d(loss)/d(inputs) must equal the upstream grad evaluated at the
+    codes — passed through unchanged (vector_quantization.py:50-52)."""
+    x, cb = _data(rng)
+
+    def loss(x_):
+        codes, _ = vq_st(x_, jnp.asarray(cb))
+        return jnp.sum(jnp.sin(codes) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(x))
+    codes, _ = vq_st(jnp.asarray(x), jnp.asarray(cb))
+    expected = np.asarray(2 * jnp.sin(codes) * jnp.cos(codes))
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-6)
+
+
+def test_vq_st_codebook_grad_is_index_add(rng):
+    """d(loss)/d(codebook) must equal scatter-add of upstream grads by
+    selected index (vector_quantization.py:53-61)."""
+    x, cb = _data(rng)
+    w = rng.standard_normal(x.shape).astype(np.float32)
+
+    def loss(cb_):
+        codes, _ = vq_st(jnp.asarray(x), cb_)
+        return jnp.sum(codes * jnp.asarray(w))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(cb)))
+    _, indices = vq_st(jnp.asarray(x), jnp.asarray(cb))
+    expected = np.zeros_like(cb)
+    np.testing.assert_array_equal(g.shape, cb.shape)
+    for i, k in enumerate(np.asarray(indices)):
+        expected[k] += w[i]
+    np.testing.assert_allclose(g, expected, atol=1e-5)
+
+
+def test_vq_st_grads_match_torch_autograd(rng):
+    """Cross-check both grads against a torch graph with the same
+    semantics: STE via x + (e[idx] - x).detach(), codebook grad via
+    embedding gather autograd (== index_add)."""
+    x, cb = _data(rng, n=32, d=8, k=16)
+    w = rng.standard_normal(x.shape).astype(np.float32)
+
+    xt = torch.tensor(x, requires_grad=True)
+    cbt = torch.tensor(cb, requires_grad=True)
+    # use the op's own indices so the comparison tests gradient wiring,
+    # not float32 argmin tie-breaking
+    _, idx_jax = vq_st(jnp.asarray(x), jnp.asarray(cb))
+    idx = torch.tensor(np.asarray(idx_jax).astype(np.int64))
+    codes_t = xt + (cbt[idx] - xt).detach() + (cbt[idx] - cbt[idx].detach())
+    # NOTE: reference semantics: encoder grad = upstream; codebook grad =
+    # scatter-add of upstream. codes_t above realizes both paths.
+    loss_t = (codes_t * torch.tensor(w)).sum()
+    loss_t.backward()
+
+    def loss(x_, cb_):
+        codes, _ = vq_st(x_, cb_)
+        return jnp.sum(codes * jnp.asarray(w))
+
+    gx, gcb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(cb))
+    np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gcb), cbt.grad.numpy(), atol=1e-5)
+
+
+def test_vq_no_grad_to_codebook_through_vq(rng):
+    x, cb = _data(rng)
+
+    def loss(cb_):
+        idx = vq(jnp.asarray(x), cb_)
+        return jnp.sum(idx.astype(jnp.float32))
+
+    g = jax.grad(loss)(jnp.asarray(cb))
+    assert np.allclose(np.asarray(g), 0.0)
+
+
+def test_codebook_lookup_grad(rng):
+    cb = rng.standard_normal((16, 8)).astype(np.float32)
+    idx = jnp.asarray([0, 3, 3, 5], jnp.int32)
+
+    def loss(cb_):
+        return jnp.sum(codebook_lookup(cb_, idx))
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(cb)))
+    expected = np.zeros((16, 8), np.float32)
+    for k in [0, 3, 3, 5]:
+        expected[k] += 1
+    np.testing.assert_allclose(g, expected)
+
+
+def test_ema_update_moves_codebook_toward_assigned_inputs(rng):
+    k, d = 8, 4
+    cb = rng.standard_normal((k, d)).astype(np.float32)
+    # all inputs near code 0's region
+    x = np.tile(cb[0] + 0.01, (100, 1)).astype(np.float32)
+    idx = np.asarray(vq(jnp.asarray(x), jnp.asarray(cb))).reshape(-1)
+    cluster = jnp.zeros((k,))
+    esum = jnp.zeros((k, d))
+    new_cb, new_cluster, _ = codebook_ema_update(
+        jnp.asarray(cb), cluster, esum, jnp.asarray(x), jnp.asarray(idx), decay=0.5
+    )
+    tgt = int(idx[0])
+    assert float(new_cluster[tgt]) > 0
+    # updated code moves toward the assigned input mean
+    before = np.linalg.norm(cb[tgt] - x[0])
+    after = np.linalg.norm(np.asarray(new_cb)[tgt] - x[0])
+    assert after < before
+
+
+def test_vq_st_jit_and_vmap(rng):
+    x = rng.standard_normal((4, 10, 8)).astype(np.float32)
+    cb = rng.standard_normal((16, 8)).astype(np.float32)
+    codes, idx = jax.jit(vq_st)(jnp.asarray(x), jnp.asarray(cb))
+    assert codes.shape == x.shape
+    assert idx.shape == (4 * 10,)
