@@ -1,0 +1,60 @@
+"""Shared model layers.
+
+Everything is NHWC (the TPU-native conv layout; XLA keeps channels on the
+lane dimension) — the reference's NCHW permutes (models.py:128-141)
+disappear entirely.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Xavier-uniform conv kernels + zero bias, matching the reference's
+# weights_init (models.py:25-32).
+conv_kernel_init = nn.initializers.xavier_uniform()
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (models.py:145-158):
+    ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 conv -> BN, plus skip."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        h = nn.relu(x)
+        h = nn.Conv(
+            self.dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=conv_kernel_init
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.dim, (1, 1), kernel_init=conv_kernel_init)(h)
+        h = nn.BatchNorm(use_running_average=not train)(h)
+        return x + h
+
+
+def conv_down(dim: int, name: str | None = None) -> nn.Conv:
+    """Stride-2 4x4 downsampling conv (torch Conv2d(k=4, s=2, p=1))."""
+    return nn.Conv(
+        dim,
+        (4, 4),
+        strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        kernel_init=conv_kernel_init,
+        name=name,
+    )
+
+
+def conv_up(dim: int, name: str | None = None) -> nn.ConvTranspose:
+    """Stride-2 4x4 upsampling transpose conv (torch ConvTranspose2d(4,2,1)
+    output size, 2H): flax 'SAME' pads the dilated input by 2 on each side,
+    the same effective padding torch uses for k=4, s=2, p=1."""
+    return nn.ConvTranspose(
+        dim,
+        (4, 4),
+        strides=(2, 2),
+        padding="SAME",
+        kernel_init=conv_kernel_init,
+        name=name,
+    )

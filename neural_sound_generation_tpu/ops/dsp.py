@@ -338,6 +338,7 @@ def _inv_mel_matrix(cfg: AudioConfig) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def linearspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     """Normalized linear dB spectrogram, (1 + fft_size//2, n_frames)."""
     y = preemphasis(wav, cfg.preemphasis, cfg.preemphasize)
@@ -348,6 +349,7 @@ def linearspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return S.T
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def melspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     """Normalized mel dB spectrogram, (num_mels, n_frames).
 
@@ -364,6 +366,7 @@ def melspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return S.T
 
 
+@functools.partial(jax.jit, static_argnums=(1, 3))
 def griffin_lim(
     S: jnp.ndarray,
     cfg: AudioConfig,
@@ -393,6 +396,7 @@ def griffin_lim(
     return jax.lax.fori_loop(0, n_iters, body, y)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def inv_mel_spectrogram(
     mel_spectrogram: jnp.ndarray, cfg: AudioConfig, key: jax.Array
 ) -> jnp.ndarray:
@@ -411,6 +415,7 @@ def inv_mel_spectrogram(
     return inv_preemphasis(y, cfg.preemphasis, cfg.preemphasize)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def inv_linear_spectrogram(
     linear_spectrogram: jnp.ndarray, cfg: AudioConfig, key: jax.Array
 ) -> jnp.ndarray:

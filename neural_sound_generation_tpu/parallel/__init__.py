@@ -1,0 +1,7 @@
+from neural_sound_generation_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    model_param_shardings,
+    shard_batch,
+)

@@ -1,0 +1,85 @@
+"""Device mesh and sharding layout.
+
+The reference's parallelism surface is vestigial (SURVEY.md §2a): NCCL
+names in dead config (hparams_nvidia.py:18-19), an unwired rank-sliced
+sampler (util.py:353-391), `DataParallel` imported but never used. The
+TPU-native replacement is declarative: one ``jax.sharding.Mesh`` over all
+chips with a ``data`` axis (batch sharding; gradient reduction compiles to
+an ICI all-reduce) and a ``model`` axis (tensor-parallel sharding of the
+codebook rows and wide conv channels via GSPMD annotations).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh with ('data', 'model') axes over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter path patterns -> PartitionSpec for tensor parallelism.
+# The codebook's rows (codes) shard over 'model'; wide conv kernels shard
+# their output channels. Everything else replicates.
+_TP_RULES = (
+    (re.compile(r"\['codebook'\]$"), P("model", None)),
+    (re.compile(r"\['(encoder|decoder)'\].*\['kernel'\]$"), P(None, None, None, "model")),
+)
+
+
+def model_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False):
+    """Sharding pytree for params: replicated by default; with
+    ``tensor_parallel`` the codebook and conv output channels shard over
+    the 'model' axis (GSPMD inserts the collectives)."""
+
+    def spec_for(path: str, leaf) -> NamedSharding:
+        if tensor_parallel and mesh.shape.get("model", 1) > 1:
+            for pattern, spec in _TP_RULES:
+                if pattern.search(path):
+                    # only shard if the target dim divides evenly
+                    dim = spec.index("model") if "model" in spec else None
+                    if dim is not None and leaf.shape[dim] % mesh.shape["model"] == 0:
+                        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = {}
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    paths = [jax.tree_util.keystr(p) for p, _ in flat[0]]
+    shardings = [spec_for(path, leaf) for path, leaf in zip(paths, leaves)]
+    del specs
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Device-put a host batch with the batch axis sharded over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,128 @@
+"""Train state: params + batch stats + optimizer + parameter EMA.
+
+The reference configures Adam (lr 1e-3, src/main.py:124) with an unused
+"noam_learning_rate_decay" schedule name (src/hparams.py:106 — the
+lrschedule module isn't in the repo) and EMA shadow parameters that are
+never wired (clone_as_averaged_model calls an undefined build_model,
+src/dataloader.py:262). Here both are real: a noam schedule option and a
+per-step EMA pytree used for evaluation when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from neural_sound_generation_tpu.config import TrainConfig
+
+
+def make_lr_schedule(cfg: TrainConfig):
+    """lr schedule by name (hparams.py:106 ``lr_schedule``)."""
+    name = cfg.lr_schedule
+    kwargs = dict(cfg.lr_schedule_kwargs)
+    base = cfg.initial_learning_rate
+    if name in (None, "", "constant"):
+        return optax.constant_schedule(base)
+    if name == "noam_learning_rate_decay":
+        warmup = float(kwargs.get("warmup_steps", 4000))
+
+        def sched(step):
+            step = jnp.maximum(step, 1).astype(jnp.float32)
+            return base * warmup**0.5 * jnp.minimum(
+                step * warmup**-1.5, step**-0.5
+            )
+
+        return sched
+    if name == "step_learning_rate_decay":
+        anneal_rate = float(kwargs.get("anneal_rate", 0.98))
+        anneal_interval = int(kwargs.get("anneal_interval", 30000))
+        return optax.exponential_decay(
+            base, transition_steps=anneal_interval, decay_rate=anneal_rate,
+            staircase=True,
+        )
+    raise ValueError(f"unknown lr_schedule: {name!r}")
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Functional train state (pure pytree; safe under pjit/donation)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+    ema_params: Optional[Any]
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+    @property
+    def eval_params(self):
+        """EMA params when enabled, else live params (the reference's
+        intended averaged-model evaluation, hparams.py:116-118)."""
+        return self.ema_params if self.ema_params is not None else self.params
+
+
+def make_optimizer(cfg: TrainConfig, use_schedule: bool = False):
+    """Adam matching reference hyperparameters (hparams.py:99-110,
+    main.py:124: plain Adam(lr) — schedule off by default for parity)."""
+    lr = make_lr_schedule(cfg) if use_schedule else cfg.initial_learning_rate
+    tx = optax.adam(
+        learning_rate=lr,
+        b1=cfg.adam_beta1,
+        b2=cfg.adam_beta2,
+        eps=cfg.adam_eps,
+    )
+    chain = []
+    if cfg.clip_thresh and cfg.clip_thresh > 0:
+        chain.append(optax.clip_by_global_norm(cfg.clip_thresh))
+    if cfg.weight_decay and cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(tx)
+    return optax.chain(*chain) if len(chain) > 1 else tx
+
+
+def create_train_state(
+    variables: FrozenDict | dict,
+    cfg: TrainConfig,
+    use_schedule: bool = False,
+) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, use_schedule)
+    ema = (
+        jax.tree_util.tree_map(jnp.copy, params)
+        if cfg.exponential_moving_average
+        else None
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=ema,
+        tx=tx,
+        ema_decay=cfg.ema_decay,
+    )

@@ -1,0 +1,208 @@
+"""Training step and epoch driver.
+
+Rebuilds the reference's per-model epoch loops (src/train.py:18-179,
+src/test.py:11-106) as one jitted train step over a device mesh: the
+whole forward/backward/update is a single XLA program; with the batch
+axis sharded over the mesh's 'data' axis, GSPMD emits the gradient
+all-reduce over ICI (no DataParallel/NCCL analogue needed).
+
+The reference's output-width "hack" (zero-padding the decoder output to
+the input width, train.py:118-120) is unnecessary here: the data pipeline
+crops mel frames to a multiple of the encoder's total stride, so decoder
+output shape equals input shape exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.config import Config
+from neural_sound_generation_tpu.models import VAE, VQVAE
+from neural_sound_generation_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from neural_sound_generation_tpu.training.losses import (
+    codebook_perplexity,
+    elbo_mse,
+    vqvae_loss,
+)
+from neural_sound_generation_tpu.training.train_state import TrainState
+
+
+def _vqvae_loss_fn(model: VQVAE, beta: float):
+    def loss_fn(params, batch_stats, batch, rng):
+        (x_tilde, z_e, z_q), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            train=True,
+            g=batch.get("g"),
+            mutable=["batch_stats"],
+        )
+        total, metrics = vqvae_loss(x_tilde, batch["x"], z_e, z_q, beta)
+        return total, (metrics, mut["batch_stats"])
+
+    return loss_fn
+
+
+def _vae_loss_fn(model: VAE):
+    def loss_fn(params, batch_stats, batch, rng):
+        (x_tilde, kl), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"sample": rng},
+        )
+        total = elbo_mse(x_tilde, batch["x"], kl)
+        metrics = {"loss": total, "kl": kl}
+        return total, (metrics, mut["batch_stats"])
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    cfg: Config,
+    mesh=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
+    """One jitted optimization step. With ``mesh``, the batch is expected
+    sharded over 'data' and the state replicated; XLA inserts the gradient
+    all-reduce."""
+    if isinstance(model, VQVAE):
+        loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, VAE):
+        loss_fn = _vae_loss_fn(model)
+    else:
+        raise TypeError(f"unsupported model: {type(model)}")
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=donate_argnums,
+    )
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+
+
+def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
+    """Eval forward: returns reconstruction + per-batch metrics
+    (the reference test_vqvae/test_vae accumulation, src/test.py:73-106)."""
+
+    def eval_step(state: TrainState, batch):
+        params = state.eval_params if use_ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        if isinstance(model, VQVAE):
+            x_tilde, z_e, z_q = model.apply(
+                variables, batch["x"], train=False, g=batch.get("g")
+            )
+            _, metrics = vqvae_loss(x_tilde, batch["x"], z_e, z_q, cfg.model.beta)
+            indices = model.apply(
+                variables, batch["x"], train=False, method=VQVAE.encode
+            )
+            metrics["perplexity"] = codebook_perplexity(indices, model.z_dim)
+            return x_tilde, metrics
+        x_tilde, kl = model.apply(variables, batch["x"], train=False)
+        total = elbo_mse(x_tilde, batch["x"], kl)
+        return x_tilde, {"loss": total, "kl": kl}
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=(rep, rep))
+
+
+class Trainer:
+    """Epoch driver: train epochs, periodic eval, metric aggregation.
+
+    Host-side shell around the jitted step — the replacement for
+    src/train.py's per-model epoch loops, with correct epoch averaging
+    (the reference overwrites train_loss per batch, train.py:138,
+    SURVEY §8)."""
+
+    def __init__(
+        self,
+        model,
+        cfg: Config,
+        state: TrainState,
+        mesh=None,
+        log_fn: Optional[Callable[[str], None]] = print,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.state = state
+        self.mesh = mesh
+        self.log_fn = log_fn or (lambda s: None)
+        self._train_step = make_train_step(model, cfg, mesh)
+        self._eval_step = make_eval_step(model, cfg, mesh)
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, batches, rng: jax.Array, epoch: int = 0):
+        """batches: iterable of dict batches (host numpy or device arrays).
+        Returns mean metrics over the epoch."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for i, batch in enumerate(batches):
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self._train_step(
+                self.state, self._put(batch), step_rng
+            )
+            count += 1
+            if (
+                self.cfg.train.log_interval
+                and i % self.cfg.train.log_interval == 0
+            ):
+                m = {k: float(v) for k, v in metrics.items()}
+                self.log_fn(
+                    f"Train Epoch: {epoch} [{i}]\t"
+                    + " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items()))
+                )
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        self.log_fn(
+            f"====> Epoch: {epoch} Average loss: {means.get('loss', 0.0):.4f}"
+        )
+        return means
+
+    def eval_epoch(self, batches):
+        sums: Dict[str, float] = {}
+        count = 0
+        last_recon = None
+        for batch in batches:
+            last_recon, metrics = self._eval_step(self.state, self._put(batch))
+            count += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        self.log_fn(f"====> Test set loss: {means.get('loss', 0.0):.4f}")
+        return means, last_recon

@@ -1,0 +1,213 @@
+"""Model tests: shapes, gradient flow, conditioning, and PixelCNN causality."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.models import VAE, VQVAE, GatedPixelCNN
+from neural_sound_generation_tpu.models.pixelcnn import generate
+
+
+def _mel_batch(rng, b=2, h=80, w=64):
+    # NHWC mel batch: (B, num_mels, frames, 1)
+    return jnp.asarray(rng.standard_normal((b, h, w, 1)).astype(np.float32))
+
+
+# --------------------------------------------------------------------- VQVAE
+
+
+def test_vqvae_forward_shapes(rng):
+    x = _mel_batch(rng)
+    model = VQVAE(input_dim=1, dim=32, z_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    (x_tilde, z_e, z_q), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert x_tilde.shape == x.shape  # W multiple of 4 -> exact roundtrip
+    assert z_e.shape == (2, 20, 16, 32)
+    assert z_q.shape == z_e.shape
+    assert np.isfinite(np.asarray(x_tilde)).all()
+
+
+def test_vqvae_encode_decode(rng):
+    x = _mel_batch(rng)
+    model = VQVAE(input_dim=1, dim=32, z_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    idx = model.apply(variables, x, train=False, method=VQVAE.encode)
+    assert idx.shape == (2, 20, 16)
+    assert idx.dtype == jnp.int32
+    assert int(idx.min()) >= 0 and int(idx.max()) < 64
+    recon = model.apply(variables, idx, train=False, method=VQVAE.decode)
+    assert recon.shape == x.shape
+
+
+def test_vqvae_three_term_loss_grads_flow(rng):
+    """Reconstruction grads reach encoder+decoder via STE; vq loss reaches
+    the codebook; commit loss reaches the encoder (train.py:129-134)."""
+    x = _mel_batch(rng)
+    model = VQVAE(input_dim=1, dim=16, z_dim=32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(params):
+        (x_tilde, z_e, z_q), _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss_recons = jnp.mean((x_tilde - x) ** 2)
+        loss_vq = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+        loss_commit = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+        return loss_recons + loss_vq + 1.0 * loss_commit
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    norms = {jax.tree_util.keystr(k): float(jnp.linalg.norm(v)) for k, v in flat}
+    assert norms["['codebook']"] > 0
+    enc_norm = sum(v for k, v in norms.items() if "encoder" in k)
+    dec_norm = sum(v for k, v in norms.items() if "decoder" in k)
+    assert enc_norm > 0 and dec_norm > 0
+
+
+def test_vqvae_speaker_conditioning_changes_output(rng):
+    x = _mel_batch(rng)
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, n_speakers=7, gin_channels=16)
+    g0 = jnp.zeros((2,), jnp.int32)
+    g1 = jnp.ones((2,), jnp.int32) * 3
+    variables = model.init(jax.random.PRNGKey(0), x, train=False, g=g0)
+    y0, _ = model.apply(variables, x, train=True, g=g0, mutable=["batch_stats"])
+    y1, _ = model.apply(variables, x, train=True, g=g1, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(y0[0]), np.asarray(y1[0]))
+
+
+def test_vqvae_feature_conditioned_decode(rng):
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, cond_features=3)
+    x = _mel_batch(rng)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, train=False, features=jnp.zeros((2, 3))
+    )
+    feats = jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32))
+    out = model.apply(
+        variables,
+        feats,
+        (20, 16),
+        train=False,
+        method=VQVAE.decode_from_features,
+    )
+    assert out.shape == (2, 80, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vqvae_codebook_init_range():
+    model = VQVAE(input_dim=1, dim=16, z_dim=32)
+    x = jnp.zeros((1, 16, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    cb = np.asarray(variables["params"]["codebook"])
+    # U(-1/z_dim, 1/z_dim) init (models.py:125)
+    assert cb.min() >= -1 / 32 - 1e-6 and cb.max() <= 1 / 32 + 1e-6
+    assert cb.std() > 0
+
+
+# ----------------------------------------------------------------------- VAE
+
+
+def test_vae_forward_shapes_and_kl(rng):
+    x = _mel_batch(rng, b=2, h=80, w=64)
+    model = VAE(input_dim=1, dim=16, z_dim=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    (x_tilde, kl), _ = model.apply(
+        variables,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"sample": jax.random.PRNGKey(1)},
+    )
+    assert x_tilde.shape == x.shape
+    assert float(kl) >= 0
+    assert np.isfinite(np.asarray(x_tilde)).all()
+
+
+def test_vae_eval_deterministic(rng):
+    x = _mel_batch(rng, b=1)
+    model = VAE(input_dim=1, dim=8, z_dim=4)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y1, _ = model.apply(variables, x, train=False)
+    y2, _ = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+# ------------------------------------------------------------------ PixelCNN
+
+
+@pytest.fixture(scope="module")
+def pixelcnn_setup():
+    model = GatedPixelCNN(input_dim=32, dim=16, n_layers=4, n_classes=5)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 32, (2, 8, 8)), jnp.int32)
+    label = jnp.asarray([1, 3], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, label)
+    return model, variables, x, label
+
+
+def test_pixelcnn_logits_shape(pixelcnn_setup):
+    model, variables, x, label = pixelcnn_setup
+    logits = model.apply(variables, x, label)
+    assert logits.shape == (2, 8, 8, 32)
+
+
+def test_pixelcnn_causality(pixelcnn_setup):
+    """Logits at (i, j) must not depend on (i, j) itself or any pixel after
+    it in raster order — the property the masked convs exist to enforce."""
+    model, variables, x, label = pixelcnn_setup
+    base = np.asarray(model.apply(variables, x, label))
+    i, j = 4, 4
+
+    def flip(xi, ii, jj):
+        return xi.at[:, ii, jj].set((xi[:, ii, jj] + 7) % 32)
+
+    # self
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, flip(x, i, j), label))[:, i, j],
+        base[:, i, j],
+        atol=1e-6,
+    )
+    # future in same row, and next row
+    for (ii, jj) in [(i, j + 1), (i + 1, 0), (i + 1, j)]:
+        np.testing.assert_allclose(
+            np.asarray(model.apply(variables, flip(x, ii, jj), label))[:, i, j],
+            base[:, i, j],
+            atol=1e-6,
+        )
+    # past pixel SHOULD change the logits (sanity that the test can fail)
+    changed = np.asarray(model.apply(variables, flip(x, i - 1, j), label))[:, i, j]
+    assert not np.allclose(changed, base[:, i, j], atol=1e-6)
+
+
+def test_pixelcnn_label_conditioning(pixelcnn_setup):
+    model, variables, x, label = pixelcnn_setup
+    l2 = jnp.asarray([2, 0], jnp.int32)
+    a = np.asarray(model.apply(variables, x, label))
+    b = np.asarray(model.apply(variables, x, l2))
+    assert not np.allclose(a, b)
+
+
+def test_pixelcnn_generate(pixelcnn_setup):
+    model, variables, _, _ = pixelcnn_setup
+    label = jnp.asarray([0, 1, 2], jnp.int32)
+    out = generate(
+        model, variables, label, jax.random.PRNGKey(0), shape=(8, 8), batch_size=3
+    )
+    out = np.asarray(out)
+    assert out.shape == (3, 8, 8)
+    assert out.min() >= 0 and out.max() < 32
+    out2 = np.asarray(
+        generate(
+            model, variables, label, jax.random.PRNGKey(0), shape=(8, 8), batch_size=3
+        )
+    )
+    np.testing.assert_array_equal(out, out2)

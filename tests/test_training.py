@@ -1,0 +1,230 @@
+"""Training subsystem tests: loss semantics, optimization progress, EMA,
+LR schedules, checkpoint save/restore."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.config import Config
+from neural_sound_generation_tpu.models import VAE, VQVAE
+from neural_sound_generation_tpu.training import (
+    TrainState,
+    Trainer,
+    checkpoint,
+    create_train_state,
+    make_lr_schedule,
+    make_train_step,
+)
+from neural_sound_generation_tpu.training.losses import (
+    codebook_perplexity,
+    elbo_bce,
+    elbo_mse,
+    vqvae_loss,
+)
+
+
+def _mel_batch(rng, b=4, h=16, w=16):
+    x = rng.standard_normal((b, h, w, 1)).astype(np.float32) * 0.1
+    return {"x": jnp.asarray(x)}
+
+
+def _make_vqvae(rng, cfg=None, **kw):
+    cfg = cfg or Config().parse("batch_size=4")
+    model = VQVAE(input_dim=1, dim=8, z_dim=16, **kw)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train)
+    return model, cfg, state, batch
+
+
+# ------------------------------------------------------------------ losses
+
+
+def test_vqvae_loss_terms(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 1)).astype(np.float32))
+    xt = x * 0.9
+    ze = jnp.asarray(rng.standard_normal((2, 2, 2, 8)).astype(np.float32))
+    zq = ze + 0.1
+    total, m = vqvae_loss(xt, x, ze, zq, beta=2.0)
+    np.testing.assert_allclose(
+        float(total),
+        float(m["loss_recons"] + m["loss_vq"] + 2.0 * m["loss_commit"]),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(m["loss_recons"]), float(jnp.mean((xt - x) ** 2)), rtol=1e-6
+    )
+    # symmetric MSE terms equal in value (differ only in grad routing)
+    np.testing.assert_allclose(float(m["loss_vq"]), float(m["loss_commit"]), rtol=1e-5)
+
+
+def test_elbo_mse_reduction(rng):
+    x = jnp.asarray(rng.standard_normal((4, 3, 3, 1)).astype(np.float32))
+    xt = jnp.zeros_like(x)
+    val = float(elbo_mse(xt, x, jnp.asarray(0.5)))
+    expected = float(jnp.sum(x**2) / 4 + 0.5)
+    np.testing.assert_allclose(val, expected, rtol=1e-6)
+
+
+def test_elbo_bce_matches_reference_formula(rng):
+    recon = jnp.asarray(rng.uniform(0.05, 0.95, (2, 10)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, (2, 10)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))
+    logvar = jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32) * 0.1)
+    val = float(elbo_bce(recon, x, mu, logvar))
+    bce = -np.sum(
+        np.asarray(x) * np.log(np.asarray(recon) + 1e-7)
+        + (1 - np.asarray(x)) * np.log(1 - np.asarray(recon) + 1e-7)
+    )
+    kld = -0.5 * np.sum(
+        1 + np.asarray(logvar) - np.asarray(mu) ** 2 - np.exp(np.asarray(logvar))
+    )
+    np.testing.assert_allclose(val, bce + kld, rtol=1e-4)
+
+
+def test_codebook_perplexity_bounds():
+    # uniform usage over K codes -> perplexity K; single code -> 1
+    k = 16
+    uniform = jnp.tile(jnp.arange(k, dtype=jnp.int32), 10)
+    np.testing.assert_allclose(float(codebook_perplexity(uniform, k)), k, rtol=1e-5)
+    single = jnp.zeros(100, jnp.int32)
+    np.testing.assert_allclose(float(codebook_perplexity(single, k)), 1.0, rtol=1e-5)
+
+
+# ----------------------------------------------------------------- schedule
+
+
+def test_noam_schedule_shape():
+    cfg = Config().train
+    sched = make_lr_schedule(cfg)
+    warm = 4000
+    lr_at = lambda s: float(sched(jnp.asarray(s)))
+    # rises during warmup, peaks near warmup_steps, decays after
+    assert lr_at(10) < lr_at(1000) < lr_at(4000)
+    assert lr_at(16000) < lr_at(4000)
+    np.testing.assert_allclose(lr_at(warm), cfg.initial_learning_rate, rtol=1e-5)
+
+
+def test_constant_and_step_schedules():
+    cfg = Config().parse("lr_schedule=constant").train
+    assert float(make_lr_schedule(cfg)(jnp.asarray(100))) == cfg.initial_learning_rate
+    cfg2 = Config().parse_json(
+        {
+            "lr_schedule": "step_learning_rate_decay",
+            "lr_schedule_kwargs": {"anneal_rate": 0.5, "anneal_interval": 10},
+        }
+    ).train
+    sched = make_lr_schedule(cfg2)
+    np.testing.assert_allclose(
+        float(sched(jnp.asarray(25))), cfg2.initial_learning_rate * 0.25, rtol=1e-6
+    )
+
+
+# ------------------------------------------------------------------- steps
+
+
+def test_vqvae_train_step_decreases_loss(rng):
+    model, cfg, state, batch = _make_vqvae(rng)
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(30):
+        state, metrics = step(state, batch, key)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    assert int(state.step) == 30
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_vae_train_step_decreases_loss(rng):
+    cfg = Config()
+    model = VAE(input_dim=1, dim=8, z_dim=4)
+    batch = _mel_batch(rng, h=32, w=32)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_ema_params_track_but_lag(rng):
+    model, cfg, state, batch = _make_vqvae(rng)
+    assert state.ema_params is not None
+    step = make_train_step(model, cfg, donate=False)
+    init_cb = np.asarray(state.params["codebook"])
+    for _ in range(5):
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+    live = np.asarray(state.params["codebook"])
+    ema = np.asarray(state.ema_params["codebook"])
+    # ema moved less than live params
+    assert np.abs(ema - init_cb).max() < np.abs(live - init_cb).max()
+    assert np.abs(ema - init_cb).max() > 0
+
+
+def test_ema_disabled(rng):
+    cfg = Config().parse_json({"exponential_moving_average": False})
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train)
+    assert state.ema_params is None
+    assert state.eval_params is state.params
+
+
+def test_trainer_epoch_aggregation(rng):
+    model, cfg, state, batch = _make_vqvae(rng)
+    logs = []
+    trainer = Trainer(model, cfg, state, log_fn=logs.append)
+    batches = [batch] * 4
+    means = trainer.train_epoch(batches, jax.random.PRNGKey(0), epoch=1)
+    assert "loss" in means and np.isfinite(means["loss"])
+    assert any("Epoch: 1 Average loss" in l for l in logs)
+    eval_means, recon = trainer.eval_epoch([batch])
+    assert "perplexity" in eval_means
+    assert recon.shape == batch["x"].shape
+
+
+# --------------------------------------------------------------- checkpoint
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    model, cfg, state, batch = _make_vqvae(rng)
+    step_fn = make_train_step(model, cfg, donate=False)
+    for _ in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    checkpoint.save(ckpt_dir, state, step=3, extra={"epoch": 1, "arch": "vqvae"})
+    assert checkpoint.latest_step(ckpt_dir) == 3
+
+    # fresh template with the same structure
+    variables = model.init(jax.random.PRNGKey(42), batch["x"], train=False)
+    template = create_train_state(variables, cfg.train)
+    restored, extra = checkpoint.restore(ckpt_dir, template)
+    assert extra["arch"] == "vqvae"
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["codebook"]), np.asarray(state.params["codebook"])
+    )
+    assert int(np.asarray(restored.step)) == 3
+
+    # restored state trains onward (resume path the reference lacks)
+    restored = restored.replace(tx=state.tx)
+    state2, metrics = step_fn(restored, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 4
+
+
+def test_checkpoint_multiple_steps(rng, tmp_path):
+    model, cfg, state, batch = _make_vqvae(rng)
+    ckpt_dir = str(tmp_path / "ck")
+    checkpoint.save(ckpt_dir, state, step=1)
+    checkpoint.save(ckpt_dir, state, step=10)
+    checkpoint.save(ckpt_dir, state, step=5)
+    assert checkpoint.latest_step(ckpt_dir) == 10
