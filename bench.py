@@ -1,0 +1,173 @@
+"""Benchmark: VQ-VAE training throughput on TPU vs the reference stack.
+
+Measures the BASELINE.md north-star metric — VQ-VAE train steps/sec — at a
+production configuration (batch 64 [the reference CLI default,
+src/main.py:27], dim 256, 512 codes, 80-mel x 28-frame crops from
+max_time_steps=8000 [src/hparams.py:114]).
+
+``vs_baseline`` compares against an equivalent PyTorch implementation of
+the reference's architecture (conv encoder/decoder + straight-through VQ,
+src/models.py:161-216, src/vector_quantization.py) executed on CPU — the
+same stack the reference runs, measured on the hardware available here.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH, MELS, FRAMES = 64, 80, 28
+DIM, Z_DIM = 256, 512
+BETA = 1.0
+LR = 1e-3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_tpu(steps=100, warmup=10, rounds=3):
+    # The TPU is reached through a tunnel with occasional latency spikes;
+    # measure several blocked windows of dependent steps and report the
+    # median rate.
+    import jax
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+
+    log(f"[bench] jax backend={jax.default_backend()} devices={jax.devices()}")
+    cfg = Config().parse(f"batch_size={BATCH}")
+    model = VQVAE(input_dim=1, dim=DIM, z_dim=Z_DIM)
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal((BATCH, MELS, FRAMES, 1))
+        .astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    batch = {"x": x}
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(warmup):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics)
+    rates = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+        rates.append(steps / dt)
+        log(f"[bench] TPU round {r}: {steps} steps in {dt:.3f}s "
+            f"-> {rates[-1]:.2f} steps/s (loss={float(metrics['loss']):.4f})")
+    sps = float(np.median(rates))
+    log(f"[bench] TPU median over {rounds} rounds: {sps:.2f} steps/s")
+    return sps
+
+
+def bench_torch_cpu(steps=3, warmup=1):
+    """Reference-equivalent stack in PyTorch on CPU (same arch/batch)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, __import__("os").cpu_count()))
+
+    class ResBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.block = nn.Sequential(
+                nn.ReLU(True), nn.Conv2d(dim, dim, 3, 1, 1), nn.BatchNorm2d(dim),
+                nn.ReLU(True), nn.Conv2d(dim, dim, 1), nn.BatchNorm2d(dim),
+            )
+
+        def forward(self, x):
+            return x + self.block(x)
+
+    class VQVAE(nn.Module):
+        def __init__(self, d, k):
+            super().__init__()
+            self.encoder = nn.Sequential(
+                nn.Conv2d(1, d, 4, 2, 1), nn.BatchNorm2d(d), nn.ReLU(True),
+                nn.Conv2d(d, d, 4, 2, 1), ResBlock(d), ResBlock(d),
+            )
+            self.codebook = nn.Embedding(k, d)
+            self.codebook.weight.data.uniform_(-1.0 / k, 1.0 / k)
+            self.decoder = nn.Sequential(
+                ResBlock(d), ResBlock(d), nn.ReLU(True),
+                nn.ConvTranspose2d(d, d, 4, 2, 1), nn.BatchNorm2d(d), nn.ReLU(True),
+                nn.ConvTranspose2d(d, 1, 4, 2, 1), nn.Tanh(),
+            )
+
+        def forward(self, x):
+            z_e = self.encoder(x)  # (B, D, H, W)
+            flat = z_e.permute(0, 2, 3, 1).reshape(-1, z_e.shape[1])
+            w = self.codebook.weight
+            with torch.no_grad():
+                d2 = (
+                    (w**2).sum(1)[None, :]
+                    + (flat**2).sum(1, keepdim=True)
+                    - 2 * flat @ w.t()
+                )
+                idx = d2.argmin(1)
+            codes = w[idx].view(
+                z_e.shape[0], z_e.shape[2], z_e.shape[3], -1
+            ).permute(0, 3, 1, 2)
+            z_q_st = z_e + (codes - z_e).detach()  # straight-through
+            x_tilde = self.decoder(z_q_st)
+            return x_tilde, z_e, codes
+
+    model = VQVAE(DIM, Z_DIM)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    x = torch.randn(BATCH, 1, MELS, FRAMES)
+
+    def one_step():
+        opt.zero_grad()
+        x_tilde, z_e, z_q = model(x)
+        loss = (
+            F.mse_loss(x_tilde, x)
+            + F.mse_loss(z_q, z_e.detach())
+            + BETA * F.mse_loss(z_e, z_q.detach())
+        )
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    for _ in range(warmup):
+        one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = one_step()
+    dt = time.perf_counter() - t0
+    sps = steps / dt
+    log(f"[bench] torch-CPU: {steps} steps in {dt:.3f}s -> {sps:.2f} steps/s "
+        f"(loss={loss:.4f})")
+    return sps
+
+
+def main():
+    tpu_sps = bench_tpu()
+    try:
+        ref_sps = bench_torch_cpu()
+    except Exception as e:  # torch missing/broken should not kill the bench
+        log(f"[bench] torch baseline failed: {e!r}")
+        ref_sps = None
+    result = {
+        "metric": "vqvae_train_steps_per_sec",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(tpu_sps / ref_sps, 2) if ref_sps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Training CLI.
+
+Reference surface (src/main.py:25-58): ``--batch-size --lr-rate --dataset
+--datadir --sampledir --epochs --seed --log-interval --model --beta --dim
+--z-dim`` over datasets {MNIST, CIFAR10, ljspeech} and models {vae, vqvae}.
+Additions over the reference: ``--preset`` config overlay, ``--resume``
+(restore is new — the reference can only save), and mesh axes for
+multi-chip runs.
+
+Behavioral parity: per-epoch train + test, per-epoch reconstruction
+artifact dump (``.npy`` + Griffin-Lim ``.wav`` for ljspeech,
+src/main.py:137-220), checkpoint every epoch and on Ctrl-C
+(src/main.py:221-229).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_sound_generation_tpu.config import Config, load_preset
+from neural_sound_generation_tpu.data import get_audio_data_loaders
+from neural_sound_generation_tpu.data.images import (
+    image_batches,
+    load_cifar10,
+    load_mnist,
+)
+from neural_sound_generation_tpu.models import VAE, VQVAE
+from neural_sound_generation_tpu.ops import dsp
+from neural_sound_generation_tpu.parallel import make_mesh
+from neural_sound_generation_tpu.training import (
+    Trainer,
+    checkpoint,
+    create_train_state,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train VAE/VQ-VAE on TPU")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr-rate", type=float, default=1e-3)
+    p.add_argument("--dataset", type=str, default="MNIST",
+                   choices=["MNIST", "CIFAR10", "ljspeech", "cmu_arctic",
+                            "jsut", "librivox"])
+    p.add_argument("--datadir", type=str, default="./data/")
+    p.add_argument("--sampledir", type=str, default="./results/")
+    p.add_argument("--epochs", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--model", type=str, default="vae", choices=["vae", "vqvae"])
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--dim", type=int, default=1, help="hidden layer width")
+    p.add_argument("--z-dim", type=int, default=512)
+    # framework additions
+    p.add_argument("--preset", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default="./models")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--max-batches-per-epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args) -> Config:
+    cfg = Config()
+    if args.preset:
+        cfg = load_preset(args.preset, cfg)
+    cfg = cfg.parse_json(
+        {
+            "batch_size": args.batch_size,
+            "initial_learning_rate": args.lr_rate,
+        }
+    )
+    cfg = Config(
+        name=cfg.name,
+        audio=cfg.audio,
+        arch=cfg.arch,
+        data=cfg.data,
+        model=cfg.model.__class__(
+            model=args.model,
+            input_dim=3 if args.dataset == "CIFAR10" else 1,
+            dim=args.dim,
+            z_dim=args.z_dim,
+            beta=args.beta,
+        ),
+        train=cfg.train.__class__(
+            **{
+                **{
+                    f.name: getattr(cfg.train, f.name)
+                    for f in cfg.train.__dataclass_fields__.values()
+                },
+                "seed": args.seed,
+                "log_interval": args.log_interval,
+                "nepochs": args.epochs,
+            }
+        ),
+    )
+    return cfg
+
+
+def _checkpoint_dir(args) -> str:
+    # ./models/{model}/checkpoint_{dataset}_{dim}_{z_dim} (main.py:61-66 layout)
+    return os.path.join(
+        args.ckpt_dir,
+        args.model,
+        f"checkpoint_{args.dataset}_{args.dim}_{args.z_dim}",
+    )
+
+
+def make_model(cfg: Config, n_speakers: int = 0):
+    mc = cfg.model
+    if mc.model == "vae":
+        return VAE(input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim)
+    gin = cfg.arch.gin_channels if n_speakers > 0 else -1
+    return VQVAE(
+        input_dim=mc.input_dim,
+        dim=mc.dim,
+        z_dim=mc.z_dim,
+        n_speakers=n_speakers if gin > 0 else 0,
+        gin_channels=gin,
+    )
+
+
+def _audio_loaders(args, cfg):
+    loaders = get_audio_data_loaders(
+        args.datadir, args.speaker_id, args.batch_size, cfg, test_shuffle=True
+    )
+    return loaders["train"], loaders["test"]
+
+
+def _image_loaders(args):
+    load = load_mnist if args.dataset == "MNIST" else load_cifar10
+    train_x, train_y = load(args.datadir, train=True)
+    test_x, test_y = load(args.datadir, train=False)
+
+    def train_iter(epoch):
+        return image_batches(train_x, train_y, args.batch_size, seed=epoch)
+
+    def test_iter():
+        return image_batches(test_x, test_y, args.batch_size, seed=0, shuffle=False)
+
+    return train_iter, test_iter
+
+
+def dump_reconstruction(args, cfg, recon, epoch):
+    """Per-epoch artifact dump (main.py:137-220): reconstruction .npy, and
+    for audio datasets a Griffin-Lim inversion .wav of the last batch
+    element (the reference inverts only the last element, main.py:183)."""
+    sample_dir = os.path.join(args.sampledir, args.dataset)
+    os.makedirs(sample_dir, exist_ok=True)
+    recon_np = np.asarray(recon)[..., 0] if recon.ndim == 4 else np.asarray(recon)
+    tag = (
+        f"{args.model}_data_{args.dataset}_dim_{args.dim}"
+        f"_z_dim_{args.z_dim}_epoch_{epoch}"
+    )
+    np.save(os.path.join(sample_dir, f"reconstruction_{tag}.npy"), recon_np)
+    if args.dataset in ("ljspeech", "cmu_arctic", "jsut", "librivox"):
+        mel = jnp.asarray(recon_np[-1])  # (n_mels, frames)
+        wav = dsp.inv_mel_spectrogram(mel, cfg.audio, jax.random.PRNGKey(epoch))
+        dsp.save_wav(
+            np.asarray(wav),
+            os.path.join(
+                sample_dir,
+                f"audio_recon_{tag}_fftsize_{cfg.audio.fft_size}"
+                f"_hopsize_{cfg.audio.effective_hop_size}.wav",
+            ),
+            cfg.audio.sample_rate,
+        )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    key = jax.random.PRNGKey(args.seed)
+
+    audio_mode = args.dataset not in ("MNIST", "CIFAR10")
+    if audio_mode:
+        train_loader, test_loader = _audio_loaders(args, cfg)
+        sample_batch = next(iter(test_loader))
+        n_speakers = cfg.arch.n_speakers if "g" in sample_batch else 0
+    else:
+        train_iter, test_iter = _image_loaders(args)
+        sample_batch = next(test_iter())
+        n_speakers = 0
+
+    model = make_model(cfg, n_speakers)
+    init_kwargs = {"g": sample_batch["g"]} if "g" in sample_batch else {}
+    variables = model.init(
+        key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
+    )
+    state = create_train_state(variables, cfg.train)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if args.mesh_data:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+    elif n_dev > 1 and args.batch_size % n_dev == 0:
+        mesh = make_mesh(n_model=args.mesh_model)
+    if mesh is not None:
+        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices")
+
+    ckpt_dir = _checkpoint_dir(args)
+    start_epoch = 1
+    if args.resume and checkpoint.latest_step(ckpt_dir) is not None:
+        state, extra = checkpoint.restore(ckpt_dir, state)
+        state = state.replace(tx=create_train_state(variables, cfg.train).tx)
+        start_epoch = int((extra or {}).get("epoch", 0)) + 1
+        print(f"Resumed from step {int(np.asarray(state.step))}, epoch {start_epoch}")
+
+    trainer = Trainer(model, cfg, state, mesh=mesh)
+    print(model)
+
+    last_epoch = start_epoch - 1
+
+    def save(epoch):
+        checkpoint.save(
+            ckpt_dir,
+            trainer.state,
+            step=int(np.asarray(jax.device_get(trainer.state.step))),
+            extra={"epoch": epoch, "arch": args.model},
+        )
+
+    def limit(it):
+        if args.max_batches_per_epoch is None:
+            return it
+        import itertools
+
+        return itertools.islice(it, args.max_batches_per_epoch)
+
+    try:
+        for epoch in range(start_epoch, args.epochs + 1):
+            key, ek = jax.random.split(key)
+            batches = limit(iter(train_loader)) if audio_mode else limit(
+                train_iter(epoch)
+            )
+            trainer.train_epoch(batches, ek, epoch=epoch)
+            test_batches = limit(iter(test_loader)) if audio_mode else limit(
+                test_iter()
+            )
+            _, recon = trainer.eval_epoch(test_batches)
+            if recon is not None:
+                print("Evaluating samples")
+                dump_reconstruction(args, cfg, jax.device_get(recon), epoch)
+            last_epoch = epoch
+            save(epoch)
+    except KeyboardInterrupt:
+        print("Interrupted!")
+    finally:
+        save(last_epoch)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

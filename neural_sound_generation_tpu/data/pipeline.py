@@ -1,0 +1,194 @@
+"""Dataset assembly and host->device loading.
+
+Rebuilds ``get_audio_data_loaders`` (dataloader.py:441-493): paired
+raw-audio + mel sources over a train.txt manifest, length-bucketed
+sampling, collation — plus the TPU-side pieces the reference lacks:
+per-host sharding of the index stream (multi-host data parallelism) and a
+background-thread prefetcher so host IO overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from neural_sound_generation_tpu.config import Config
+from neural_sound_generation_tpu.data.collate import as_model_batch, collate_mel_batch
+from neural_sound_generation_tpu.data.sampler import (
+    PartiallyRandomizedSimilarTimeLengthSampler,
+    batched,
+    shard_for_host,
+)
+from neural_sound_generation_tpu.data.sources import NpyDataSource
+
+
+class AudioDataset:
+    """Paired (audio, mel, speaker) access (PyTorchDataset,
+    dataloader.py:205-228)."""
+
+    def __init__(self, x_source: NpyDataSource, mel_source: Optional[NpyDataSource]):
+        self.X = x_source
+        self.Mel = mel_source
+        self.multi_speaker = x_source.multi_speaker
+
+    def __len__(self):
+        return len(self.X)
+
+    def __getitem__(self, idx: int):
+        speaker_id = self.X.speaker_ids[idx] if self.multi_speaker else None
+        mel = self.Mel[idx] if self.Mel is not None else None
+        return self.X[idx], mel, speaker_id
+
+
+class MelFrameLoader:
+    """Iterable of model-ready batches with background prefetch.
+
+    Each epoch re-derives a fresh sampler order; batches are collated to
+    static shapes, host-sharded when running multi-host, and handed over
+    through a bounded queue filled by IO worker threads.
+    """
+
+    def __init__(
+        self,
+        dataset: AudioDataset,
+        cfg: Config,
+        batch_size: int,
+        num_hosts: int = 1,
+        host_id: int = 0,
+        num_workers: int = 4,
+        seed: int = 1234,
+        shuffle: bool = True,
+        model_batches: bool = True,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.shuffle = shuffle
+        self.model_batches = model_batches
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def _indices(self):
+        if self.shuffle:
+            sampler = PartiallyRandomizedSimilarTimeLengthSampler(
+                self.dataset.X.lengths,
+                batch_size=self.batch_size,
+                seed=self.seed + self._epoch,
+            )
+            idx = list(iter(sampler))
+        else:
+            idx = list(range(len(self.dataset)))
+        if self.num_hosts > 1:
+            idx = shard_for_host(idx, self.num_hosts, self.host_id, self.batch_size)
+        groups = batched(idx, self.batch_size, drop_last=self.drop_last)
+        if not self.drop_last and groups and len(groups[-1]) < self.batch_size:
+            # pad the final partial batch cyclically — shapes stay static
+            last = groups[-1]
+            n = len(last)
+            for k in range(self.batch_size - n):
+                last.append(last[k % n])
+        return groups
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.num_hosts > 1:
+            n = len(shard_for_host(list(range(n)), self.num_hosts, self.host_id,
+                                   self.batch_size))
+        return n // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._indices()
+        rng = np.random.default_rng(self.seed + 7919 * self._epoch)
+        self._epoch += 1
+        prefetch: "queue.Queue" = queue.Queue(maxsize=self.cfg.data.prefetch_depth)
+        stop = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        out = collate_mel_batch(
+                            items,
+                            self.cfg.audio,
+                            self.cfg.train.max_time_steps,
+                            rng,
+                        )
+                        if self.model_batches:
+                            out = as_model_batch(out)
+                        prefetch.put(out)
+            finally:
+                prefetch.put(stop)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = prefetch.get()
+            if item is stop:
+                break
+            yield item
+        thread.join()
+
+
+def get_audio_data_loaders(
+    data_root: str,
+    speaker_id: Optional[int],
+    batch_size: int,
+    cfg: Optional[Config] = None,
+    test_shuffle: bool = True,
+    num_hosts: int = 1,
+    host_id: int = 0,
+) -> Dict[str, MelFrameLoader]:
+    """Train/test loader pair over a preprocessed corpus directory
+    (get_audio_data_loaders surface, dataloader.py:441-493)."""
+    cfg = cfg or Config()
+    loaders: Dict[str, MelFrameLoader] = {}
+    for phase in ("train", "test"):
+        train = phase == "train"
+        x_src = NpyDataSource(
+            data_root,
+            0,
+            speaker_id=speaker_id,
+            train=train,
+            test_size=cfg.data.test_size,
+            test_num_samples=cfg.data.test_num_samples,
+            random_state=cfg.data.random_state,
+        )
+        mel_src = (
+            NpyDataSource(
+                data_root,
+                1,
+                speaker_id=speaker_id,
+                train=train,
+                test_size=cfg.data.test_size,
+                test_num_samples=cfg.data.test_num_samples,
+                random_state=cfg.data.random_state,
+            )
+            if cfg.arch.cin_channels > 0
+            else None
+        )
+        dataset = AudioDataset(x_src, mel_src)
+        loaders[phase] = MelFrameLoader(
+            dataset,
+            cfg,
+            batch_size,
+            num_hosts=num_hosts,
+            host_id=host_id,
+            num_workers=cfg.data.num_workers,
+            seed=cfg.data.random_state,
+            shuffle=train or test_shuffle,
+            drop_last=train,
+        )
+        if train and x_src.multi_speaker:
+            hist = np.bincount(np.asarray(x_src.speaker_ids))
+            print(f"Speaker stats: {dict(enumerate(hist.tolist()))}")
+    return loaders

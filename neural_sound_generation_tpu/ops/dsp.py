@@ -64,18 +64,27 @@ def frame_signal(y: jnp.ndarray, frame_length: int, hop_size: int) -> jnp.ndarra
 
 
 def stft(
-    y: jnp.ndarray, fft_size: int, hop_size: int, win_size: int | None = None
+    y: jnp.ndarray,
+    fft_size: int,
+    hop_size: int,
+    win_size: int | None = None,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Centered STFT; returns complex64 (n_frames, 1 + fft_size//2).
 
     Matches ``librosa.stft(y, n_fft, hop_length)`` defaults as used by
     ``src/audio_tacotron.py:154-158`` (modulo the (freq, time) transpose —
     we keep frames time-major, the TPU-friendly layout).
+
+    ``center=False`` skips the internal reflect padding — for callers that
+    pre-pad on host (e.g. the batched preprocessing engine, where padding
+    is shift-variant and must use the true signal, not batch zero-fill).
     """
     win_size = win_size or fft_size
-    pad = fft_size // 2
-    y_padded = jnp.pad(y, (pad, pad), mode="reflect")
-    frames = frame_signal(y_padded, fft_size, hop_size)
+    if center:
+        pad = fft_size // 2
+        y = jnp.pad(y, (pad, pad), mode="reflect")
+    frames = frame_signal(y, fft_size, hop_size)
     window = hann_window(win_size)
     if win_size < fft_size:
         lpad = (fft_size - win_size) // 2

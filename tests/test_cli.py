@@ -1,0 +1,145 @@
+"""CLI surface tests: the two public entry points end-to-end on synthetic
+corpora (the reference's API *is* these commands, SURVEY §1)."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from neural_sound_generation_tpu.cli import main as train_cli
+from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+from neural_sound_generation_tpu.data.images import load_mnist
+from neural_sound_generation_tpu.ops import dsp
+
+
+def _make_ljspeech(tmp_path, n=8, sr=22050):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir(parents=True)
+    lines = []
+    for i in range(n):
+        dur = 0.4 + 0.1 * i
+        t = np.arange(int(sr * dur)) / sr
+        wav = (0.5 * np.sin(2 * np.pi * (220 + 30 * i) * t)).astype(np.float32)
+        dsp.save_wav(wav, str(wav_dir / f"LJ-{i:04d}.wav"), sr)
+        lines.append(f"LJ-{i:04d}|raw {i}|text {i}")
+    (tmp_path / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+    return tmp_path
+
+
+def test_preprocess_cli_end_to_end(tmp_path, capsys):
+    in_dir = _make_ljspeech(tmp_path / "in")
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(
+        ["ljspeech", str(in_dir), str(out_dir), "--num_workers", "2"]
+    )
+    out = capsys.readouterr().out
+    assert "Wrote 8 utterances" in out
+    assert (out_dir / "train.txt").exists()
+    assert (out_dir / "ljspeech-audio-00001.npy").exists()
+    assert (out_dir / "ljspeech-mel-00008.npy").exists()
+
+
+def test_preprocess_cli_with_reference_preset(tmp_path):
+    ref_preset = "/root/reference/src/presets/cmu_arctic_8bit.json"
+    if not os.path.exists(ref_preset):
+        pytest.skip("reference not mounted")
+    in_dir = _make_ljspeech(tmp_path / "in", n=3, sr=16000)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(
+        ["ljspeech", str(in_dir), str(out_dir), "--preset", ref_preset]
+    )
+    audio = np.load(out_dir / "ljspeech-audio-00001.npy")
+    assert audio.dtype == np.int16  # mulaw-quantize preset applied
+
+
+def test_preprocess_cli_hparams_override(tmp_path):
+    in_dir = _make_ljspeech(tmp_path / "in", n=2)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(
+        ["ljspeech", str(in_dir), str(out_dir), "--n_mels", "40"]
+    )
+    mel = np.load(out_dir / "ljspeech-mel-00001.npy")
+    assert mel.shape[1] == 40
+
+
+def test_train_cli_ljspeech_vqvae(tmp_path):
+    """Full reference workflow: preprocess then train
+    (``main.py --model vqvae --dataset ljspeech``), 2 epochs on a tiny
+    corpus, with checkpoint + artifact dumps + resume."""
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+
+    sampledir = tmp_path / "results"
+    ckptdir = tmp_path / "models"
+    argv = [
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(sampledir),
+        "--ckpt-dir", str(ckptdir),
+        "--batch-size", "2", "--epochs", "2",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "2",
+    ]
+    train_cli.main(argv)
+    # checkpoints in the reference's directory layout
+    ckpt = ckptdir / "vqvae" / "checkpoint_ljspeech_8_16"
+    assert ckpt.exists()
+    # per-epoch artifacts: reconstruction .npy + Griffin-Lim .wav
+    arts = os.listdir(sampledir / "ljspeech")
+    assert any(a.startswith("reconstruction_vqvae") for a in arts)
+    assert any(a.startswith("audio_recon_vqvae") and a.endswith(".wav") for a in arts)
+
+    # resume continues from the saved epoch
+    train_cli.main(argv + ["--resume", "--epochs", "3"])
+
+
+def test_train_cli_vae(tmp_path):
+    in_dir = _make_ljspeech(tmp_path / "in", n=6)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "vae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "4",
+        "--max-batches-per-epoch", "2",
+    ])
+
+
+def _make_mnist(tmp_path, n=32):
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for prefix, count in (("train", n), ("t10k", n // 2)):
+        images = rng.integers(0, 256, (count, 28, 28), dtype=np.uint8)
+        labels = rng.integers(0, 10, count, dtype=np.uint8)
+        with gzip.open(raw / f"{prefix}-images-idx3-ubyte.gz", "wb") as f:
+            f.write(struct.pack(">IIII", 2051, count, 28, 28) + images.tobytes())
+        with gzip.open(raw / f"{prefix}-labels-idx1-ubyte.gz", "wb") as f:
+            f.write(struct.pack(">II", 2049, count) + labels.tobytes())
+    return tmp_path
+
+
+def test_mnist_reader(tmp_path):
+    _make_mnist(tmp_path)
+    x, y = load_mnist(str(tmp_path))
+    assert x.shape == (32, 28, 28, 1) and x.max() <= 1.0
+    assert y.shape == (32,)
+
+
+def test_train_cli_mnist_vqvae(tmp_path):
+    _make_mnist(tmp_path)
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "MNIST",
+        "--datadir", str(tmp_path),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "8", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+    ])
+    assert (tmp_path / "models" / "vqvae" / "checkpoint_MNIST_8_16").exists()

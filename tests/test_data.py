@@ -1,0 +1,330 @@
+"""Data pipeline tests: manifest, split determinism, sampler semantics,
+static-shape collate, corpus preprocessing engine, and loaders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neural_sound_generation_tpu.config import AudioConfig, Config
+from neural_sound_generation_tpu.data import (
+    AudioDataset,
+    ManifestEntry,
+    MelFrameLoader,
+    NpyDataSource,
+    PartiallyRandomizedSimilarTimeLengthSampler,
+    collate_mel_batch,
+    get_audio_data_loaders,
+    manifest_stats,
+    read_manifest,
+    shard_for_host,
+    write_manifest,
+)
+from neural_sound_generation_tpu.data.collate import (
+    as_model_batch,
+    ensure_divisible,
+    static_crop_frames,
+)
+from neural_sound_generation_tpu.data.corpora import ljspeech
+from neural_sound_generation_tpu.data.corpora.engine import (
+    UtteranceSpec,
+    preprocess_utterances,
+)
+from neural_sound_generation_tpu.ops import dsp
+
+
+# ----------------------------------------------------------------- manifest
+
+
+def test_manifest_roundtrip(tmp_path):
+    entries = [
+        ManifestEntry("a-00001.npy", "m-00001.npy", 7936, "hello world"),
+        ManifestEntry("a-00002.npy", "m-00002.npy", 12800, "bye|pipe"),
+    ]
+    # NOTE: text containing '|' would corrupt the format; reference has the
+    # same property. Use clean text.
+    entries[1] = ManifestEntry("a-00002.npy", "m-00002.npy", 12800, "bye")
+    write_manifest(str(tmp_path), entries)
+    back = read_manifest(str(tmp_path))
+    assert back == entries
+    stats = manifest_stats(back, 22050, 256)
+    assert stats["utterances"] == 2
+    assert stats["total_timesteps"] == 7936 + 12800
+
+
+def test_manifest_multispeaker(tmp_path):
+    entries = [
+        ManifestEntry("a.npy", "m.npy", 100, "x", speaker_id=3),
+    ]
+    write_manifest(str(tmp_path), entries)
+    back = read_manifest(str(tmp_path))
+    assert back[0].speaker_id == 3
+
+
+# ------------------------------------------------------------------ sources
+
+
+def _write_corpus(tmp_path, n=20, multispeaker=False):
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(n):
+        ts = 256 * (10 + i)
+        a = rng.standard_normal(ts).astype(np.float32)
+        m = rng.standard_normal((ts // 256, 80)).astype(np.float32)
+        np.save(tmp_path / f"c-audio-{i:05d}.npy", a)
+        np.save(tmp_path / f"c-mel-{i:05d}.npy", m)
+        entries.append(
+            ManifestEntry(
+                f"c-audio-{i:05d}.npy",
+                f"c-mel-{i:05d}.npy",
+                ts,
+                f"utt {i}",
+                speaker_id=(i % 3) if multispeaker else None,
+            )
+        )
+    write_manifest(str(tmp_path), entries)
+    return entries
+
+
+def test_split_deterministic_and_disjoint(tmp_path):
+    _write_corpus(tmp_path)
+    tr1 = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    tr2 = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    te = NpyDataSource(str(tmp_path), 0, train=False, test_size=0.25)
+    assert [e.text for e in tr1.entries] == [e.text for e in tr2.entries]
+    train_set = {e.text for e in tr1.entries}
+    test_set = {e.text for e in te.entries}
+    assert not train_set & test_set
+    assert len(train_set) + len(test_set) == 20
+    assert len(test_set) == 5
+
+
+def test_test_num_samples(tmp_path):
+    _write_corpus(tmp_path)
+    te = NpyDataSource(
+        str(tmp_path), 0, train=False, test_size=None, test_num_samples=4
+    )
+    assert len(te) == 4
+
+
+def test_speaker_filter(tmp_path):
+    _write_corpus(tmp_path, multispeaker=True)
+    src = NpyDataSource(str(tmp_path), 0, speaker_id=1, train=True, test_size=0.3)
+    assert not src.multi_speaker  # becomes single-speaker view
+    full = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.3)
+    assert full.multi_speaker
+    assert all(s is not None for s in full.speaker_ids)
+
+
+def test_source_loads_npy(tmp_path):
+    _write_corpus(tmp_path)
+    src = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+    mel = src[0]
+    assert mel.ndim == 2 and mel.shape[1] == 80
+
+
+# ------------------------------------------------------------------ sampler
+
+
+def test_sampler_covers_all_indices():
+    lengths = list(range(100, 0, -1))
+    s = PartiallyRandomizedSimilarTimeLengthSampler(lengths, batch_size=8)
+    idx = list(iter(s))
+    assert sorted(idx) == list(range(100))
+
+
+def test_sampler_batches_have_similar_lengths():
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(100, 10000, 256).tolist()
+    s = PartiallyRandomizedSimilarTimeLengthSampler(
+        lengths, batch_size=8, batch_group_size=32
+    )
+    idx = list(iter(s))
+    # within a batch, lengths stay within the group's span: compare batch
+    # length spread to global spread
+    spreads = []
+    for b in range(0, 256, 8):
+        ls = [lengths[i] for i in idx[b : b + 8]]
+        spreads.append(max(ls) - min(ls))
+    assert np.median(spreads) < (max(lengths) - min(lengths)) / 4
+
+
+def test_sampler_epochs_differ():
+    s = PartiallyRandomizedSimilarTimeLengthSampler(list(range(64)), batch_size=8)
+    a = list(iter(s))
+    b = list(iter(s))
+    assert a != b  # rng advances between epochs
+
+
+def test_shard_for_host_partition():
+    idx = list(range(32))
+    shards = [shard_for_host(idx, 4, h, batch_size=4) for h in range(4)]
+    # disjoint, whole batches, covering everything
+    all_items = sorted(i for s in shards for i in s)
+    assert all_items == idx
+    for s in shards:
+        assert len(s) % 4 == 0
+
+
+# ------------------------------------------------------------------ collate
+
+
+def test_ensure_divisible():
+    assert ensure_divisible(8000, 256) == 7936
+    assert ensure_divisible(7936, 256) == 7936
+    assert ensure_divisible(8000, 256, lower=False) == 8192
+
+
+def test_static_crop_frames():
+    # 8000 steps @ hop 256 -> 31 frames -> 28 (multiple of stride 4)
+    assert static_crop_frames(8000, 256) == 28
+    assert static_crop_frames(8192, 256) == 32
+
+
+def test_collate_static_shapes(rng):
+    cfg = AudioConfig()
+    items = []
+    for n_frames in (10, 40, 100):
+        audio = rng.standard_normal(n_frames * 256).astype(np.float32)
+        mel = rng.standard_normal((n_frames, 80)).astype(np.float32)
+        items.append((audio, mel, None))
+    out = collate_mel_batch(items, cfg, max_time_steps=8000, rng=rng)
+    assert out["c"].shape == (3, 80, 28)
+    assert out["x"].shape == (3, 28 * 256, 1)
+    assert out["y"].shape == (3, 28 * 256)
+    assert out["g"] is None
+    model_batch = as_model_batch(out)
+    assert model_batch["x"].shape == (3, 80, 28, 1)
+
+
+def test_collate_crop_alignment(rng):
+    """Cropped audio must correspond to the cropped mel frames (hop-aligned,
+    dataloader.py:355-367 semantics)."""
+    cfg = AudioConfig()
+    n_frames = 100
+    audio = np.arange(n_frames * 256, dtype=np.float32)
+    mel = np.arange(n_frames, dtype=np.float32)[:, None].repeat(80, 1)
+    out = collate_mel_batch([(audio, mel, None)], cfg, max_time_steps=8000, rng=rng)
+    first_frame = int(out["c"][0, 0, 0])
+    first_sample = float(out["y"][0, 0])
+    assert first_sample == first_frame * 256
+
+
+def test_collate_mulaw_quantize_one_hot(rng):
+    cfg = AudioConfig(input_type="mulaw-quantize", quantize_channels=256)
+    n_frames = 10
+    q = rng.integers(0, 256, n_frames * 256).astype(np.int64)
+    mel = rng.standard_normal((n_frames, 80)).astype(np.float32)
+    out = collate_mel_batch([(q, mel, None)], cfg, max_time_steps=8000, rng=rng)
+    assert out["x"].shape == (1, 28 * 256, 256)  # one-hot
+    assert out["y"].dtype == np.int64
+    # padding value is mulaw_quantize(0, 256) == 128
+    assert int(out["y"][0, -1]) == 128
+
+
+def test_collate_speakers(rng):
+    cfg = AudioConfig()
+    items = [
+        (rng.standard_normal(2560).astype(np.float32),
+         rng.standard_normal((10, 80)).astype(np.float32), s)
+        for s in (0, 5)
+    ]
+    out = collate_mel_batch(items, cfg, max_time_steps=8000, rng=rng)
+    np.testing.assert_array_equal(out["g"], [0, 5])
+
+
+# ----------------------------------------------------- preprocessing engine
+
+
+def _make_wav_corpus(tmp_path, n=6, sr=22050):
+    """Synthetic LJSpeech-layout corpus."""
+    rng = np.random.default_rng(0)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir(parents=True)
+    lines = []
+    for i in range(n):
+        dur = 0.3 + 0.15 * i
+        t = np.arange(int(sr * dur)) / sr
+        wav = (0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        dsp.save_wav(wav, str(wav_dir / f"LJ-{i:04d}.wav"), sr)
+        lines.append(f"LJ-{i:04d}|raw text {i}|normalized text {i}")
+    (tmp_path / "metadata.csv").write_text("\n".join(lines), encoding="utf-8")
+    return tmp_path
+
+
+def test_ljspeech_preprocess_end_to_end(tmp_path):
+    in_dir = _make_wav_corpus(tmp_path / "in")
+    out_dir = tmp_path / "out"
+    cfg = AudioConfig()
+    entries = ljspeech.build_from_path(str(in_dir), str(out_dir), num_workers=2, cfg=cfg)
+    assert len(entries) == 6
+    # artifact contract (src/ljspeech.py:92-102)
+    for k, e in enumerate(entries):
+        assert e.audio_path == f"ljspeech-audio-{k + 1:05d}.npy"
+        assert e.text == f"normalized text {k}"
+        audio = np.load(out_dir / e.audio_path)
+        mel = np.load(out_dir / e.mel_path)
+        assert mel.dtype == np.float32 and mel.shape[1] == 80
+        # alignment: len(audio) == n_frames * hop and == manifest timesteps
+        assert len(audio) == mel.shape[0] * 256 == e.timesteps
+        # normalized mel in [0, max_abs]
+        assert mel.min() >= 0 and mel.max() <= cfg.max_abs_value + 1e-6
+
+
+def test_preprocess_mulaw_quantize(tmp_path):
+    in_dir = _make_wav_corpus(tmp_path / "in", n=3)
+    out_dir = tmp_path / "out"
+    cfg = AudioConfig(input_type="mulaw-quantize", quantize_channels=256)
+    entries = ljspeech.build_from_path(str(in_dir), str(out_dir), cfg=cfg)
+    audio = np.load(out_dir / entries[0].audio_path)
+    assert audio.dtype == np.int16
+    assert audio.min() >= 0 and audio.max() <= 256
+
+
+def test_preprocess_mel_matches_single_utterance(tmp_path):
+    """Batched bucket processing must produce the same mel as the direct
+    single-utterance transform."""
+    in_dir = _make_wav_corpus(tmp_path / "in", n=3)
+    out_dir = tmp_path / "out"
+    cfg = AudioConfig()
+    entries = ljspeech.build_from_path(str(in_dir), str(out_dir), cfg=cfg)
+    import jax.numpy as jnp
+
+    wav = dsp.load_wav(str(in_dir / "wavs" / "LJ-0001.wav"), 22050)
+    wav = wav / np.abs(wav).max() * cfg.rescaling_max
+    direct = np.asarray(dsp.melspectrogram(jnp.asarray(wav), cfg)).T
+    stored = np.load(out_dir / entries[1].mel_path)
+    assert stored.shape == direct.shape
+    np.testing.assert_allclose(stored, direct, atol=2e-3)
+
+
+# ------------------------------------------------------------------ loaders
+
+
+def test_get_audio_data_loaders_end_to_end(tmp_path):
+    in_dir = _make_wav_corpus(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    cfg = Config()
+    entries = ljspeech.build_from_path(str(in_dir), str(out_dir), cfg=cfg.audio)
+    write_manifest(str(out_dir), entries)
+    loaders = get_audio_data_loaders(str(out_dir), None, batch_size=2, cfg=cfg)
+    batch = next(iter(loaders["train"]))
+    assert batch["x"].shape == (2, 80, 28, 1)
+    assert np.isfinite(batch["x"]).all()
+    n = sum(1 for _ in loaders["train"])
+    assert n == len(loaders["train"]) > 0
+
+
+def test_loader_host_sharding(tmp_path):
+    _write_corpus(tmp_path, n=32)
+    cfg = Config()
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+    ds = AudioDataset(x, mel)
+    seen = []
+    for host in range(2):
+        loader = MelFrameLoader(
+            ds, cfg, batch_size=2, num_hosts=2, host_id=host, shuffle=False
+        )
+        seen.append(sum(1 for _ in loader))
+    assert seen[0] == seen[1] == len(ds) // 2 // 2
