@@ -30,7 +30,7 @@ from neural_sound_generation_tpu.data.images import (
     load_cifar10,
     load_mnist,
 )
-from neural_sound_generation_tpu.models import VAE, VQVAE
+from neural_sound_generation_tpu.models import VAE, VQVAE, WaveVQVAE
 from neural_sound_generation_tpu.ops import dsp
 from neural_sound_generation_tpu.parallel import make_mesh
 from neural_sound_generation_tpu.training import (
@@ -52,7 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=3000)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=10)
-    p.add_argument("--model", type=str, default="vae", choices=["vae", "vqvae"])
+    p.add_argument("--model", type=str, default="vae",
+                   choices=["vae", "vqvae", "wavevqvae"])
     p.add_argument("--beta", type=float, default=1.0)
     p.add_argument("--dim", type=int, default=1, help="hidden layer width")
     p.add_argument("--z-dim", type=int, default=512)
@@ -118,6 +119,15 @@ def make_model(cfg: Config, n_speakers: int = 0):
     if mc.model == "vae":
         return VAE(input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim)
     gin = cfg.arch.gin_channels if n_speakers > 0 else -1
+    if mc.model == "wavevqvae":
+        return WaveVQVAE(
+            dim=mc.dim,
+            z_dim=mc.z_dim,
+            input_type=cfg.audio.input_type,
+            quantize_channels=cfg.audio.quantize_channels,
+            n_speakers=n_speakers if gin > 0 else 0,
+            gin_channels=gin,
+        )
     return VQVAE(
         input_dim=mc.input_dim,
         dim=mc.dim,
@@ -129,7 +139,12 @@ def make_model(cfg: Config, n_speakers: int = 0):
 
 def _audio_loaders(args, cfg):
     loaders = get_audio_data_loaders(
-        args.datadir, args.speaker_id, args.batch_size, cfg, test_shuffle=True
+        args.datadir,
+        args.speaker_id,
+        args.batch_size,
+        cfg,
+        test_shuffle=True,
+        batch_mode="wave" if args.model == "wavevqvae" else "mel",
     )
     return loaders["train"], loaders["test"]
 
@@ -160,6 +175,23 @@ def dump_reconstruction(args, cfg, recon, epoch):
         f"_z_dim_{args.z_dim}_epoch_{epoch}"
     )
     np.save(os.path.join(sample_dir, f"reconstruction_{tag}.npy"), recon_np)
+    if args.model == "wavevqvae":
+        if recon_np.ndim == 3:  # categorical logits -> argmax decode
+            from neural_sound_generation_tpu.ops.dsp import inv_mulaw_quantize
+
+            wav_out = np.asarray(
+                inv_mulaw_quantize(
+                    jnp.asarray(recon_np[-1].argmax(-1)), cfg.audio.quantize_channels
+                )
+            )
+        else:
+            wav_out = recon_np[-1]
+        dsp.save_wav(
+            wav_out,
+            os.path.join(sample_dir, f"audio_recon_{tag}.wav"),
+            cfg.audio.sample_rate,
+        )
+        return
     if args.dataset in ("ljspeech", "cmu_arctic", "jsut", "librivox"):
         mel = jnp.asarray(recon_np[-1])  # (n_mels, frames)
         wav = dsp.inv_mel_spectrogram(mel, cfg.audio, jax.random.PRNGKey(epoch))

@@ -167,7 +167,7 @@ class ModelConfig:
     prior_n_classes: int = 10
 
     def __post_init__(self):
-        if self.model not in ("vae", "vqvae"):
+        if self.model not in ("vae", "vqvae", "wavevqvae"):
             raise ValueError(f"invalid model: {self.model!r}")
 
 

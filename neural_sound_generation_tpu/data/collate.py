@@ -124,6 +124,20 @@ def collate_mel_batch(
     }
 
 
+def as_wave_batch(batch: Dict[str, np.ndarray], cfg: AudioConfig) -> Dict[str, np.ndarray]:
+    """Adapter for the raw-waveform family (WaveVQVAE): scalar input modes
+    feed (B, S, 1) floats; mulaw-quantize feeds the int targets directly
+    (the model embeds them)."""
+    if cfg.is_mulaw_quantize:
+        out = {"x": batch["y"].astype(np.int32)}
+    else:
+        out = {"x": batch["y"].astype(np.float32)[..., None]}
+    out["input_lengths"] = batch["input_lengths"]
+    if batch.get("g") is not None:
+        out["g"] = batch["g"]
+    return out
+
+
 def as_model_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Adapter: reference training feeds the mel ``c`` into the
     autoencoder as a 1-channel image (train.py:115: ``c.unsqueeze(1)``);

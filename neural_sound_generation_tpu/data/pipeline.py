@@ -17,7 +17,11 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from neural_sound_generation_tpu.config import Config
-from neural_sound_generation_tpu.data.collate import as_model_batch, collate_mel_batch
+from neural_sound_generation_tpu.data.collate import (
+    as_model_batch,
+    as_wave_batch,
+    collate_mel_batch,
+)
 from neural_sound_generation_tpu.data.sampler import (
     PartiallyRandomizedSimilarTimeLengthSampler,
     batched,
@@ -62,7 +66,7 @@ class MelFrameLoader:
         num_workers: int = 4,
         seed: int = 1234,
         shuffle: bool = True,
-        model_batches: bool = True,
+        batch_mode: str = "mel",  # mel | wave | raw
         drop_last: bool = True,
     ):
         self.dataset = dataset
@@ -73,7 +77,8 @@ class MelFrameLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.shuffle = shuffle
-        self.model_batches = model_batches
+        assert batch_mode in ("mel", "wave", "raw")
+        self.batch_mode = batch_mode
         self.drop_last = drop_last
         self._epoch = 0
 
@@ -123,8 +128,10 @@ class MelFrameLoader:
                             self.cfg.train.max_time_steps,
                             rng,
                         )
-                        if self.model_batches:
+                        if self.batch_mode == "mel":
                             out = as_model_batch(out)
+                        elif self.batch_mode == "wave":
+                            out = as_wave_batch(out, self.cfg.audio)
                         prefetch.put(out)
             finally:
                 prefetch.put(stop)
@@ -147,6 +154,7 @@ def get_audio_data_loaders(
     test_shuffle: bool = True,
     num_hosts: int = 1,
     host_id: int = 0,
+    batch_mode: str = "mel",
 ) -> Dict[str, MelFrameLoader]:
     """Train/test loader pair over a preprocessed corpus directory
     (get_audio_data_loaders surface, dataloader.py:441-493)."""
@@ -186,6 +194,7 @@ def get_audio_data_loaders(
             num_workers=cfg.data.num_workers,
             seed=cfg.data.random_state,
             shuffle=train or test_shuffle,
+            batch_mode=batch_mode,
             drop_last=train,
         )
         if train and x_src.multi_speaker:

@@ -1,0 +1,6 @@
+from neural_sound_generation_tpu.inference.audio import (  # noqa: F401
+    codes_to_audio,
+    extract_units,
+    reconstruct_audio,
+    sample_prior_audio,
+)

@@ -1,0 +1,95 @@
+"""Batched on-device inference: unit extraction, reconstruction, and
+prior-driven generation.
+
+Rebuilds the inference capabilities implied by the reference (SURVEY §7
+step 7): ``VQVAE.encode`` unit extraction (models.py:188-191),
+codes->audio decoding with Griffin-Lim mel inversion (main.py:183-197),
+and PixelCNN ancestral sampling feeding the decoder (models.py:327-341) —
+each as a single jitted batched program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.config import AudioConfig
+from neural_sound_generation_tpu.models import VQVAE, GatedPixelCNN
+from neural_sound_generation_tpu.models.pixelcnn import generate as pixelcnn_generate
+from neural_sound_generation_tpu.ops import dsp
+
+
+def extract_units(model: VQVAE, variables, mels: jnp.ndarray) -> jnp.ndarray:
+    """Mel batch (B, num_mels, frames, 1) -> discrete unit grid
+    (B, frames'/4, mels'/4) — the ZeroSpeech-style unit extraction."""
+
+    @jax.jit
+    def run(variables, mels):
+        return model.apply(variables, mels, train=False, method=VQVAE.encode)
+
+    return run(variables, mels)
+
+
+def reconstruct_audio(
+    model: VQVAE,
+    variables,
+    mels: jnp.ndarray,
+    cfg: AudioConfig,
+    key: jax.Array,
+    g: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mel batch -> (reconstructed mel batch, waveform batch)."""
+
+    @jax.jit
+    def recon(variables, mels, g):
+        x_tilde, _, _ = model.apply(variables, mels, train=False, g=g)
+        return x_tilde
+
+    x_tilde = recon(variables, mels, g)
+    mel_batch = x_tilde[..., 0]  # (B, num_mels, frames)
+    keys = jax.random.split(key, mel_batch.shape[0])
+    wavs = dsp.inv_mel_spectrogram_batch(mel_batch, cfg, keys)
+    return mel_batch, wavs
+
+
+def codes_to_audio(
+    model: VQVAE,
+    variables,
+    indices: jnp.ndarray,
+    cfg: AudioConfig,
+    key: jax.Array,
+    g: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Discrete code grids (B, H', W') -> waveforms via decoder +
+    Griffin-Lim."""
+
+    @jax.jit
+    def decode(variables, indices, g):
+        return model.apply(variables, indices, g, train=False, method=VQVAE.decode)
+
+    mel = decode(variables, indices, g)[..., 0]
+    keys = jax.random.split(key, mel.shape[0])
+    return dsp.inv_mel_spectrogram_batch(mel, cfg, keys)
+
+
+def sample_prior_audio(
+    model: VQVAE,
+    variables,
+    prior: GatedPixelCNN,
+    prior_variables,
+    labels: jnp.ndarray,
+    code_shape: Tuple[int, int],
+    cfg: AudioConfig,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full generative path: PixelCNN samples code grids -> decoder ->
+    Griffin-Lim. Returns (code grids, waveforms)."""
+    k1, k2 = jax.random.split(key)
+    codes = pixelcnn_generate(
+        prior, prior_variables, labels, k1,
+        shape=code_shape, batch_size=int(labels.shape[0]),
+    )
+    wavs = codes_to_audio(model, variables, codes, cfg, k2)
+    return codes, wavs

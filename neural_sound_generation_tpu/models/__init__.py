@@ -2,3 +2,4 @@ from neural_sound_generation_tpu.models.layers import ResBlock  # noqa: F401
 from neural_sound_generation_tpu.models.vae import VAE, DefaultVAE  # noqa: F401
 from neural_sound_generation_tpu.models.vqvae import VQVAE  # noqa: F401
 from neural_sound_generation_tpu.models.pixelcnn import GatedPixelCNN  # noqa: F401
+from neural_sound_generation_tpu.models.wavevqvae import WaveVQVAE  # noqa: F401

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from neural_sound_generation_tpu.config import Config
-from neural_sound_generation_tpu.models import VAE, VQVAE
+from neural_sound_generation_tpu.models import VAE, VQVAE, WaveVQVAE
 from neural_sound_generation_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
@@ -30,6 +30,7 @@ from neural_sound_generation_tpu.parallel.mesh import (
 from neural_sound_generation_tpu.training.losses import (
     codebook_perplexity,
     elbo_mse,
+    masked_cross_entropy,
     vqvae_loss,
 )
 from neural_sound_generation_tpu.training.train_state import TrainState
@@ -66,6 +67,40 @@ def _vae_loss_fn(model: VAE):
     return loss_fn
 
 
+def _wave_vqvae_loss_fn(model: WaveVQVAE, beta: float):
+    """3-term VQ loss for the waveform family: reconstruction is MSE for
+    scalar input and cross-entropy for mulaw-quantize (softmax output
+    convention, src/hparams.py:18-21)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        (out, z_e, z_q), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            train=True,
+            g=batch.get("g"),
+            mutable=["batch_stats"],
+        )
+        if model.categorical:
+            loss_recons = masked_cross_entropy(
+                out, batch["x"], batch.get("input_lengths")
+            )
+        else:
+            loss_recons = jnp.mean((out - batch["x"]) ** 2)
+        loss_vq = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+        loss_commit = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+        total = loss_recons + loss_vq + beta * loss_commit
+        metrics = {
+            "loss": total,
+            "loss_recons": loss_recons,
+            "loss_vq": loss_vq,
+            "loss_commit": loss_commit,
+            "train_loss": loss_recons + loss_vq,
+        }
+        return total, (metrics, mut["batch_stats"])
+
+    return loss_fn
+
+
 def make_train_step(
     model,
     cfg: Config,
@@ -75,7 +110,9 @@ def make_train_step(
     """One jitted optimization step. With ``mesh``, the batch is expected
     sharded over 'data' and the state replicated; XLA inserts the gradient
     all-reduce."""
-    if isinstance(model, VQVAE):
+    if isinstance(model, WaveVQVAE):
+        loss_fn = _wave_vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, VQVAE):
         loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VAE):
         loss_fn = _vae_loss_fn(model)
@@ -116,6 +153,23 @@ def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
     def eval_step(state: TrainState, batch):
         params = state.eval_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
+        if isinstance(model, WaveVQVAE):
+            out, z_e, z_q = model.apply(
+                variables, batch["x"], train=False, g=batch.get("g")
+            )
+            if model.categorical:
+                loss_recons = masked_cross_entropy(
+                    out, batch["x"], batch.get("input_lengths")
+                )
+            else:
+                loss_recons = jnp.mean((out - batch["x"]) ** 2)
+            loss_vq = jnp.mean((z_q - z_e) ** 2)
+            metrics = {"loss": loss_recons + loss_vq, "loss_recons": loss_recons}
+            indices = model.apply(
+                variables, batch["x"], train=False, method=WaveVQVAE.encode
+            )
+            metrics["perplexity"] = codebook_perplexity(indices, model.z_dim)
+            return out, metrics
         if isinstance(model, VQVAE):
             x_tilde, z_e, z_q = model.apply(
                 variables, batch["x"], train=False, g=batch.get("g")

@@ -143,3 +143,21 @@ def test_train_cli_mnist_vqvae(tmp_path):
         "--dim", "8", "--z-dim", "16",
     ])
     assert (tmp_path / "models" / "vqvae" / "checkpoint_MNIST_8_16").exists()
+
+
+def test_train_cli_wavevqvae(tmp_path):
+    """BASELINE config #3: mu-law raw-waveform VQ-VAE via the CLI."""
+    in_dir = _make_ljspeech(tmp_path / "in", n=6)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "wavevqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "16", "--z-dim", "32",
+        "--max-batches-per-epoch", "2",
+    ])
+    arts = os.listdir(tmp_path / "results" / "ljspeech")
+    assert any(a.startswith("audio_recon_wavevqvae") for a in arts)
