@@ -1,0 +1,134 @@
+"""Motion-stack CLI: capture / analyze / generate.
+
+Reference surfaces rebuilt:
+  * ``capture`` — record joint-angle rows to CSV
+    (src/MotionDataCollection2csv.py writes ./result/hand_rest.csv);
+    here the synthetic C++ hand is the frame source.
+  * ``analyze`` — fit PCA on a recorded CSV and print the explained
+    projection (src/MotionDataAnalysis.py + src/pca.py demo).
+  * ``generate`` — replay a CSV through PCA into a feature-conditioned
+    decoder and write audio (the loop src/inference.py intended,
+    BASELINE config #5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Motion-conditioning tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    cap = sub.add_parser("capture", help="record synthetic hand motion to CSV")
+    cap.add_argument("output_csv")
+    cap.add_argument("--frames", type=int, default=600)
+    cap.add_argument("--seed", type=int, default=0)
+
+    ana = sub.add_parser("analyze", help="fit PCA on a joint-angle CSV")
+    ana.add_argument("input_csv")
+    ana.add_argument("--components", type=int, default=3)
+
+    gen = sub.add_parser("generate", help="replay CSV -> decoder -> wav")
+    gen.add_argument("input_csv")
+    gen.add_argument("output_wav")
+    gen.add_argument("--ckpt-dir", default=None,
+                     help="trained VQ-VAE checkpoint dir (optional; "
+                          "untrained weights are used if omitted)")
+    gen.add_argument("--dim", type=int, default=64)
+    gen.add_argument("--z-dim", type=int, default=128)
+    gen.add_argument("--components", type=int, default=3)
+    gen.add_argument("--window", type=int, default=16)
+    gen.add_argument("--max-windows", type=int, default=8)
+    gen.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def cmd_capture(args):
+    from neural_sound_generation_tpu.motion import synthetic_controller
+
+    ctrl = synthetic_controller(seed=args.seed, n_frames=args.frames)
+    try:
+        got = ctrl.record_csv(args.output_csv, args.frames)
+    finally:
+        ctrl.close()
+    print(f"recorded {got} frames -> {args.output_csv}")
+
+
+def cmd_analyze(args):
+    from neural_sound_generation_tpu.motion.pca import load_pca
+
+    proj = load_pca(args.input_csv, args.components)
+    data = np.genfromtxt(args.input_csv, delimiter=",")
+    latents = proj.project(data)
+    print(f"{data.shape[0]} frames x {data.shape[1]} features "
+          f"-> {latents.shape[1]} components")
+    print("per-component latent std:", np.round(latents.std(axis=0), 4).tolist())
+
+
+def cmd_generate(args):
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.motion import replay_controller
+    from neural_sound_generation_tpu.motion.inference import MotionDrivenGenerator
+    from neural_sound_generation_tpu.motion.pca import load_pca
+    from neural_sound_generation_tpu.ops import dsp
+    from neural_sound_generation_tpu.training import checkpoint, create_train_state
+
+    cfg = Config()
+    projector = load_pca(args.input_csv, args.components)
+    model = VQVAE(
+        input_dim=1, dim=args.dim, z_dim=args.z_dim,
+        cond_features=args.components,
+    )
+    latent_hw = (cfg.audio.num_mels // 4, args.window // 4)
+    sample = jnp.zeros((1, cfg.audio.num_mels, args.window, 1))
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), sample, train=False,
+        features=jnp.zeros((1, args.components)),
+    )
+    if args.ckpt_dir:
+        state = create_train_state(variables, cfg.train)
+        restored, _ = checkpoint.restore(args.ckpt_dir, state)
+        variables = {
+            "params": restored.params, "batch_stats": restored.batch_stats,
+        }
+
+    gen = MotionDrivenGenerator(model, variables, projector, cfg.audio, latent_hw)
+    ctrl = replay_controller(args.input_csv)
+    mels = []
+    try:
+        for latents, mel in gen.run_stream(
+            ctrl, window=args.window, max_windows=args.max_windows
+        ):
+            mels.append(mel)
+    finally:
+        ctrl.close()
+    if not mels:
+        print("no frames in recording")
+        return
+    # each window yields one (num_mels, frames) mel; concatenate along time
+    mel_full = np.concatenate(mels, axis=-1)
+    wav = dsp.inv_mel_spectrogram(
+        jnp.asarray(mel_full), cfg.audio, jax.random.PRNGKey(args.seed)
+    )
+    dsp.save_wav(np.asarray(wav), args.output_wav, cfg.audio.sample_rate)
+    print(f"generated {len(mels)} windows -> {args.output_wav}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    {"capture": cmd_capture, "analyze": cmd_analyze, "generate": cmd_generate}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
