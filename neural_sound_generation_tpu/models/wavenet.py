@@ -1,0 +1,354 @@
+"""WaveNet vocoder: gated dilated causal convolutions over samples.
+
+The reference's entire "vocoder" configuration surface points at a WaveNet
+(``builder="wavenet"``, layers=24, stacks=4, residual/gate 512, skip 256,
+kernel 3, MoL out_channels=10*3, upsample_scales [4,4,4,4], cin/gin
+conditioning — src/hparams.py:52-84) but ships no implementation; the
+model itself lives in an external submodule that is empty on disk
+(SURVEY §0). This module provides the real thing, TPU-first:
+
+  * Training is fully parallel teacher forcing: every dilated conv is one
+    XLA conv op over the whole utterance (NWC layout) with causal padding
+    — no sequential work at train time.
+  * Mel conditioning is upsampled to sample rate by a stack of transposed
+    convs with the configured scales (prod(scales) == hop_size).
+  * Output heads: mixture-of-logistics for scalar input (paired with
+    ``training.losses.discretized_mix_logistic_loss``) or categorical
+    softmax for mulaw-quantize.
+  * Generation is a single ``lax.scan`` over time steps with per-layer
+    rolling dilation buffers (fast-WaveNet queues) — compiled once, no
+    Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.models.layers import conv_kernel_init
+
+
+def _dilations(layers: int, stacks: int) -> Sequence[int]:
+    """Dilation schedule: doubling within each stack (hparams layers=24,
+    stacks=4 -> 4 cycles of [1, 2, 4, 8, 16, 32])."""
+    per_stack = layers // stacks
+    return [2 ** (i % per_stack) for i in range(layers)]
+
+
+class ConditionUpsampler(nn.Module):
+    """Mel frames (B, T', C) -> per-sample conditioning (B, T'*prod, C)
+    via transposed convs (upsample_conditional_features,
+    src/hparams.py:73-78)."""
+
+    scales: Tuple[int, ...] = (4, 4, 4, 4)
+    channels: int = 80
+    freq_kernel: int = 3
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        for s in self.scales:
+            c = nn.ConvTranspose(
+                self.channels,
+                (2 * s,),
+                strides=(s,),
+                padding="SAME",
+                kernel_init=conv_kernel_init,
+            )(c)
+            c = nn.leaky_relu(c, 0.4)
+        return c
+
+
+class WaveNet(nn.Module):
+    """Configuration mirrors the reference hparams block
+    (src/hparams.py:52-84)."""
+
+    out_channels: int = 30  # 10 mixtures x 3, or quantize_channels
+    layers: int = 24
+    stacks: int = 4
+    residual_channels: int = 128
+    gate_channels: int = 128
+    skip_out_channels: int = 128
+    kernel_size: int = 3
+    cin_channels: int = 80  # -1 disables local conditioning
+    gin_channels: int = -1
+    n_speakers: int = 7
+    upsample_scales: Tuple[int, ...] = (4, 4, 4, 4)
+    scalar_input: bool = True  # raw/mulaw in [-1,1]; else one-hot ints
+    quantize_channels: int = 256
+
+    def setup(self):
+        self.first_conv = nn.Conv(
+            self.residual_channels, (1,), kernel_init=conv_kernel_init,
+            name="first_conv",
+        )
+        if not self.scalar_input:
+            self.input_embed = nn.Embed(
+                self.quantize_channels, self.residual_channels
+            )
+        dil = _dilations(self.layers, self.stacks)
+        self.dilation_rates = tuple(dil)
+        self.dilated_convs = [
+            nn.Conv(
+                self.gate_channels,
+                (self.kernel_size,),
+                kernel_dilation=(d,),
+                padding=(((self.kernel_size - 1) * d, 0),),  # causal
+                kernel_init=conv_kernel_init,
+                name=f"dilated_{i}",
+            )
+            for i, d in enumerate(dil)
+        ]
+        self.res_convs = [
+            nn.Conv(self.residual_channels, (1,), kernel_init=conv_kernel_init,
+                    name=f"res_{i}")
+            for i in range(self.layers)
+        ]
+        self.skip_convs = [
+            nn.Conv(self.skip_out_channels, (1,), kernel_init=conv_kernel_init,
+                    name=f"skip_{i}")
+            for i in range(self.layers)
+        ]
+        if self.cin_channels > 0:
+            self.upsampler = ConditionUpsampler(
+                self.upsample_scales, self.cin_channels
+            )
+            self.cond_convs = [
+                nn.Conv(self.gate_channels, (1,), use_bias=False,
+                        kernel_init=conv_kernel_init, name=f"cond_{i}")
+                for i in range(self.layers)
+            ]
+        if self.gin_channels > 0:
+            self.speaker_embed = nn.Embed(self.n_speakers, self.gin_channels)
+            self.g_convs = [
+                nn.Conv(self.gate_channels, (1,), use_bias=False,
+                        kernel_init=conv_kernel_init, name=f"g_{i}")
+                for i in range(self.layers)
+            ]
+        self.post1 = nn.Conv(self.skip_out_channels, (1,),
+                             kernel_init=conv_kernel_init, name="post1")
+        self.post2 = nn.Conv(self.out_channels, (1,),
+                             kernel_init=conv_kernel_init, name="post2")
+
+    def _embed(self, x):
+        if self.scalar_input:
+            return self.first_conv(x)  # (B, T, 1) -> (B, T, R)
+        return self.first_conv(self.input_embed(x))  # ints -> (B, T, R)
+
+    def _gate(self, z, c_l, g_l):
+        if c_l is not None:
+            z = z + c_l
+        if g_l is not None:
+            z = z + g_l
+        a, b = jnp.split(z, 2, axis=-1)
+        return jnp.tanh(a) * jax.nn.sigmoid(b)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        c: Optional[jnp.ndarray] = None,
+        g: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward.
+
+        x: inputs at t (the caller shifts targets; see ``shift_inputs``),
+        (B, T, 1) floats or (B, T) ints. c: mel (B, T', cin). g: (B,) ints.
+        Returns (B, T, out_channels) predictions for each t.
+        """
+        h = self._embed(x)
+        c_up = None
+        if c is not None and self.cin_channels > 0:
+            c_up = self.upsampler(c)
+            c_up = c_up[:, : h.shape[1], :]
+        g_emb = None
+        if g is not None and self.gin_channels > 0:
+            g_emb = self.speaker_embed(g)[:, None, :]  # (B, 1, gin)
+
+        skips = 0.0
+        for i in range(self.layers):
+            z = self.dilated_convs[i](h)
+            c_l = self.cond_convs[i](c_up) if c_up is not None else None
+            g_l = self.g_convs[i](g_emb) if g_emb is not None else None
+            gated = self._gate(z, c_l, g_l)
+            skips = skips + self.skip_convs[i](gated)
+            h = h + self.res_convs[i](gated)
+
+        out = nn.relu(skips)
+        out = nn.relu(self.post1(out))
+        return self.post2(out)
+
+    @staticmethod
+    def shift_inputs(targets: jnp.ndarray, scalar: bool) -> jnp.ndarray:
+        """Teacher forcing: input at step t is the target at t-1."""
+        if scalar:
+            return jnp.pad(targets[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        return jnp.pad(targets[:, :-1], ((0, 0), (1, 0)))
+
+
+def _step_core(model: WaveNet, params, receptive):
+    """Single-timestep network evaluation with rolling dilation buffers.
+
+    Returns step(h_in, buffers, c_t, g_emb) -> (logits, new_buffers) where
+    h_in is the embedded current input (B, R)."""
+    import jax
+    import jax.numpy as jnp
+
+    K = model.kernel_size
+
+    def conv_w(name):
+        return params[name]["kernel"], params[name].get("bias")
+
+    def dense(name, x):
+        w, b = conv_w(name)
+        y = jnp.einsum("bc,kco->bo", x, w) if w.ndim == 3 else x @ w
+        return y + b if b is not None else y
+
+    def step(h, buffers, c_t, g_emb):
+        skips = 0.0
+        new_buffers = []
+        for i in range(model.layers):
+            buf = buffers[i]  # (B, receptive_i, R)
+            w, b = conv_w(f"dilated_{i}")  # (K, R, gate)
+            d = max(receptive[i] // (K - 1), 1)
+            z = h @ w[K - 1]
+            for j in range(K - 1):
+                tap = buf[:, buf.shape[1] - d * (K - 1 - j), :]
+                z = z + tap @ w[j]
+            z = z + b
+            if c_t is not None:
+                wc, _ = conv_w(f"cond_{i}")
+                z = z + c_t @ wc[0]
+            if g_emb is not None:
+                wg, _ = conv_w(f"g_{i}")
+                z = z + g_emb @ wg[0]
+            a_, b_ = jnp.split(z, 2, axis=-1)
+            gated = jnp.tanh(a_) * jax.nn.sigmoid(b_)
+            skips = skips + dense(f"skip_{i}", gated)
+            new_h = h + dense(f"res_{i}", gated)
+            buf = jnp.concatenate([buf[:, 1:, :], h[:, None, :]], axis=1)
+            new_buffers.append(buf)
+            h = new_h
+        out = jax.nn.relu(skips)
+        out = jax.nn.relu(dense("post1", out))
+        return dense("post2", out), tuple(new_buffers)
+
+    return step
+
+
+def _embed_one(model: WaveNet, params, x_t):
+    """Embed one input sample (B, 1) float / (B,) int -> (B, R)."""
+    w = params["first_conv"]["kernel"]
+    b = params["first_conv"]["bias"]
+    if model.scalar_input:
+        return x_t @ w[0] + b
+    emb = params["input_embed"]["embedding"][x_t]
+    return emb @ w[0] + b
+
+
+def _init_buffers(model: WaveNet, receptive, batch_size: int):
+    import jax.numpy as jnp
+
+    return tuple(
+        jnp.zeros((batch_size, max(r, 1), model.residual_channels))
+        for r in receptive
+    )
+
+
+def _upsample_cond(model: WaveNet, variables, c):
+    if c is None or model.cin_channels <= 0:
+        return None
+    return model.apply(variables, c, method=lambda m, c_: m.upsampler(c_))
+
+
+def _embed_speaker(model: WaveNet, variables, g):
+    if g is None or model.gin_channels <= 0:
+        return None
+    return model.apply(variables, g, method=lambda m, g_: m.speaker_embed(g_))
+
+
+def incremental_forward(model: WaveNet, variables, x, c=None, g=None):
+    """Teacher-forced evaluation through the *incremental* buffered path.
+
+    Must produce logits identical to ``model.apply(variables, x, c, g)``
+    — the equivalence test for the fast-generation queues. x: (B, T, 1)
+    floats or (B, T) ints.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    receptive = [
+        (model.kernel_size - 1) * d
+        for d in _dilations(model.layers, model.stacks)
+    ]
+    params = variables["params"]
+    step_core = _step_core(model, params, receptive)
+    c_up = _upsample_cond(model, variables, c)
+    g_emb = _embed_speaker(model, variables, g)
+    batch = x.shape[0]
+
+    def step(carry, t):
+        buffers = carry
+        x_t = x[:, t] if model.scalar_input else x[:, t]
+        h = _embed_one(model, params, x_t)
+        c_t = c_up[:, t, :] if c_up is not None else None
+        logits, buffers = step_core(h, buffers, c_t, g_emb)
+        return buffers, logits
+
+    _, logits = jax.lax.scan(
+        step, _init_buffers(model, receptive, batch), jnp.arange(x.shape[1])
+    )
+    return jnp.transpose(logits, (1, 0, 2))  # (B, T, out)
+
+
+def make_generate_fn(model: WaveNet, length: int):
+    """Build a jitted ancestral sampler: generate(variables, c, g, key,
+    batch_size) -> (B, length) samples (floats for scalar output via MoL
+    sampling; ints for categorical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.training.losses import (
+        sample_from_discretized_mix_logistic,
+    )
+
+    receptive = [
+        (model.kernel_size - 1) * d
+        for d in _dilations(model.layers, model.stacks)
+    ]
+
+    def generate(variables, c, g, key, batch_size=1):
+        params = variables["params"]
+        step_core = _step_core(model, params, receptive)
+        c_up = _upsample_cond(model, variables, c)
+        g_emb = _embed_speaker(model, variables, g)
+
+        def step(carry, t):
+            prev, buffers, key = carry
+            h = _embed_one(model, params, prev)
+            c_t = c_up[:, t, :] if c_up is not None else None
+            logits, buffers = step_core(h, buffers, c_t, g_emb)
+            key, sub = jax.random.split(key)
+            if model.scalar_input:
+                sample = sample_from_discretized_mix_logistic(logits, sub)
+                nxt = sample[:, None]
+                out = sample
+            else:
+                out = jax.random.categorical(sub, logits, axis=-1)
+                nxt = out
+            return (nxt, buffers, key), out
+
+        init = (
+            jnp.zeros((batch_size, 1))
+            if model.scalar_input
+            else jnp.zeros((batch_size,), jnp.int32)
+        )
+        (_, _, _), samples = jax.lax.scan(
+            step,
+            (init, _init_buffers(model, receptive, batch_size), key),
+            jnp.arange(length),
+        )
+        return samples.T if samples.ndim == 2 else jnp.swapaxes(samples, 0, 1)
+
+    return jax.jit(generate, static_argnames=("batch_size",))

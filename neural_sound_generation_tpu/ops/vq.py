@@ -24,8 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
-def _nearest_indices(inputs_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
-    """Argmin_k ||x - e_k||^2 for (N, D) inputs and (K, D) codebook."""
+# "auto": fused Pallas kernel on TPU when shapes allow, XLA otherwise.
+_VQ_BACKEND = "auto"  # auto | xla | pallas
+
+
+def set_vq_backend(backend: str) -> None:
+    """Select the nearest-codebook implementation (auto | xla | pallas)."""
+    global _VQ_BACKEND
+    assert backend in ("auto", "xla", "pallas")
+    _VQ_BACKEND = backend
+
+
+def _nearest_indices_xla(inputs_flat: jnp.ndarray, codebook: jnp.ndarray):
     codebook_sqr = jnp.sum(codebook**2, axis=1)  # (K,)
     inputs_sqr = jnp.sum(inputs_flat**2, axis=1, keepdims=True)  # (N, 1)
     # (N, K) distances; the -2 x e^T term is the MXU matmul.
@@ -36,6 +46,26 @@ def _nearest_indices(inputs_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.nda
         * jnp.dot(inputs_flat, codebook.T, preferred_element_type=jnp.float32)
     )
     return jnp.argmin(distances, axis=1).astype(jnp.int32)
+
+
+def _nearest_indices(inputs_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Argmin_k ||x - e_k||^2 for (N, D) inputs and (K, D) codebook."""
+    n, d = inputs_flat.shape
+    k = codebook.shape[0]
+    use_pallas = _VQ_BACKEND == "pallas"
+    if _VQ_BACKEND == "auto" and jax.default_backend() == "tpu":
+        from neural_sound_generation_tpu.ops.pallas.vq_kernel import pallas_supported
+
+        use_pallas = pallas_supported(n, d, k)
+    if use_pallas:
+        from neural_sound_generation_tpu.ops.pallas.vq_kernel import (
+            nearest_codebook_indices,
+        )
+
+        return nearest_codebook_indices(
+            inputs_flat, codebook, interpret=jax.default_backend() != "tpu"
+        )
+    return _nearest_indices_xla(inputs_flat, codebook)
 
 
 def vq(inputs: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,195 @@
+"""utils/ subpackage tests (util.py parity) + prior CLI end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neural_sound_generation_tpu.utils import (
+    NoiseInjection,
+    StepTimer,
+    augment_audio,
+    change_gain,
+    change_tempo,
+    project_codebook_2d,
+    trace_context,
+    visualize_embedding,
+)
+from neural_sound_generation_tpu.utils.spectrogram_dataset import (
+    SpectrogramDataset,
+    SpectrogramParser,
+)
+
+
+def _tone(n=22050, f=440.0, sr=22050):
+    t = np.arange(n) / sr
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+# ------------------------------------------------------------------ augment
+
+
+def test_change_tempo_length():
+    wav = _tone()
+    fast = change_tempo(wav, 1.25)
+    slow = change_tempo(wav, 0.8)
+    assert abs(len(fast) - len(wav) / 1.25) < 100
+    assert abs(len(slow) - len(wav) / 0.8) < 100
+    assert np.array_equal(change_tempo(wav, 1.0), wav)
+
+
+def test_change_gain_db():
+    wav = _tone()
+    louder = change_gain(wav, 6.0)
+    np.testing.assert_allclose(
+        np.abs(louder).max() / np.abs(wav).max(), 10 ** (6 / 20), rtol=1e-5
+    )
+
+
+def test_augment_deterministic_under_seed():
+    wav = _tone()
+    a = augment_audio(wav, np.random.default_rng(5))
+    b = augment_audio(wav, np.random.default_rng(5))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_noise_injection_snr():
+    wav = _tone()
+    noise = np.random.default_rng(0).standard_normal(30000).astype(np.float32) * 0.1
+    inj = NoiseInjection(noises=[noise], noise_levels=(0.25, 0.25))
+    out = inj.inject(wav, np.random.default_rng(1))
+    assert out.shape == wav.shape
+    added = out - wav
+    ratio = np.sum(added**2) / np.sum(wav**2)
+    np.testing.assert_allclose(ratio, 0.25, rtol=0.05)
+
+
+def test_noise_injection_requires_sources():
+    with pytest.raises(ValueError):
+        NoiseInjection(noises=[])
+
+
+# ---------------------------------------------------------------- visualize
+
+
+def test_project_codebook_2d(rng):
+    cb = rng.standard_normal((64, 16))
+    coords = project_codebook_2d(cb)
+    assert coords.shape == (64, 2)
+
+
+def test_visualize_embedding_writes_png(tmp_path, rng):
+    cb = rng.standard_normal((32, 8))
+    path = str(tmp_path / "codebook.png")
+    coords = visualize_embedding(cb, path)
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+    assert coords.shape == (32, 2)
+
+
+# ---------------------------------------------------------------- profiling
+
+
+def test_step_timer():
+    import time
+
+    timer = StepTimer()
+    for _ in range(5):
+        with timer.step():
+            time.sleep(0.002)
+    s = timer.summary()
+    assert s["steps"] == 4  # first skipped
+    assert s["mean_s"] >= 0.002
+    assert s["steps_per_sec"] > 0
+
+
+def test_trace_context_annotation_only():
+    with trace_context(None, "unit"):
+        x = 1 + 1
+    assert x == 2
+
+
+def test_trace_context_with_logdir(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    with trace_context(str(tmp_path / "trace"), "unit"):
+        jnp.sum(jnp.ones(16)).block_until_ready()
+    # profiler wrote something
+    assert any(os.scandir(tmp_path / "trace"))
+
+
+# ------------------------------------------------------ spectrogram dataset
+
+
+def test_spectrogram_parser(tmp_path):
+    from neural_sound_generation_tpu.ops import dsp
+
+    wav = _tone(sr=16000, n=16000)
+    path = str(tmp_path / "a.wav")
+    dsp.save_wav(wav, path, 16000)
+    parser = SpectrogramParser(sample_rate=16000)
+    spect = parser.parse_audio(path)
+    assert spect.shape[0] == parser.n_fft // 2 + 1
+    # normalized
+    assert abs(spect.mean()) < 1e-5
+    np.testing.assert_allclose(spect.std(), 1.0, rtol=1e-3)
+
+
+def test_spectrogram_dataset(tmp_path):
+    from neural_sound_generation_tpu.ops import dsp
+
+    wav_path = str(tmp_path / "a.wav")
+    txt_path = str(tmp_path / "a.txt")
+    dsp.save_wav(_tone(sr=16000, n=8000), wav_path, 16000)
+    with open(txt_path, "w") as f:
+        f.write("abc ba")
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w") as f:
+        f.write(f"{wav_path},{txt_path}\n")
+    ds = SpectrogramDataset(manifest, labels="_abc ")
+    assert len(ds) == 1
+    spect, transcript = ds[0]
+    assert spect.ndim == 2
+    assert transcript == [1, 2, 3, 4, 2, 1]
+
+
+# ---------------------------------------------------------------- prior CLI
+
+
+def test_prior_cli_train_and_sample(tmp_path):
+    """Full prior pipeline: preprocess -> train VQ-VAE -> train PixelCNN
+    prior on extracted codes -> ancestral-sample audio."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    vq_ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+
+    prior_ckpt = str(tmp_path / "prior")
+    prior_cli.main([
+        "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+        "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+        "--prior-dim", "8", "--prior-layers", "2",
+        "--batch-size", "2", "--epochs", "1", "--max-batches-per-epoch", "2",
+    ])
+
+    sample_dir = str(tmp_path / "prior_samples")
+    prior_cli.main([
+        "sample", "--vqvae-ckpt", vq_ckpt, "--prior-ckpt", prior_ckpt,
+        "--output-dir", sample_dir, "--dim", "8", "--z-dim", "16",
+        "--prior-dim", "8", "--prior-layers", "2",
+        "--code-shape", "20", "7", "--num-samples", "2",
+    ])
+    wavs = [f for f in os.listdir(sample_dir) if f.endswith(".wav")]
+    assert len(wavs) == 2

@@ -154,3 +154,46 @@ def test_vq_st_jit_and_vmap(rng):
     codes, idx = jax.jit(vq_st)(jnp.asarray(x), jnp.asarray(cb))
     assert codes.shape == x.shape
     assert idx.shape == (4 * 10,)
+
+
+def test_pallas_kernel_matches_xla_interpret(rng):
+    """Fused Pallas kernel (interpreter mode on CPU) vs XLA expansion."""
+    from neural_sound_generation_tpu.ops.pallas.vq_kernel import (
+        nearest_codebook_indices,
+        pallas_supported,
+    )
+    from neural_sound_generation_tpu.ops.vq import _nearest_indices_xla
+
+    x = rng.standard_normal((700, 128)).astype(np.float32)  # non-tile-multiple N
+    cb = rng.standard_normal((256, 128)).astype(np.float32)
+    assert pallas_supported(700, 128, 256)
+    got = np.asarray(
+        nearest_codebook_indices(jnp.asarray(x), jnp.asarray(cb), interpret=True)
+    )
+    ref = np.asarray(_nearest_indices_xla(jnp.asarray(x), jnp.asarray(cb)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_backend_switch(rng):
+    import importlib
+
+    # ops.vq the *module* (the `vq` function shadows it as an attribute)
+    vq_mod = importlib.import_module("neural_sound_generation_tpu.ops.vq")
+
+    x = rng.standard_normal((256, 128)).astype(np.float32)
+    cb = rng.standard_normal((128, 128)).astype(np.float32)
+    ref = np.asarray(vq_mod.vq(jnp.asarray(x), jnp.asarray(cb)))
+    vq_mod.set_vq_backend("pallas")
+    try:
+        got = np.asarray(vq_mod.vq(jnp.asarray(x), jnp.asarray(cb)))
+    finally:
+        vq_mod.set_vq_backend("auto")
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_supported_constraints():
+    from neural_sound_generation_tpu.ops.pallas.vq_kernel import pallas_supported
+
+    assert pallas_supported(1000, 256, 512)
+    assert not pallas_supported(1000, 100, 512)  # D not lane-aligned
+    assert not pallas_supported(1000, 256, 500)  # K not lane-aligned

@@ -1,0 +1,168 @@
+"""WaveNet vocoder tests: shapes, causality, conditioning, MoL training,
+and the incremental-buffer == parallel-conv equivalence that validates the
+fast generation path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neural_sound_generation_tpu.models.wavenet import (
+    ConditionUpsampler,
+    WaveNet,
+    incremental_forward,
+    make_generate_fn,
+    _dilations,
+)
+from neural_sound_generation_tpu.training.losses import (
+    discretized_mix_logistic_loss,
+)
+
+TINY = dict(
+    out_channels=12,  # 4 mixtures x 3
+    layers=4,
+    stacks=2,
+    residual_channels=8,
+    gate_channels=8,
+    skip_out_channels=8,
+    kernel_size=3,
+    cin_channels=-1,
+    gin_channels=-1,
+)
+
+
+def test_dilation_schedule():
+    assert list(_dilations(24, 4)) == [1, 2, 4, 8, 16, 32] * 4
+    assert list(_dilations(4, 2)) == [1, 2, 1, 2]
+
+
+def test_upsampler_rate():
+    up = ConditionUpsampler(scales=(4, 4), channels=8)
+    c = jnp.zeros((2, 10, 8))
+    v = up.init(jax.random.PRNGKey(0), c)
+    out = up.apply(v, c)
+    assert out.shape == (2, 160, 8)
+
+
+def test_forward_shapes(rng):
+    model = WaveNet(**TINY)
+    x = jnp.asarray(rng.standard_normal((2, 64, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (2, 64, 12)
+
+
+def test_causality(rng):
+    """Output at t must not depend on inputs after t."""
+    model = WaveNet(**TINY)
+    x = jnp.asarray(rng.standard_normal((1, 64, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(model.apply(v, x))
+    x2 = x.at[0, 40, 0].add(10.0)
+    pert = np.asarray(model.apply(v, x2))
+    np.testing.assert_allclose(pert[0, :40], base[0, :40], atol=1e-5)
+    assert not np.allclose(pert[0, 40:], base[0, 40:])
+
+
+def test_conditioning_paths(rng):
+    model = WaveNet(**{**TINY, "cin_channels": 8, "gin_channels": 4,
+                       "n_speakers": 3, "upsample_scales": (4, 4)})
+    x = jnp.asarray(rng.standard_normal((2, 64, 1)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 4, 8)).astype(np.float32))
+    g = jnp.asarray([0, 2], jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x, c, g)
+    y1 = model.apply(v, x, c, g)
+    y2 = model.apply(v, x, c, jnp.asarray([1, 1], jnp.int32))
+    y3 = model.apply(v, x, c * 2.0, g)
+    assert y1.shape == (2, 64, 12)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+def test_incremental_matches_parallel(rng):
+    """The rolling-buffer step must reproduce the parallel causal convs
+    exactly — the correctness proof of fast generation."""
+    model = WaveNet(**TINY)
+    x = jnp.asarray(rng.standard_normal((2, 48, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    parallel = np.asarray(model.apply(v, x))
+    incremental = np.asarray(incremental_forward(model, v, x))
+    np.testing.assert_allclose(incremental, parallel, atol=1e-4)
+
+
+def test_incremental_matches_parallel_with_conditioning(rng):
+    model = WaveNet(**{**TINY, "cin_channels": 8, "gin_channels": 4,
+                       "n_speakers": 3, "upsample_scales": (4, 4)})
+    x = jnp.asarray(rng.standard_normal((2, 32, 1)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((2, 2, 8)).astype(np.float32))
+    g = jnp.asarray([0, 1], jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x, c, g)
+    parallel = np.asarray(model.apply(v, x, c, g))
+    incremental = np.asarray(incremental_forward(model, v, x, c, g))
+    np.testing.assert_allclose(incremental, parallel, atol=1e-4)
+
+
+def test_categorical_variant(rng):
+    model = WaveNet(**{**TINY, "scalar_input": False, "out_channels": 32,
+                       "quantize_channels": 32})
+    x = jnp.asarray(rng.integers(0, 32, (2, 48)), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (2, 48, 32)
+    inc = np.asarray(incremental_forward(model, v, x))
+    np.testing.assert_allclose(inc, np.asarray(y), atol=1e-4)
+
+
+def test_mol_training_reduces_loss(rng):
+    model = WaveNet(**TINY)
+    targets = jnp.asarray(
+        (0.5 * np.sin(np.linspace(0, 20, 128))).astype(np.float32)
+    ).reshape(1, 128, 1)
+    x = WaveNet.shift_inputs(targets, scalar=True)
+    v = model.init(jax.random.PRNGKey(0), x)
+    tx = optax.adam(1e-3)
+    opt = tx.init(v)
+
+    @jax.jit
+    def step(v, opt):
+        def loss_fn(v):
+            y = model.apply(v, x)
+            return discretized_mix_logistic_loss(y, targets, num_classes=256)
+
+        loss, grads = jax.value_and_grad(loss_fn)(v)
+        updates, opt = tx.update(grads, opt, v)
+        return optax.apply_updates(v, updates), opt, loss
+
+    losses = []
+    for _ in range(40):
+        v, opt, loss = step(v, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses[-1])
+
+
+def test_generate_runs_and_is_deterministic(rng):
+    model = WaveNet(**TINY)
+    x = jnp.asarray(rng.standard_normal((1, 16, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    gen = make_generate_fn(model, length=32)
+    a = np.asarray(gen(v, None, None, jax.random.PRNGKey(1), batch_size=2))
+    b = np.asarray(gen(v, None, None, jax.random.PRNGKey(1), batch_size=2))
+    c = np.asarray(gen(v, None, None, jax.random.PRNGKey(2), batch_size=2))
+    assert a.shape == (2, 32)
+    assert np.abs(a).max() <= 1.0
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_generate_categorical(rng):
+    model = WaveNet(**{**TINY, "scalar_input": False, "out_channels": 32,
+                       "quantize_channels": 32})
+    x = jnp.asarray(rng.integers(0, 32, (1, 16)), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    gen = make_generate_fn(model, length=24)
+    out = np.asarray(gen(v, None, None, jax.random.PRNGKey(0), batch_size=2))
+    assert out.shape == (2, 24)
+    assert out.min() >= 0 and out.max() < 32
