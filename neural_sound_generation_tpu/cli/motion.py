@@ -34,6 +34,16 @@ def parse_args(argv=None):
     ana.add_argument("input_csv")
     ana.add_argument("--components", type=int, default=3)
 
+    wat = sub.add_parser(
+        "watch",
+        help="print streamed frames to the console (the Read.py/Read.cpp "
+             "sample-app capability, src/Read.cpp:56)",
+    )
+    wat.add_argument("--csv", default=None, help="replay this CSV; default: synthetic")
+    wat.add_argument("--frames", type=int, default=20)
+    wat.add_argument("--fps", type=float, default=120.0)
+    wat.add_argument("--seed", type=int, default=0)
+
     gen = sub.add_parser("generate", help="replay CSV -> decoder -> wav")
     gen.add_argument("input_csv")
     gen.add_argument("output_wav")
@@ -69,6 +79,44 @@ def cmd_analyze(args):
     print(f"{data.shape[0]} frames x {data.shape[1]} features "
           f"-> {latents.shape[1]} components")
     print("per-component latent std:", np.round(latents.std(axis=0), 4).tolist())
+
+
+def cmd_watch(args):
+    """Stream frames through the listener-callback path and print them —
+    the console sample app (src/Read.py:17-172 twin)."""
+    import threading
+
+    from neural_sound_generation_tpu.motion import (
+        replay_controller,
+        synthetic_controller,
+    )
+
+    ctrl = (
+        replay_controller(args.csv, fps=args.fps)
+        if args.csv
+        else synthetic_controller(seed=args.seed, fps=args.fps,
+                                  n_frames=args.frames)
+    )
+    done = threading.Event()
+    count = [0]
+
+    def on_frame(feats):
+        count[0] += 1
+        print(
+            f"frame {count[0]}: pitch={feats[0]:+.3f} roll={feats[1]:+.3f} "
+            f"yaw={feats[2]:+.3f} joints[{feats[3]:+.2f} {feats[4]:+.2f} ...]"
+        )
+        if count[0] >= args.frames:
+            done.set()
+
+    ctrl.add_listener(on_frame)
+    try:
+        ctrl.start()
+        done.wait(timeout=max(5.0, args.frames / args.fps * 4))
+    finally:
+        ctrl.stop()
+        ctrl.close()
+    print(f"watched {count[0]} frames")
 
 
 def cmd_generate(args):
@@ -125,9 +173,12 @@ def cmd_generate(args):
 
 def main(argv=None):
     args = parse_args(argv)
-    {"capture": cmd_capture, "analyze": cmd_analyze, "generate": cmd_generate}[
-        args.cmd
-    ](args)
+    {
+        "capture": cmd_capture,
+        "analyze": cmd_analyze,
+        "watch": cmd_watch,
+        "generate": cmd_generate,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

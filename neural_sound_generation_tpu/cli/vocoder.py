@@ -1,0 +1,208 @@
+"""WaveNet vocoder CLI: train + synthesize.
+
+Completes the reference's ``builder="wavenet"`` configuration surface
+(src/hparams.py:12, 52-84) as a runnable pipeline: ``train`` fits the
+mel-conditioned WaveNet on a preprocessed corpus with the configured loss
+(MoL for scalar input, cross-entropy for mulaw-quantize); ``synthesize``
+runs the fast scan generator conditioned on a stored mel shard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="WaveNet vocoder train/synthesize")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train")
+    tr.add_argument("--datadir", required=True)
+    tr.add_argument("--ckpt-dir", default="./models/wavenet")
+    tr.add_argument("--preset", default=None)
+    tr.add_argument("--batch-size", type=int, default=2)
+    tr.add_argument("--epochs", type=int, default=2000)
+    tr.add_argument("--layers", type=int, default=None)
+    tr.add_argument("--stacks", type=int, default=None)
+    tr.add_argument("--residual-channels", type=int, default=None)
+    tr.add_argument("--max-batches-per-epoch", type=int, default=None)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--resume", action="store_true")
+
+    sy = sub.add_parser("synthesize")
+    sy.add_argument("--ckpt-dir", required=True)
+    sy.add_argument("--mel-npy", required=True, help="time-major mel .npy")
+    sy.add_argument("--output", required=True)
+    sy.add_argument("--preset", default=None)
+    sy.add_argument("--layers", type=int, default=None)
+    sy.add_argument("--stacks", type=int, default=None)
+    sy.add_argument("--residual-channels", type=int, default=None)
+    sy.add_argument("--max-frames", type=int, default=40)
+    sy.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_model(cfg, args):
+    from neural_sound_generation_tpu.models import WaveNet
+
+    arch = cfg.arch
+    scalar = cfg.audio.is_scalar_input
+    out_channels = arch.out_channels
+    if not scalar:
+        out_channels = cfg.audio.quantize_channels
+    residual = args.residual_channels or arch.residual_channels
+    return WaveNet(
+        out_channels=out_channels,
+        layers=args.layers or arch.layers,
+        stacks=args.stacks or arch.stacks,
+        residual_channels=residual,
+        gate_channels=residual,
+        skip_out_channels=min(arch.skip_out_channels, residual),
+        kernel_size=arch.kernel_size,
+        cin_channels=arch.cin_channels,
+        gin_channels=arch.gin_channels,
+        n_speakers=arch.n_speakers,
+        upsample_scales=tuple(arch.upsample_scales),
+        scalar_input=scalar,
+        quantize_channels=cfg.audio.quantize_channels,
+    )
+
+
+def _load_cfg(args):
+    from neural_sound_generation_tpu.config import Config, load_preset
+
+    cfg = Config()
+    if args.preset:
+        cfg = load_preset(args.preset, cfg)
+    return cfg
+
+
+def cmd_train(args):
+    from neural_sound_generation_tpu.data import get_audio_data_loaders
+    from neural_sound_generation_tpu.models import WaveNet
+    from neural_sound_generation_tpu.training import checkpoint
+    from neural_sound_generation_tpu.training.losses import (
+        discretized_mix_logistic_loss,
+        masked_cross_entropy,
+    )
+
+    cfg = _load_cfg(args)
+    scalar = cfg.audio.is_scalar_input
+    loaders = get_audio_data_loaders(
+        args.datadir, None, args.batch_size, cfg, batch_mode="raw"
+    )
+    model = build_model(cfg, args)
+
+    sample = next(iter(loaders["train"]))
+    targets, c = _batch_to_wavenet(sample, cfg)
+    g = _batch_speakers(sample)
+    x = WaveNet.shift_inputs(targets, scalar)
+    variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
+    tx = optax.adam(cfg.train.initial_learning_rate)
+    opt_state = tx.init(variables)
+    step_count = 0
+
+    if args.resume and checkpoint.latest_step(args.ckpt_dir) is not None:
+        variables, _ = checkpoint.restore(args.ckpt_dir, variables)
+        step_count = checkpoint.latest_step(args.ckpt_dir)
+        print(f"resumed from step {step_count}")
+
+    @jax.jit
+    def train_step(variables, opt_state, targets, c, g, lengths):
+        x = WaveNet.shift_inputs(targets, scalar)
+
+        def loss_fn(v):
+            y = model.apply(v, x, c, g)
+            if scalar:
+                return discretized_mix_logistic_loss(
+                    y, targets, num_classes=cfg.audio.quantize_channels,
+                    log_scale_min=cfg.arch.log_scale_min, lengths=lengths,
+                )
+            return masked_cross_entropy(y, targets, lengths)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    for epoch in range(1, args.epochs + 1):
+        losses = []
+        for i, batch in enumerate(loaders["train"]):
+            if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
+                break
+            targets, c = _batch_to_wavenet(batch, cfg)
+            g = _batch_speakers(batch)
+            lengths = jnp.asarray(batch["input_lengths"])
+            variables, opt_state, loss = train_step(
+                variables, opt_state, targets, c, g, lengths
+            )
+            losses.append(float(loss))
+            step_count += 1
+        print(f"wavenet epoch {epoch}: loss {np.mean(losses):.4f}")
+        checkpoint.save(
+            args.ckpt_dir, variables, step=step_count, extra={"epoch": epoch}
+        )
+
+
+def _batch_to_wavenet(batch, cfg):
+    """Raw collate batch -> (targets, mel conditioning)."""
+    if cfg.audio.is_mulaw_quantize:
+        targets = jnp.asarray(batch["y"], jnp.int32)
+    else:
+        targets = jnp.asarray(batch["y"], jnp.float32)[..., None]
+    c = jnp.asarray(batch["c"]).transpose(0, 2, 1)  # (B, T', n_mels)
+    return targets, c
+
+
+def _batch_speakers(batch):
+    g = batch.get("g")
+    return jnp.asarray(g, jnp.int32) if g is not None else None
+
+
+def cmd_synthesize(args):
+    from neural_sound_generation_tpu.models.wavenet import make_generate_fn
+    from neural_sound_generation_tpu.ops import dsp
+    from neural_sound_generation_tpu.training import checkpoint
+
+    cfg = _load_cfg(args)
+    model = build_model(cfg, args)
+    mel = np.load(args.mel_npy)[: args.max_frames]  # (frames, n_mels)
+    c = jnp.asarray(mel, jnp.float32)[None, ...]
+    length = mel.shape[0] * cfg.audio.effective_hop_size
+
+    x0 = model.shift_inputs(
+        jnp.zeros((1, 8, 1))
+        if cfg.audio.is_scalar_input
+        else jnp.zeros((1, 8), jnp.int32),
+        cfg.audio.is_scalar_input,
+    )
+    template = model.init(jax.random.PRNGKey(0), x0, c, None)
+    variables, _ = checkpoint.restore(args.ckpt_dir, template)
+
+    gen = make_generate_fn(model, length)
+    out = gen(variables, c, None, jax.random.PRNGKey(args.seed), batch_size=1)
+    wav = np.asarray(out)[0]
+    if cfg.audio.is_mulaw_quantize:
+        wav = np.asarray(
+            dsp.inv_mulaw_quantize(jnp.asarray(wav), cfg.audio.quantize_channels)
+        )
+    elif cfg.audio.is_mulaw:
+        wav = np.asarray(dsp.inv_mulaw(jnp.asarray(wav), cfg.audio.quantize_channels))
+    dsp.save_wav(wav, args.output, cfg.audio.sample_rate)
+    print(f"synthesized {len(wav)} samples -> {args.output}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    {"train": cmd_train, "synthesize": cmd_synthesize}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

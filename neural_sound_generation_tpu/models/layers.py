@@ -7,6 +7,8 @@ disappear entirely.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -17,24 +19,30 @@ conv_kernel_init = nn.initializers.xavier_uniform()
 
 class ResBlock(nn.Module):
     """Pre-activation residual block (models.py:145-158):
-    ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 conv -> BN, plus skip."""
+    ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 conv -> BN, plus skip.
+
+    ``dtype`` is the compute dtype (bfloat16 feeds the MXU at full rate);
+    params stay float32, BatchNorm statistics are computed in float32."""
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         h = nn.relu(x)
         h = nn.Conv(
-            self.dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=conv_kernel_init
+            self.dim, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=conv_kernel_init, dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.dim, (1, 1), kernel_init=conv_kernel_init)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.Conv(self.dim, (1, 1), kernel_init=conv_kernel_init,
+                    dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         return x + h
 
 
-def conv_down(dim: int, name: str | None = None) -> nn.Conv:
+def conv_down(dim: int, name: str | None = None, dtype=jnp.float32) -> nn.Conv:
     """Stride-2 4x4 downsampling conv (torch Conv2d(k=4, s=2, p=1))."""
     return nn.Conv(
         dim,
@@ -43,10 +51,11 @@ def conv_down(dim: int, name: str | None = None) -> nn.Conv:
         padding=((1, 1), (1, 1)),
         kernel_init=conv_kernel_init,
         name=name,
+        dtype=dtype,
     )
 
 
-def conv_up(dim: int, name: str | None = None) -> nn.ConvTranspose:
+def conv_up(dim: int, name: str | None = None, dtype=jnp.float32) -> nn.ConvTranspose:
     """Stride-2 4x4 upsampling transpose conv (torch ConvTranspose2d(4,2,1)
     output size, 2H): flax 'SAME' pads the dilated input by 2 on each side,
     the same effective padding torch uses for k=4, s=2, p=1."""
@@ -57,4 +66,5 @@ def conv_up(dim: int, name: str | None = None) -> nn.ConvTranspose:
         padding="SAME",
         kernel_init=conv_kernel_init,
         name=name,
+        dtype=dtype,
     )

@@ -16,7 +16,7 @@ Architecture (for input (B, H, W, C)):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,32 +32,34 @@ from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq, vq_st
 
 class Encoder(nn.Module):
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        h = conv_down(self.dim)(x)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = conv_down(self.dim, dtype=self.dtype)(x)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = conv_down(self.dim)(h)
-        h = ResBlock(self.dim)(h, train)
-        h = ResBlock(self.dim)(h, train)
+        h = conv_down(self.dim, dtype=self.dtype)(h)
+        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
+        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
         return h
 
 
 class Decoder(nn.Module):
     dim: int
     output_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        h = ResBlock(self.dim)(z, train)
-        h = ResBlock(self.dim)(h, train)
+        h = ResBlock(self.dim, dtype=self.dtype)(z, train)
+        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
         h = nn.relu(h)
-        h = conv_up(self.dim)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = conv_up(self.dim, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = conv_up(self.output_dim)(h)
-        return nn.tanh(h)
+        h = conv_up(self.output_dim, dtype=self.dtype)(h)
+        return nn.tanh(h.astype(jnp.float32))
 
 
 class VQVAE(nn.Module):
@@ -77,6 +79,9 @@ class VQVAE(nn.Module):
     n_speakers: int = 0
     gin_channels: int = -1
     cond_features: int = 0
+    # compute dtype for the conv stacks (bfloat16 doubles MXU throughput);
+    # VQ distances and losses stay float32
+    dtype: Any = jnp.float32
 
     def setup(self):
         init = nn.initializers.uniform(scale=2.0 / self.z_dim)
@@ -87,8 +92,8 @@ class VQVAE(nn.Module):
             lambda key, shape: init(key, shape) - 1.0 / self.z_dim,
             (self.z_dim, self.dim),
         )
-        self.encoder = Encoder(self.dim)
-        self.decoder = Decoder(self.dim, self.input_dim)
+        self.encoder = Encoder(self.dim, dtype=self.dtype)
+        self.decoder = Decoder(self.dim, self.input_dim, dtype=self.dtype)
         if self.n_speakers > 0 and self.gin_channels > 0:
             self.speaker_embed = nn.Embed(self.n_speakers, self.gin_channels)
             self.speaker_proj = nn.Dense(self.dim, kernel_init=conv_kernel_init)
@@ -108,7 +113,7 @@ class VQVAE(nn.Module):
     def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """x (B, H, W, C) -> discrete code indices (B, H/4, W/4)
         (reference VQVAE.encode, models.py:188-191)."""
-        z_e = self.encoder(x, train)
+        z_e = self.encoder(x, train).astype(jnp.float32)
         return vq(z_e, self.codebook)
 
     def decode(
@@ -153,7 +158,7 @@ class VQVAE(nn.Module):
         codebook vectors selected via differentiable lookup (gradient path
         into the codebook), and the decoder consumes the straight-through
         codes."""
-        z_e = self.encoder(x, train)
+        z_e = self.encoder(x, train).astype(jnp.float32)
         codes_st, indices = vq_st(z_e, self.codebook)
         # second, non-detached lookup: grads flow to the codebook
         z_q = codebook_lookup(self.codebook, indices).reshape(z_e.shape)

@@ -5,3 +5,9 @@ from neural_sound_generation_tpu.parallel.mesh import (  # noqa: F401
     model_param_shardings,
     shard_batch,
 )
+from neural_sound_generation_tpu.parallel.distributed import (  # noqa: F401
+    HostTopology,
+    initialize,
+    loader_shard_args,
+    topology,
+)

@@ -58,6 +58,9 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Optional[Any]
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
+    # EMA-codebook auxiliary statistics (VQ-VAE v2 style updates,
+    # ModelConfig.ema_codebook): {"cluster": (K,), "embed_sum": (K, D)}
+    codebook_ema: Optional[Any] = None
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -108,6 +111,7 @@ def create_train_state(
     variables: FrozenDict | dict,
     cfg: TrainConfig,
     use_schedule: bool = False,
+    ema_codebook: bool = False,
 ) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -117,6 +121,15 @@ def create_train_state(
         if cfg.exponential_moving_average
         else None
     )
+    cb_ema = None
+    if ema_codebook:
+        cb = params["codebook"]
+        # cluster sizes start at 1 (not 0): embed_sum/cluster == codebook
+        # at init, and early updates never divide by a near-zero count
+        cb_ema = {
+            "cluster": jnp.ones((cb.shape[0],), jnp.float32),
+            "embed_sum": jnp.array(cb, jnp.float32),
+        }
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -125,4 +138,5 @@ def create_train_state(
         ema_params=ema,
         tx=tx,
         ema_decay=cfg.ema_decay,
+        codebook_ema=cb_ema,
     )

@@ -46,7 +46,7 @@ def _vqvae_loss_fn(model: VQVAE, beta: float):
             mutable=["batch_stats"],
         )
         total, metrics = vqvae_loss(x_tilde, batch["x"], z_e, z_q, beta)
-        return total, (metrics, mut["batch_stats"])
+        return total, (metrics, mut["batch_stats"], z_e)
 
     return loss_fn
 
@@ -62,7 +62,7 @@ def _vae_loss_fn(model: VAE):
         )
         total = elbo_mse(x_tilde, batch["x"], kl)
         metrics = {"loss": total, "kl": kl}
-        return total, (metrics, mut["batch_stats"])
+        return total, (metrics, mut["batch_stats"], None)
 
     return loss_fn
 
@@ -96,7 +96,7 @@ def _wave_vqvae_loss_fn(model: WaveVQVAE, beta: float):
             "loss_commit": loss_commit,
             "train_loss": loss_recons + loss_vq,
         }
-        return total, (metrics, mut["batch_stats"])
+        return total, (metrics, mut["batch_stats"], z_e)
 
     return loss_fn
 
@@ -119,12 +119,41 @@ def make_train_step(
     else:
         raise TypeError(f"unsupported model: {type(model)}")
 
+    ema_codebook = cfg.model.ema_codebook and not isinstance(model, VAE)
+
     def train_step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_bs)), grads = grad_fn(
+        (_, (metrics, new_bs, z_e)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng
         )
+        if ema_codebook:
+            # codebook learns by EMA cluster statistics, not gradients
+            # (ModelConfig.ema_codebook; VQ-VAE-2-style updates)
+            grads = dict(grads)
+            grads["codebook"] = jnp.zeros_like(grads["codebook"])
         new_state = state.apply_gradients(grads, new_bs)
+        if ema_codebook:
+            from neural_sound_generation_tpu.ops.vq import (
+                codebook_ema_update,
+                vq,
+            )
+
+            flat = z_e.reshape(-1, z_e.shape[-1])
+            indices = vq(flat, state.params["codebook"])
+            new_cb, cluster, esum = codebook_ema_update(
+                state.params["codebook"],
+                state.codebook_ema["cluster"],
+                state.codebook_ema["embed_sum"],
+                flat,
+                indices,
+                decay=cfg.model.ema_codebook_decay,
+            )
+            params = dict(new_state.params)
+            params["codebook"] = new_cb
+            new_state = new_state.replace(
+                params=params,
+                codebook_ema={"cluster": cluster, "embed_sum": esum},
+            )
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 

@@ -211,3 +211,31 @@ def test_pixelcnn_generate(pixelcnn_setup):
         )
     )
     np.testing.assert_array_equal(out, out2)
+
+
+def test_vqvae_bf16_compute(rng):
+    """bfloat16 compute dtype: finite float32 outputs, train step works."""
+    import jax.numpy as jnp
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, dtype=jnp.bfloat16)
+    x = _mel_batch(rng, b=2, h=16, w=16)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # params remain float32
+    assert variables["params"]["encoder"]["Conv_0"]["kernel"].dtype == jnp.float32
+    (x_tilde, z_e, z_q), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert x_tilde.dtype == jnp.float32  # output upcast for the loss
+    assert z_e.dtype == jnp.float32  # VQ in f32
+    assert np.isfinite(np.asarray(x_tilde)).all()
+
+    cfg = Config()
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for i in range(10):
+        state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] and np.isfinite(losses[-1])

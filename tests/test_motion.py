@@ -284,3 +284,12 @@ def test_motion_cli_capture_analyze_generate(tmp_path, capsys):
 
     sr, data = wavfile.read(wav)
     assert sr == 22050 and len(data) > 0
+
+
+def test_motion_cli_watch(capsys):
+    from neural_sound_generation_tpu.cli import motion as motion_cli
+
+    motion_cli.main(["watch", "--frames", "5", "--fps", "500"])
+    out = capsys.readouterr().out
+    assert "watched" in out
+    assert "pitch=" in out

@@ -105,3 +105,17 @@ def test_shard_batch_places_on_mesh(rng):
     batch = {"x": jnp.zeros((8, 4, 4, 1))}
     out = shard_batch(batch, mesh)
     assert out["x"].sharding.spec == P("data")
+
+
+def test_distributed_topology_single_process():
+    from neural_sound_generation_tpu.parallel import (
+        initialize,
+        loader_shard_args,
+        topology,
+    )
+
+    t = initialize()  # no-op single process
+    assert t.process_count == 1 and t.is_primary
+    assert t.global_device_count == 8
+    assert topology().local_device_count == 8
+    assert loader_shard_args() == {"num_hosts": 1, "host_id": 0}

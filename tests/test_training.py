@@ -228,3 +228,32 @@ def test_checkpoint_multiple_steps(rng, tmp_path):
     checkpoint.save(ckpt_dir, state, step=10)
     checkpoint.save(ckpt_dir, state, step=5)
     assert checkpoint.latest_step(ckpt_dir) == 10
+
+
+def test_ema_codebook_training(rng):
+    """ModelConfig.ema_codebook: the codebook moves by EMA cluster stats,
+    not gradients, and training still reduces the loss."""
+    from neural_sound_generation_tpu.models import VQVAE
+
+    cfg = Config().parse_json({"batch_size": 4})
+    cfg = Config(
+        name=cfg.name, audio=cfg.audio, arch=cfg.arch, data=cfg.data,
+        model=cfg.model.__class__(model="vqvae", dim=8, z_dim=16,
+                                  ema_codebook=True, ema_codebook_decay=0.9),
+        train=cfg.train,
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(np.random.default_rng(0))
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, ema_codebook=True)
+    assert state.codebook_ema is not None
+    step = make_train_step(model, cfg, donate=False)
+    cb0 = np.asarray(state.params["codebook"])
+    losses = []
+    for i in range(20):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    cb1 = np.asarray(state.params["codebook"])
+    assert not np.allclose(cb0, cb1)  # codebook moved (via EMA)
+    assert losses[-1] < losses[0]
+    assert float(jnp.sum(state.codebook_ema["cluster"])) > 0

@@ -166,3 +166,34 @@ def test_generate_categorical(rng):
     out = np.asarray(gen(v, None, None, jax.random.PRNGKey(0), batch_size=2))
     assert out.shape == (2, 24)
     assert out.min() >= 0 and out.max() < 32
+
+
+def test_vocoder_cli_train_and_synthesize(tmp_path):
+    """builder=wavenet end-to-end at the CLI surface: train on a tiny
+    corpus, then synthesize from a stored mel shard."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+
+    ckpt = str(tmp_path / "wn")
+    vocoder_cli.main([
+        "train", "--datadir", str(out_dir), "--ckpt-dir", ckpt,
+        "--batch-size", "2", "--epochs", "1", "--layers", "4",
+        "--stacks", "2", "--residual-channels", "16",
+        "--max-batches-per-epoch", "2",
+    ])
+    wav_out = str(tmp_path / "synth.wav")
+    vocoder_cli.main([
+        "synthesize", "--ckpt-dir", ckpt,
+        "--mel-npy", str(out_dir / "ljspeech-mel-00001.npy"),
+        "--output", wav_out, "--layers", "4", "--stacks", "2",
+        "--residual-channels", "16", "--max-frames", "4",
+    ])
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(wav_out)
+    assert sr == 22050 and len(data) == 4 * 256
