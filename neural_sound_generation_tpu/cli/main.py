@@ -245,7 +245,11 @@ def main(argv=None):
         start_epoch = int((extra or {}).get("epoch", 0)) + 1
         print(f"Resumed from step {int(np.asarray(state.step))}, epoch {start_epoch}")
 
-    trainer = Trainer(model, cfg, state, mesh=mesh)
+    metrics_path = os.path.join(
+        args.sampledir, args.dataset, "metrics.jsonl"
+    )
+    os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
+    trainer = Trainer(model, cfg, state, mesh=mesh, metrics_path=metrics_path)
     print(model)
 
     last_epoch = start_epoch - 1

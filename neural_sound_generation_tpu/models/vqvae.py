@@ -27,7 +27,12 @@ from neural_sound_generation_tpu.models.layers import (
     conv_up,
     conv_kernel_init,
 )
-from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq, vq_st
+from neural_sound_generation_tpu.ops.vq import (
+    codebook_lookup,
+    residual_vq,
+    vq,
+    vq_st,
+)
 
 
 class Encoder(nn.Module):
@@ -79,6 +84,9 @@ class VQVAE(nn.Module):
     n_speakers: int = 0
     gin_channels: int = -1
     cond_features: int = 0
+    # residual VQ stages (SoundStream-style); 1 = the reference's single
+    # codebook. Codebook param becomes (num_quantizers, z_dim, dim).
+    num_quantizers: int = 1
     # compute dtype for the conv stacks (bfloat16 doubles MXU throughput);
     # VQ distances and losses stay float32
     dtype: Any = jnp.float32
@@ -87,10 +95,15 @@ class VQVAE(nn.Module):
         init = nn.initializers.uniform(scale=2.0 / self.z_dim)
         # codebook init U(-1/z_dim, 1/z_dim) (models.py:125); flax uniform
         # is [0, scale), so shift by -1/z_dim.
+        cb_shape = (
+            (self.z_dim, self.dim)
+            if self.num_quantizers == 1
+            else (self.num_quantizers, self.z_dim, self.dim)
+        )
         self.codebook = self.param(
             "codebook",
             lambda key, shape: init(key, shape) - 1.0 / self.z_dim,
-            (self.z_dim, self.dim),
+            cb_shape,
         )
         self.encoder = Encoder(self.dim, dtype=self.dtype)
         self.decoder = Decoder(self.dim, self.input_dim, dtype=self.dtype)
@@ -114,6 +127,9 @@ class VQVAE(nn.Module):
         """x (B, H, W, C) -> discrete code indices (B, H/4, W/4)
         (reference VQVAE.encode, models.py:188-191)."""
         z_e = self.encoder(x, train).astype(jnp.float32)
+        if self.num_quantizers > 1:
+            _, _, indices = residual_vq(z_e, self.codebook)
+            return indices.reshape((self.num_quantizers,) + z_e.shape[:-1])
         return vq(z_e, self.codebook)
 
     def decode(
@@ -123,9 +139,14 @@ class VQVAE(nn.Module):
         features: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        """Code indices (B, H', W') -> reconstruction
-        (reference VQVAE.decode, models.py:193-196)."""
-        z_q = codebook_lookup(self.codebook, indices)
+        """Code indices (B, H', W') — or (Q, B, H', W') for residual
+        VQ — -> reconstruction (reference VQVAE.decode, models.py:193-196)."""
+        if self.num_quantizers > 1:
+            z_q = 0.0
+            for q in range(self.num_quantizers):
+                z_q = z_q + codebook_lookup(self.codebook[q], indices[q])
+        else:
+            z_q = codebook_lookup(self.codebook, indices)
         z_q = self._condition(z_q, g, features)
         return self.decoder(z_q, train)
 
@@ -159,9 +180,12 @@ class VQVAE(nn.Module):
         into the codebook), and the decoder consumes the straight-through
         codes."""
         z_e = self.encoder(x, train).astype(jnp.float32)
-        codes_st, indices = vq_st(z_e, self.codebook)
-        # second, non-detached lookup: grads flow to the codebook
-        z_q = codebook_lookup(self.codebook, indices).reshape(z_e.shape)
+        if self.num_quantizers > 1:
+            codes_st, z_q, _ = residual_vq(z_e, self.codebook)
+        else:
+            codes_st, indices = vq_st(z_e, self.codebook)
+            # second, non-detached lookup: grads flow to the codebook
+            z_q = codebook_lookup(self.codebook, indices).reshape(z_e.shape)
         h = self._condition(codes_st, g, features)
         x_tilde = self.decoder(h, train)
         return x_tilde, z_e, z_q

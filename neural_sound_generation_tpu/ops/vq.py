@@ -161,3 +161,40 @@ def codebook_ema_update(
     cluster = (new_cluster + eps) / (n + num_codes * eps) * n
     new_codebook = new_embed_sum / cluster[:, None]
     return new_codebook, new_cluster, new_embed_sum
+
+
+def residual_vq(inputs: jnp.ndarray, codebooks: jnp.ndarray):
+    """Residual vector quantization (SoundStream-style multi-stage VQ).
+
+    ``codebooks``: (Q, K, D) — Q quantizer stages. Each stage quantizes the
+    residual left by the previous stages; the final quantized vector is the
+    sum of the per-stage codes. Gradient wiring:
+      * encoder receives the upstream grad once via a single
+        straight-through around the full sum,
+      * each stage's codebook receives grads through its own
+        differentiable lookup (scatter-add semantics, as in single-stage
+        ``vq_st``).
+
+    Returns (quantized_st, quantized_sum, indices) with
+      quantized_st : inputs + sg(sum - inputs)  — feed the decoder
+      quantized_sum: grads flow to every codebook — use in the vq loss
+      indices      : (Q, N) int32 per-stage assignments.
+
+    Beyond-parity feature: the reference has a single codebook only; RVQ
+    refines reconstruction at ~Q x the bitrate with the same decoder.
+    """
+    num_q = codebooks.shape[0]
+    embedding_size = codebooks.shape[-1]
+    flat = jnp.reshape(inputs, (-1, embedding_size))
+    residual = jax.lax.stop_gradient(flat)
+    total = jnp.zeros_like(flat)
+    indices = []
+    for q in range(num_q):
+        idx = _nearest_indices(residual, jax.lax.stop_gradient(codebooks[q]))
+        codes = jnp.take(codebooks[q], idx, axis=0)  # grads -> codebook q
+        total = total + codes
+        residual = residual - jax.lax.stop_gradient(codes)
+        indices.append(idx)
+    quantized_sum = jnp.reshape(total, inputs.shape)
+    quantized_st = inputs + jax.lax.stop_gradient(quantized_sum - inputs)
+    return quantized_st, quantized_sum, jnp.stack(indices)

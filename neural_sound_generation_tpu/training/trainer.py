@@ -235,14 +235,26 @@ class Trainer:
         state: TrainState,
         mesh=None,
         log_fn: Optional[Callable[[str], None]] = print,
+        metrics_path: Optional[str] = None,
     ):
         self.model = model
         self.cfg = cfg
         self.state = state
         self.mesh = mesh
         self.log_fn = log_fn or (lambda s: None)
+        # structured per-epoch scalar log (JSONL) — the observability the
+        # reference lacks (SURVEY §5: print-only)
+        self.metrics_path = metrics_path
         self._train_step = make_train_step(model, cfg, mesh)
         self._eval_step = make_eval_step(model, cfg, mesh)
+
+    def _write_metrics(self, record: Dict):
+        if not self.metrics_path:
+            return
+        import json
+
+        with open(self.metrics_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
 
     def _put(self, batch):
         if self.mesh is not None:
@@ -275,6 +287,9 @@ class Trainer:
         self.log_fn(
             f"====> Epoch: {epoch} Average loss: {means.get('loss', 0.0):.4f}"
         )
+        self._write_metrics(
+            {"phase": "train", "epoch": epoch, "batches": count, **means}
+        )
         return means
 
     def eval_epoch(self, batches):
@@ -288,4 +303,5 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
         means = {k: v / max(count, 1) for k, v in sums.items()}
         self.log_fn(f"====> Test set loss: {means.get('loss', 0.0):.4f}")
+        self._write_metrics({"phase": "test", "batches": count, **means})
         return means, last_recon

@@ -161,3 +161,73 @@ def test_train_cli_wavevqvae(tmp_path):
     ])
     arts = os.listdir(tmp_path / "results" / "ljspeech")
     assert any(a.startswith("audio_recon_wavevqvae") for a in arts)
+
+
+def _make_cmu_arctic(tmp_path, per_speaker=2, sr=16000):
+    """Synthetic CMU-Arctic-layout corpus: 7 speaker dirs with wavs."""
+    from neural_sound_generation_tpu.data.corpora.cmu_arctic import SPEAKERS
+
+    for spk in SPEAKERS:
+        wav_dir = tmp_path / f"cmu_us_{spk}_arctic" / "wav"
+        wav_dir.mkdir(parents=True)
+        base = 150 + 30 * SPEAKERS.index(spk)
+        for i in range(per_speaker):
+            t = np.arange(int(sr * 0.6)) / sr
+            wav = (0.5 * np.sin(2 * np.pi * (base + 10 * i) * t)).astype(np.float32)
+            dsp.save_wav(wav, str(wav_dir / f"arctic_a{i:04d}.wav"), sr)
+    return tmp_path
+
+
+def test_cmu_arctic_multispeaker_end_to_end(tmp_path):
+    """BASELINE config #4: CMU Arctic multi-speaker VQ-VAE with a
+    speaker-conditioned decoder, via the CLIs with the reference's own
+    multispeaker preset."""
+    in_dir = _make_cmu_arctic(tmp_path / "in")
+    out_dir = tmp_path / "out"
+    preset = "/root/reference/src/presets/multispeaker_cmu_arctic_mixture.json"
+    if not os.path.exists(preset):
+        pytest.skip("reference not mounted")
+    preprocess_cli.main([
+        "cmu_arctic", str(in_dir), str(out_dir), "--preset", preset,
+    ])
+    # manifest carries 5 columns (speaker ids)
+    from neural_sound_generation_tpu.data import read_manifest
+
+    entries = read_manifest(str(out_dir))
+    assert len(entries) == 14
+    assert sorted({e.speaker_id for e in entries}) == list(range(7))
+
+    # train with speaker conditioning (gin_channels=16 from the preset)
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "cmu_arctic",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--preset", preset,
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "3",
+    ])
+    assert (tmp_path / "models" / "vqvae" / "checkpoint_cmu_arctic_8_16").exists()
+    arts = os.listdir(tmp_path / "results" / "cmu_arctic")
+    assert any(a.endswith(".wav") for a in arts)
+
+
+def test_speaker_filtered_training(tmp_path):
+    """--speaker-id trains on a single speaker's slice (dataloader.py
+    speaker filter semantics)."""
+    in_dir = _make_cmu_arctic(tmp_path / "in", per_speaker=3)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main([
+        "cmu_arctic", str(in_dir), str(out_dir), "--sample_rate", "16000",
+    ])
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "cmu_arctic",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--speaker-id", "2",
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "2",
+    ])

@@ -110,3 +110,19 @@ def test_mulaw_predicates():
     assert b.is_mulaw and b.is_scalar_input
     c = Config().audio
     assert c.is_raw and c.is_scalar_input
+
+
+def test_tacotron_arch_config_surface():
+    """hparams_tacotron.py:120-167 field surface preserved (config-only,
+    like the reference — no synthesis engine)."""
+    from neural_sound_generation_tpu.config import TacotronArchConfig
+
+    t = TacotronArchConfig()
+    assert t.embedding_dim == 512
+    assert t.enc_conv_num_layers == 3
+    assert t.attention_dim == 128
+    assert tuple(t.prenet_layers) == (256, 256)
+    assert t.decoder_lstm_units == 1024
+    assert t.cbhg_kernels == 8
+    assert t.cross_entropy_pos_weight == 20
+    assert t.tacotron_num_gpus == 1  # multi-GPU knobs: config only

@@ -257,3 +257,17 @@ def test_ema_codebook_training(rng):
     assert not np.allclose(cb0, cb1)  # codebook moved (via EMA)
     assert losses[-1] < losses[0]
     assert float(jnp.sum(state.codebook_ema["cluster"])) > 0
+
+
+def test_trainer_metrics_jsonl(rng, tmp_path):
+    import json
+
+    model, cfg, state, batch = _make_vqvae(rng)
+    path = str(tmp_path / "metrics.jsonl")
+    trainer = Trainer(model, cfg, state, log_fn=None, metrics_path=path)
+    trainer.train_epoch([batch] * 2, jax.random.PRNGKey(0), epoch=1)
+    trainer.eval_epoch([batch])
+    records = [json.loads(l) for l in open(path)]
+    assert records[0]["phase"] == "train" and records[0]["epoch"] == 1
+    assert records[1]["phase"] == "test"
+    assert "loss" in records[0] and "perplexity" in records[1]

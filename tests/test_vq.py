@@ -197,3 +197,76 @@ def test_pallas_supported_constraints():
     assert pallas_supported(1000, 256, 512)
     assert not pallas_supported(1000, 100, 512)  # D not lane-aligned
     assert not pallas_supported(1000, 256, 500)  # K not lane-aligned
+
+
+def test_residual_vq_reduces_error(rng):
+    """Each RVQ stage must shrink the quantization residual."""
+    from neural_sound_generation_tpu.ops.vq import residual_vq
+
+    x = jnp.asarray(rng.standard_normal((256, 16)).astype(np.float32))
+    cbs = jnp.asarray(rng.standard_normal((4, 64, 16)).astype(np.float32) * 0.5)
+    errors = []
+    for q in range(1, 5):
+        _, qsum, idx = residual_vq(x, cbs[:q])
+        errors.append(float(jnp.mean((qsum - x) ** 2)))
+        assert idx.shape == (q, 256)
+    assert errors[3] < errors[2] < errors[1] < errors[0]
+
+
+def test_residual_vq_grad_wiring(rng):
+    """Encoder gets the upstream grad once (STE); every stage codebook
+    gets scatter-add grads."""
+    from neural_sound_generation_tpu.ops.vq import residual_vq
+
+    x = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+    cbs = jnp.asarray(rng.standard_normal((3, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+
+    def loss_st(x_):
+        st, _, _ = residual_vq(x_, cbs)
+        return jnp.sum(st * w)
+
+    gx = jax.grad(loss_st)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(w), atol=1e-6)
+
+    def loss_cb(cbs_):
+        _, qsum, _ = residual_vq(x, cbs_)
+        return jnp.sum(qsum * w)
+
+    gcb = np.asarray(jax.grad(loss_cb)(cbs))
+    assert gcb.shape == (3, 16, 8)
+    for q in range(3):
+        assert np.abs(gcb[q]).sum() > 0  # every stage receives grads
+
+
+def test_rvq_vqvae_model(rng):
+    from neural_sound_generation_tpu.models import VQVAE
+
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, num_quantizers=3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert variables["params"]["codebook"].shape == (3, 32, 16)
+    (xt, z_e, z_q), _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert xt.shape == x.shape
+    idx = model.apply(variables, x, train=False, method=VQVAE.encode)
+    assert idx.shape == (3, 2, 4, 4)
+    recon = model.apply(variables, idx, train=False, method=VQVAE.decode)
+    assert recon.shape == x.shape
+
+
+def test_rvq_vqvae_trains(rng):
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16, num_quantizers=2)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 1)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for i in range(20):
+        state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] and np.isfinite(losses[-1])
