@@ -328,3 +328,56 @@ def test_loader_host_sharding(tmp_path):
         )
         seen.append(sum(1 for _ in loader))
     assert seen[0] == seen[1] == len(ds) // 2 // 2
+
+
+def test_jsut_adapter_with_lab_trimming(tmp_path):
+    """JSUT layout: subset dirs with wav/ + transcript + HTS .lab
+    alignments driving the silence trim (src/jsut.py:41-49 semantics)."""
+    from neural_sound_generation_tpu.data.corpora import jsut
+
+    sr = 24000
+    subset = tmp_path / "in" / "basic5000"
+    (subset / "wav").mkdir(parents=True)
+    (subset / "lab").mkdir(parents=True)
+    t = np.arange(int(sr * 1.0)) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    # silence at both ends
+    wav[: sr // 4] = 0
+    wav[-sr // 4 :] = 0
+    dsp.save_wav(wav, str(subset / "wav" / "BASIC5000_0001.wav"), sr)
+    # HTS lab: 100ns units; voiced region = [0.25s, 0.75s]
+    (subset / "lab" / "BASIC5000_0001.lab").write_text(
+        "0 2500000 silB\n2500000 7500000 a\n7500000 10000000 silE\n"
+    )
+    (subset / "transcript_utf8.txt").write_text(
+        "BASIC5000_0001:text here\n", encoding="utf-8"
+    )
+
+    cfg = AudioConfig(sample_rate=sr, fmax=11000)
+    entries = jsut.build_from_path(str(tmp_path / "in"), str(tmp_path / "out"), cfg=cfg)
+    assert len(entries) == 1
+    assert entries[0].text == "text here"
+    # trimmed to ~0.5 s (the lab's voiced span), hop-aligned
+    assert abs(entries[0].timesteps - sr // 2) < 1024
+
+
+def test_librivox_adapter_chunks_long_audio(tmp_path):
+    """LibriVox: long recordings chunk into ~8 s utterances
+    (src/librivox.py:55-62 semantics)."""
+    from neural_sound_generation_tpu.data.corpora import librivox
+
+    sr = 22050
+    (tmp_path / "in").mkdir()
+    t = np.arange(int(sr * 20)) / sr  # 20 s -> 2 full 8 s chunks
+    wav = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    dsp.save_wav(wav, str(tmp_path / "in" / "book_ch01.wav"), sr)
+
+    cfg = AudioConfig()
+    entries = librivox.build_from_path(
+        str(tmp_path / "in"), str(tmp_path / "out"), cfg=cfg
+    )
+    assert len(entries) == 2
+    for e in entries:
+        assert abs(e.timesteps - 8 * sr) < 1024
+        mel = np.load(tmp_path / "out" / e.mel_path)
+        assert mel.shape[0] * 256 == e.timesteps
