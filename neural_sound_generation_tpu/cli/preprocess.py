@@ -39,15 +39,19 @@ def parse_args(argv=None):
     p.add_argument("--hop_size", type=int, default=None)
     p.add_argument("--n_mels", type=int, default=None)
     p.add_argument("--device_batch", type=int, default=16)
+    p.add_argument("--skip-errors", action="store_true",
+                   help="drop undecodable utterances with a warning")
     return p.parse_args(argv)
 
 
-def preprocess(name, in_dir, out_dir, cfg: Config, num_workers, device_batch=16):
+def preprocess(name, in_dir, out_dir, cfg: Config, num_workers, device_batch=16,
+               skip_errors=False):
     mod = CORPORA[name]
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     entries = mod.build_from_path(
-        in_dir, out_dir, num_workers=num_workers, cfg=cfg.audio
+        in_dir, out_dir, num_workers=num_workers, cfg=cfg.audio,
+        skip_errors=skip_errors,
     )
     dt = time.time() - t0
     write_metadata(entries, out_dir, cfg)
@@ -106,6 +110,7 @@ def main(argv=None):
         cfg,
         args.num_workers,
         args.device_batch,
+        skip_errors=args.skip_errors,
     )
 
 

@@ -1,0 +1,186 @@
+"""Inference server: HTTP endpoints over a loaded VQ-VAE.
+
+The framework's serving surface (the reference has none — its realtime
+path is the stubbed Leap listener, src/inference.py). Stdlib-only HTTP
+server exposing the batched on-device inference paths:
+
+  POST /encode   wav bytes (RIFF) -> {"codes": [[...]], "shape": [...]}
+  POST /reconstruct  wav bytes -> reconstructed wav bytes
+  POST /decode   {"codes": [[...]]} JSON -> wav bytes
+  GET  /health   -> {"status": "ok", "backend": ...}
+
+Model compilation happens once at startup; each request runs jitted
+device programs (shapes are padded/cropped to the serving window).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class InferenceService:
+    """Holds the model + jitted programs; thread-safe (JAX dispatch is)."""
+
+    def __init__(self, cfg, model, variables, frames: int = 84):
+        from neural_sound_generation_tpu.models import VQVAE
+        from neural_sound_generation_tpu.ops import dsp
+
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.frames = frames
+        self.dsp = dsp
+        self._lock = threading.Lock()
+
+        @jax.jit
+        def encode(mels):
+            return model.apply(variables, mels, train=False, method=VQVAE.encode)
+
+        @jax.jit
+        def reconstruct(mels):
+            x_tilde, _, _ = model.apply(variables, mels, train=False)
+            return x_tilde
+
+        @jax.jit
+        def decode(codes):
+            return model.apply(variables, codes, train=False, method=VQVAE.decode)
+
+        self._encode = encode
+        self._reconstruct = reconstruct
+        self._decode = decode
+
+    def _wav_to_mel(self, wav_bytes: bytes) -> jnp.ndarray:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        mel = self.dsp.melspectrogram(jnp.asarray(data), self.cfg.audio)
+        t = mel.shape[1]
+        if t >= self.frames:
+            mel = mel[:, : self.frames]
+        else:
+            mel = jnp.pad(mel, ((0, 0), (0, self.frames - t)))
+        return mel[None, :, :, None]
+
+    def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
+        wav = self.dsp.inv_mel_spectrogram(
+            mel, self.cfg.audio, jax.random.PRNGKey(0)
+        )
+        buf = io.BytesIO()
+        from scipy.io import wavfile
+
+        wav_np = np.asarray(wav)
+        wav_np = wav_np * (32767 / max(0.01, float(np.abs(wav_np).max())))
+        wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
+        return buf.getvalue()
+
+    def encode(self, wav_bytes: bytes) -> dict:
+        codes = self._encode(self._wav_to_mel(wav_bytes))
+        codes_np = np.asarray(codes)[0]
+        return {"codes": codes_np.tolist(), "shape": list(codes_np.shape)}
+
+    def reconstruct(self, wav_bytes: bytes) -> bytes:
+        mel = self._reconstruct(self._wav_to_mel(wav_bytes))[0, :, :, 0]
+        return self._mel_to_wav_bytes(mel)
+
+    def decode(self, codes: list) -> bytes:
+        idx = jnp.asarray(np.asarray(codes, np.int32))[None, ...]
+        mel = self._decode(idx)[0, :, :, 0]
+        return self._mel_to_wav_bytes(mel)
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, json.dumps(
+                    {"status": "ok", "backend": jax.default_backend()}
+                ).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.path == "/encode":
+                    self._send(200, json.dumps(service.encode(body)).encode())
+                elif self.path == "/reconstruct":
+                    self._send(200, service.reconstruct(body), "audio/wav")
+                elif self.path == "/decode":
+                    codes = json.loads(body)["codes"]
+                    self._send(200, service.decode(codes), "audio/wav")
+                else:
+                    self._send(404, b'{"error": "not found"}')
+            except Exception as e:  # surface errors as 400s, keep serving
+                self._send(400, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def build_service(args):
+    from neural_sound_generation_tpu.config import Config, load_preset
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import checkpoint, create_train_state
+
+    cfg = load_preset(args.preset, Config()) if args.preset else Config()
+    model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+    sample = jnp.zeros((1, cfg.audio.num_mels, args.frames, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    if args.ckpt_dir:
+        state = create_train_state(variables, cfg.train)
+        restored, _ = checkpoint.restore(args.ckpt_dir, state)
+        variables = {
+            "params": restored.params,
+            "batch_stats": restored.batch_stats,
+        }
+    return InferenceService(cfg, model, variables, args.frames)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="VQ-VAE inference HTTP server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--preset", default=None)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--z-dim", type=int, default=512)
+    p.add_argument("--frames", type=int, default=84, help="serving mel window")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    service = build_service(args)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(backend={jax.default_backend()})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

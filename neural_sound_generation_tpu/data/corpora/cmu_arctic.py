@@ -51,11 +51,13 @@ def build_from_path(
     out_dir: str,
     num_workers: int = 8,
     cfg: AudioConfig | None = None,
+    skip_errors: bool = False,
     tqdm=lambda x, **kw: x,
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
     cfg = cfg or AudioConfig(sample_rate=16000)
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
-        specs, out_dir, cfg, name="cmu_arctic", num_workers=num_workers, tqdm=tqdm
+        specs, out_dir, cfg, name="cmu_arctic", num_workers=num_workers,
+        skip_errors=skip_errors, tqdm=tqdm
     )

@@ -100,18 +100,41 @@ def preprocess_utterances(
     num_workers: int = 8,
     device_batch: int = 16,
     length_quantum: int = 32768,
+    skip_errors: bool = False,
     tqdm=lambda x, **kw: x,
 ) -> List[ManifestEntry]:
     """Run the full preprocessing pipeline; returns manifest entries in the
     original ``specs`` order (index numbering starts at 1, matching the
-    reference's %05d scheme, src/ljspeech.py:92-93)."""
+    reference's %05d scheme, src/ljspeech.py:92-93).
+
+    ``skip_errors``: drop utterances whose decode fails (corrupt/short
+    files) with a warning instead of aborting the whole run — the
+    fault-tolerance the reference's ``future.result()`` fan-out lacks
+    (SURVEY §5 failure detection).
+    """
     os.makedirs(out_dir, exist_ok=True)
     sr = cfg.sample_rate
     hop = cfg.effective_hop_size
 
     # 1. host-parallel decode
+    def safe_load(s):
+        try:
+            wav = s.load(sr)
+            if len(wav) < hop:
+                raise ValueError(f"too short ({len(wav)} samples)")
+            return wav
+        except Exception as e:
+            if not skip_errors:
+                raise
+            print(f"[preprocess] skipping {s.utt_id}: {e}")
+            return None
+
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
-        wavs = list(tqdm(pool.map(lambda s: s.load(sr), specs), total=len(specs)))
+        wavs = list(tqdm(pool.map(safe_load, specs), total=len(specs)))
+    if skip_errors:
+        keep = [i for i, w in enumerate(wavs) if w is not None]
+        specs = [specs[i] for i in keep]
+        wavs = [wavs[i] for i in keep]
 
     # 2. rescale to peak (reference order: rescale happens before the
     #    mulaw-quantize silence trim, src/ljspeech.py:34-47)

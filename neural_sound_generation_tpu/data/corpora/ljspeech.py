@@ -36,6 +36,7 @@ def build_from_path(
     out_dir: str,
     num_workers: int = 8,
     cfg: AudioConfig | None = None,
+    skip_errors: bool = False,
     tqdm=lambda x, **kw: x,
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
@@ -45,7 +46,8 @@ def build_from_path(
     cfg = cfg or _cfg_from_legacy(_legacy_kwargs)
     specs = collect(in_dir)
     return preprocess_utterances(
-        specs, out_dir, cfg, name="ljspeech", num_workers=num_workers, tqdm=tqdm
+        specs, out_dir, cfg, name="ljspeech", num_workers=num_workers,
+        skip_errors=skip_errors, tqdm=tqdm
     )
 
 

@@ -381,3 +381,32 @@ def test_librivox_adapter_chunks_long_audio(tmp_path):
         assert abs(e.timesteps - 8 * sr) < 1024
         mel = np.load(tmp_path / "out" / e.mel_path)
         assert mel.shape[0] * 256 == e.timesteps
+
+
+def test_preprocess_skip_errors(tmp_path):
+    """skip_errors drops undecodable utterances instead of aborting."""
+    from neural_sound_generation_tpu.data.corpora.engine import (
+        UtteranceSpec,
+        preprocess_utterances,
+    )
+
+    sr = 22050
+    good = tmp_path / "good.wav"
+    t = np.arange(sr // 2) / sr
+    dsp.save_wav((0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), str(good), sr)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav file at all")
+
+    specs = [
+        UtteranceSpec("good", "ok", wav_path=str(good)),
+        UtteranceSpec("bad", "broken", wav_path=str(bad)),
+    ]
+    cfg = AudioConfig()
+    # without skip_errors: raises
+    with pytest.raises(Exception):
+        preprocess_utterances(specs, str(tmp_path / "o1"), cfg)
+    # with skip_errors: the good one survives
+    entries = preprocess_utterances(
+        specs, str(tmp_path / "o2"), cfg, skip_errors=True
+    )
+    assert len(entries) == 1 and entries[0].text == "ok"

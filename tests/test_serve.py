@@ -1,0 +1,103 @@
+"""Inference server tests: real HTTP requests against a live server."""
+
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def server():
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    service = InferenceService(cfg, model, variables, frames=16)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _wav_bytes(seconds=0.3, sr=22050):
+    from scipy.io import wavfile
+
+    t = np.arange(int(sr * seconds)) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, wav)
+    return buf.getvalue()
+
+
+def _post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+
+
+def test_encode_endpoint(server):
+    with _post(server + "/encode", _wav_bytes()) as r:
+        body = json.loads(r.read())
+    assert body["shape"] == [20, 4]
+    codes = np.asarray(body["codes"])
+    assert codes.min() >= 0 and codes.max() < 16
+
+
+def test_reconstruct_endpoint(server):
+    with _post(server + "/reconstruct", _wav_bytes()) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(io.BytesIO(data))
+    assert sr == 22050 and len(wav) > 0
+
+
+def test_decode_endpoint(server):
+    codes = np.random.default_rng(0).integers(0, 16, (20, 4)).tolist()
+    payload = json.dumps({"codes": codes}).encode()
+    with _post(server + "/decode", payload) as r:
+        data = r.read()
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(io.BytesIO(data))
+    assert sr == 22050 and len(wav) > 0
+
+
+def test_bad_request_keeps_serving(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/decode", b"this is not json")
+    assert err.value.code == 400
+    # server still alive
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_unknown_route(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/nope", b"")
+    assert err.value.code == 404
