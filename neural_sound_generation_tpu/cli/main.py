@@ -65,6 +65,7 @@ def parse_args(argv=None):
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--max-batches-per-epoch", type=int, default=None)
+    p.add_argument("--norm", choices=["batch", "group"], default="batch")
     return p.parse_args(argv)
 
 
@@ -114,7 +115,7 @@ def _checkpoint_dir(args) -> str:
     )
 
 
-def make_model(cfg: Config, n_speakers: int = 0):
+def make_model(cfg: Config, n_speakers: int = 0, norm: str = "batch"):
     mc = cfg.model
     if mc.model == "vae":
         return VAE(input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim)
@@ -134,6 +135,7 @@ def make_model(cfg: Config, n_speakers: int = 0):
         z_dim=mc.z_dim,
         n_speakers=n_speakers if gin > 0 else 0,
         gin_channels=gin,
+        norm=norm,
     )
 
 
@@ -221,7 +223,7 @@ def main(argv=None):
         sample_batch = next(test_iter())
         n_speakers = 0
 
-    model = make_model(cfg, n_speakers)
+    model = make_model(cfg, n_speakers, norm=args.norm)
     init_kwargs = {"g": sample_batch["g"]} if "g" in sample_batch else {}
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs

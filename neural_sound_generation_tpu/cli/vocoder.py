@@ -10,7 +10,6 @@ runs the fast scan generator conditioned on a stored mel shard.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
 import numpy as np

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Mapping, Sequence
+from typing import Any, Mapping
 
 
 def _replace(dc, **kw):
@@ -161,6 +161,9 @@ class ModelConfig:
     # reference uses gradient-descent codebook learning only.
     ema_codebook: bool = False
     ema_codebook_decay: float = 0.99
+    # reinitialize codes whose EMA cluster size falls below this from
+    # random encoder outputs (0 disables); fights codebook collapse
+    restart_dead_threshold: float = 0.0
     # PixelCNN prior (models.py:285-341)
     prior_layers: int = 15
     prior_dim: int = 64

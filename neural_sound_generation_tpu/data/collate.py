@@ -11,7 +11,7 @@ decoder-width mismatch hack (train.py:118-120).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

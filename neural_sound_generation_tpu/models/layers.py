@@ -17,6 +17,23 @@ import jax.numpy as jnp
 conv_kernel_init = nn.initializers.xavier_uniform()
 
 
+def make_norm(norm: str, train: bool, dtype=jnp.float32, name=None):
+    """Normalization layer by name.
+
+    * "batch" — BatchNorm (reference parity, models.py BatchNorm2d).
+      Under pjit the batch statistics are computed over the *global*
+      batch automatically (GSPMD reduces across the data axis).
+    * "group" — GroupNorm(32 groups): statistics are per-sample, so
+      replicas never need synchronized running stats (SURVEY §7 hard
+      part 4's alternative).
+    """
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=not train, dtype=dtype, name=name)
+    if norm == "group":
+        return nn.GroupNorm(num_groups=None, group_size=8, dtype=dtype, name=name)
+    raise ValueError(f"unknown norm: {norm!r}")
+
+
 class ResBlock(nn.Module):
     """Pre-activation residual block (models.py:145-158):
     ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 conv -> BN, plus skip.
@@ -26,6 +43,7 @@ class ResBlock(nn.Module):
 
     dim: int
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -34,11 +52,11 @@ class ResBlock(nn.Module):
             self.dim, (3, 3), padding=((1, 1), (1, 1)),
             kernel_init=conv_kernel_init, dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = make_norm(self.norm, train, self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.dim, (1, 1), kernel_init=conv_kernel_init,
                     dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = make_norm(self.norm, train, self.dtype)(h)
         return x + h
 
 

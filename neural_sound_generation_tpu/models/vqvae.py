@@ -26,6 +26,7 @@ from neural_sound_generation_tpu.models.layers import (
     conv_down,
     conv_up,
     conv_kernel_init,
+    make_norm,
 )
 from neural_sound_generation_tpu.ops.vq import (
     codebook_lookup,
@@ -38,15 +39,16 @@ from neural_sound_generation_tpu.ops.vq import (
 class Encoder(nn.Module):
     dim: int
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         h = conv_down(self.dim, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = make_norm(self.norm, train, self.dtype)(h)
         h = nn.relu(h)
         h = conv_down(self.dim, dtype=self.dtype)(h)
-        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
-        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
+        h = ResBlock(self.dim, dtype=self.dtype, norm=self.norm)(h, train)
+        h = ResBlock(self.dim, dtype=self.dtype, norm=self.norm)(h, train)
         return h
 
 
@@ -54,14 +56,15 @@ class Decoder(nn.Module):
     dim: int
     output_dim: int
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        h = ResBlock(self.dim, dtype=self.dtype)(z, train)
-        h = ResBlock(self.dim, dtype=self.dtype)(h, train)
+        h = ResBlock(self.dim, dtype=self.dtype, norm=self.norm)(z, train)
+        h = ResBlock(self.dim, dtype=self.dtype, norm=self.norm)(h, train)
         h = nn.relu(h)
         h = conv_up(self.dim, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = make_norm(self.norm, train, self.dtype)(h)
         h = nn.relu(h)
         h = conv_up(self.output_dim, dtype=self.dtype)(h)
         return nn.tanh(h.astype(jnp.float32))
@@ -90,6 +93,9 @@ class VQVAE(nn.Module):
     # compute dtype for the conv stacks (bfloat16 doubles MXU throughput);
     # VQ distances and losses stay float32
     dtype: Any = jnp.float32
+    # "batch" (reference parity) or "group" (per-sample stats — no
+    # cross-replica coupling; SURVEY §7 hard part 4)
+    norm: str = "batch"
 
     def setup(self):
         init = nn.initializers.uniform(scale=2.0 / self.z_dim)
@@ -105,8 +111,10 @@ class VQVAE(nn.Module):
             lambda key, shape: init(key, shape) - 1.0 / self.z_dim,
             cb_shape,
         )
-        self.encoder = Encoder(self.dim, dtype=self.dtype)
-        self.decoder = Decoder(self.dim, self.input_dim, dtype=self.dtype)
+        self.encoder = Encoder(self.dim, dtype=self.dtype, norm=self.norm)
+        self.decoder = Decoder(
+            self.dim, self.input_dim, dtype=self.dtype, norm=self.norm
+        )
         if self.n_speakers > 0 and self.gin_channels > 0:
             self.speaker_embed = nn.Embed(self.n_speakers, self.gin_channels)
             self.speaker_proj = nn.Dense(self.dim, kernel_init=conv_kernel_init)

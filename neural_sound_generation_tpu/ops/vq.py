@@ -198,3 +198,25 @@ def residual_vq(inputs: jnp.ndarray, codebooks: jnp.ndarray):
     quantized_sum = jnp.reshape(total, inputs.shape)
     quantized_st = inputs + jax.lax.stop_gradient(quantized_sum - inputs)
     return quantized_st, quantized_sum, jnp.stack(indices)
+
+
+def restart_dead_codes(
+    codebook: jnp.ndarray,
+    usage: jnp.ndarray,
+    batch_flat: jnp.ndarray,
+    key: jax.Array,
+    threshold: float = 1.0,
+) -> jnp.ndarray:
+    """Reinitialize unused codes from random encoder outputs.
+
+    The standard codebook-collapse mitigation (observed in practice: toy
+    runs collapse to perplexity ~1): codes whose ``usage`` (e.g. EMA
+    cluster size or batch counts) falls below ``threshold`` are replaced
+    by randomly drawn rows of the current batch's encoder outputs. Fully
+    static shapes — a (K,) where-select, jit/pjit safe.
+    """
+    num_codes = codebook.shape[0]
+    idx = jax.random.randint(key, (num_codes,), 0, batch_flat.shape[0])
+    candidates = jax.lax.stop_gradient(batch_flat[idx])
+    dead = (usage < threshold)[:, None]
+    return jnp.where(dead, candidates.astype(codebook.dtype), codebook)

@@ -14,8 +14,7 @@ output shape equals input shape exactly.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,7 @@ def _vqvae_loss_fn(model: VQVAE, beta: float):
             mutable=["batch_stats"],
         )
         total, metrics = vqvae_loss(x_tilde, batch["x"], z_e, z_q, beta)
-        return total, (metrics, mut["batch_stats"], z_e)
+        return total, (metrics, mut.get("batch_stats", batch_stats), z_e)
 
     return loss_fn
 
@@ -62,7 +61,7 @@ def _vae_loss_fn(model: VAE):
         )
         total = elbo_mse(x_tilde, batch["x"], kl)
         metrics = {"loss": total, "kl": kl}
-        return total, (metrics, mut["batch_stats"], None)
+        return total, (metrics, mut.get("batch_stats", batch_stats), None)
 
     return loss_fn
 
@@ -96,7 +95,7 @@ def _wave_vqvae_loss_fn(model: WaveVQVAE, beta: float):
             "loss_commit": loss_commit,
             "train_loss": loss_recons + loss_vq,
         }
-        return total, (metrics, mut["batch_stats"], z_e)
+        return total, (metrics, mut.get("batch_stats", batch_stats), z_e)
 
     return loss_fn
 
@@ -106,10 +105,15 @@ def make_train_step(
     cfg: Config,
     mesh=None,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """One jitted optimization step. With ``mesh``, the batch is expected
     sharded over 'data' and the state replicated; XLA inserts the gradient
-    all-reduce."""
+    all-reduce.
+
+    ``remat`` wraps the forward in ``jax.checkpoint`` — activations are
+    recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
+    less HBM (the standard lever for fitting larger models/batches)."""
     if isinstance(model, WaveVQVAE):
         loss_fn = _wave_vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VQVAE):
@@ -118,6 +122,8 @@ def make_train_step(
         loss_fn = _vae_loss_fn(model)
     else:
         raise TypeError(f"unsupported model: {type(model)}")
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
     ema_codebook = cfg.model.ema_codebook and not isinstance(model, VAE)
 
@@ -148,6 +154,13 @@ def make_train_step(
                 indices,
                 decay=cfg.model.ema_codebook_decay,
             )
+            if cfg.model.restart_dead_threshold > 0:
+                from neural_sound_generation_tpu.ops.vq import restart_dead_codes
+
+                new_cb = restart_dead_codes(
+                    new_cb, cluster, flat, rng,
+                    threshold=cfg.model.restart_dead_threshold,
+                )
             params = dict(new_state.params)
             params["codebook"] = new_cb
             new_state = new_state.replace(

@@ -9,8 +9,7 @@ alphabet. The STFT here is the framework's batched on-device transform.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -239,3 +239,28 @@ def test_vqvae_bf16_compute(rng):
         state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] and np.isfinite(losses[-1])
+
+
+def test_vqvae_groupnorm_variant(rng):
+    """norm='group': no batch_stats collection, per-sample statistics,
+    trains end-to-end (SURVEY §7 hard part 4 alternative)."""
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, norm="group")
+    x = _mel_batch(rng, b=4, h=16, w=16)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "batch_stats" not in variables
+    state = create_train_state(variables, Config().train)
+    step = make_train_step(model, Config(), donate=False)
+    losses = []
+    for i in range(15):
+        state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] and np.isfinite(losses[-1])
+    # per-sample stats: single-example eval equals its batched eval
+    y_batch, _, _ = model.apply(variables, x, train=False)
+    y_single, _, _ = model.apply(variables, x[:1], train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_batch[0]), np.asarray(y_single[0]), atol=1e-5
+    )

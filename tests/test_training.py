@@ -271,3 +271,41 @@ def test_trainer_metrics_jsonl(rng, tmp_path):
     assert records[0]["phase"] == "train" and records[0]["epoch"] == 1
     assert records[1]["phase"] == "test"
     assert "loss" in records[0] and "perplexity" in records[1]
+
+
+def test_remat_train_step_matches(rng):
+    """jax.checkpoint wrapping must not change the numerics."""
+    model, cfg, state, batch = _make_vqvae(rng)
+    step = make_train_step(model, cfg, donate=False)
+    step_r = make_train_step(model, cfg, donate=False, remat=True)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(0))
+    s2, m2 = step_r(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["codebook"]),
+        np.asarray(s2.params["codebook"]),
+        atol=1e-6,
+    )
+
+
+def test_ema_codebook_with_dead_restart(rng):
+    from neural_sound_generation_tpu.models import VQVAE
+    import dataclasses
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=cfg.model.__class__(
+            model="vqvae", dim=8, z_dim=16, ema_codebook=True,
+            ema_codebook_decay=0.5, restart_dead_threshold=0.1,
+        ),
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(np.random.default_rng(0))
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, ema_codebook=True)
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(10):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(np.asarray(state.params["codebook"])).all()

@@ -270,3 +270,20 @@ def test_rvq_vqvae_trains(rng):
         state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] and np.isfinite(losses[-1])
+
+
+def test_restart_dead_codes(rng):
+    from neural_sound_generation_tpu.ops.vq import restart_dead_codes
+
+    cb = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+    batch = jnp.asarray(rng.standard_normal((100, 4)).astype(np.float32) + 10.0)
+    usage = jnp.asarray([0.0, 5.0, 0.2, 3.0, 0.0, 1.0, 2.0, 0.5])
+    new_cb = restart_dead_codes(cb, usage, batch, jax.random.PRNGKey(0))
+    new_np, old_np = np.asarray(new_cb), np.asarray(cb)
+    dead = [0, 2, 4, 7]  # usage < 1.0
+    alive = [1, 3, 5, 6]
+    for k in alive:
+        np.testing.assert_array_equal(new_np[k], old_np[k])
+    for k in dead:
+        assert not np.allclose(new_np[k], old_np[k])
+        assert new_np[k].mean() > 5  # drawn from the shifted batch
