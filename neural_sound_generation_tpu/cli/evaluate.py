@@ -1,0 +1,86 @@
+"""Standalone evaluation CLI.
+
+The reference's ``test.py`` (test/test_vae/test_vqvae, src/test.py:11-106)
+only runs inside the training loop; this command evaluates a saved
+checkpoint against the test split on its own: per-batch metric
+accumulation, averaged summary, optional reconstruction artifact dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a saved checkpoint")
+    p.add_argument("--model", default="vqvae", choices=["vae", "vqvae", "wavevqvae"])
+    p.add_argument("--dataset", default="ljspeech")
+    p.add_argument("--datadir", required=True)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--preset", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--z-dim", type=int, default=512)
+    p.add_argument("--norm", choices=["batch", "group"], default="batch")
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--dump-npy", default=None,
+                   help="write the last reconstruction batch here")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from neural_sound_generation_tpu.cli.main import build_config, make_model
+    from neural_sound_generation_tpu.data import get_audio_data_loaders
+    from neural_sound_generation_tpu.training import (
+        Trainer,
+        checkpoint,
+        create_train_state,
+    )
+
+    args = parse_args(argv)
+    args.lr_rate = 1e-3  # unused fields expected by build_config
+    args.beta = 1.0
+    args.seed = 0
+    args.epochs = 1
+    args.log_interval = 10
+    cfg = build_config(args)
+
+    loaders = get_audio_data_loaders(
+        args.datadir, None, args.batch_size, cfg, test_shuffle=False,
+        batch_mode="wave" if args.model == "wavevqvae" else "mel",
+    )
+    test_loader = loaders["test"]
+    sample = next(iter(test_loader))
+    n_speakers = cfg.arch.n_speakers if "g" in sample else 0
+
+    model = make_model(cfg, n_speakers, norm=args.norm)
+    init_kwargs = {"g": sample["g"]} if "g" in sample else {}
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample["x"]), train=False, **init_kwargs
+    )
+    state = create_train_state(variables, cfg.train)
+    state, extra = checkpoint.restore(args.ckpt_dir, state)
+    print(f"loaded checkpoint step={int(np.asarray(state.step))} extra={extra}")
+
+    trainer = Trainer(model, cfg, state, log_fn=print)
+    batches = iter(test_loader)
+    if args.max_batches:
+        import itertools
+
+        batches = itertools.islice(batches, args.max_batches)
+    means, recon = trainer.eval_epoch(batches)
+    print(json.dumps({k: round(v, 6) for k, v in means.items()}))
+    if args.dump_npy and recon is not None:
+        np.save(args.dump_npy, np.asarray(jax.device_get(recon)))
+        print(f"wrote {args.dump_npy}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

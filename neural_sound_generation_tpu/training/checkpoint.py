@@ -64,6 +64,28 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
+    state_dict = _fill_missing(
+        flax.serialization.to_state_dict(template), restored["state"]
+    )
     # name-based graft onto the template structure
-    state = flax.serialization.from_state_dict(template, restored["state"])
+    state = flax.serialization.from_state_dict(template, state_dict)
     return state, restored.get("extra")
+
+
+def _fill_missing(template_sd, restored_sd):
+    """Forward compatibility: fields added to TrainState after a checkpoint
+    was written (e.g. codebook_ema) fall back to the template's value
+    instead of failing the strict name-based restore."""
+    if not isinstance(template_sd, dict):
+        return restored_sd
+    if not isinstance(restored_sd, dict):
+        return restored_sd
+    out = {}
+    for key, tmpl_val in template_sd.items():
+        if key in restored_sd:
+            out[key] = _fill_missing(tmpl_val, restored_sd[key])
+        else:
+            out[key] = tmpl_val
+    # keys present only in the checkpoint are dropped (template defines
+    # the structure); from_state_dict would reject them anyway
+    return out

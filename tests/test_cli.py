@@ -231,3 +231,30 @@ def test_speaker_filtered_training(tmp_path):
         "--dim", "8", "--z-dim", "16",
         "--max-batches-per-epoch", "2",
     ])
+
+
+def test_evaluate_cli(tmp_path):
+    """Standalone evaluation of a saved checkpoint (test.py parity)."""
+    from neural_sound_generation_tpu.cli import evaluate as evaluate_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    dump = str(tmp_path / "recon.npy")
+    evaluate_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--ckpt-dir", str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16"),
+        "--batch-size", "2", "--dim", "8", "--z-dim", "16",
+        "--dump-npy", dump,
+    ])
+    assert os.path.exists(dump)
+    recon = np.load(dump)
+    assert recon.ndim == 4 and np.isfinite(recon).all()
