@@ -29,16 +29,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_tpu(steps=100, warmup=10, rounds=3):
+def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     # The TPU is reached through a tunnel with occasional latency spikes;
     # measure several blocked windows of dependent steps and report the
-    # median rate.
+    # median rate. Training runs ``multi`` optimization steps per device
+    # launch (lax.scan) — the production configuration; the per-call
+    # dispatch floor otherwise dominates at this batch size (PERF.md).
     import jax
     import jax.numpy as jnp
 
     from neural_sound_generation_tpu.config import Config
     from neural_sound_generation_tpu.models import VQVAE
-    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+    from neural_sound_generation_tpu.training import create_train_state
+    from neural_sound_generation_tpu.training.trainer import make_multistep_train
 
     log(f"[bench] jax backend={jax.default_backend()} devices={jax.devices()}")
     cfg = Config().parse(f"batch_size={BATCH}")
@@ -50,25 +53,28 @@ def bench_tpu(steps=100, warmup=10, rounds=3):
     )
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     state = create_train_state(variables, cfg.train)
-    step = make_train_step(model, cfg, donate=False)
-    batch = {"x": x}
+    run = make_multistep_train(model, cfg, multi, donate=False)
+    super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
 
-    for _ in range(warmup):
-        state, metrics = step(state, batch, key)
+    launches = max(1, steps // multi)
+    for _ in range(max(1, warmup // multi)):
+        state, metrics = run(state, super_batch, key)
     jax.block_until_ready(metrics)
     rates = []
     for r in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = step(state, batch, key)
+        for _ in range(launches):
+            state, metrics = run(state, super_batch, key)
         jax.block_until_ready(metrics)
         dt = time.perf_counter() - t0
-        rates.append(steps / dt)
-        log(f"[bench] TPU round {r}: {steps} steps in {dt:.3f}s "
-            f"-> {rates[-1]:.2f} steps/s (loss={float(metrics['loss']):.4f})")
+        rates.append(launches * multi / dt)
+        log(f"[bench] TPU round {r}: {launches * multi} steps in {dt:.3f}s "
+            f"-> {rates[-1]:.2f} steps/s "
+            f"(loss={float(metrics['loss'][-1]):.4f})")
     sps = float(np.median(rates))
-    log(f"[bench] TPU median over {rounds} rounds: {sps:.2f} steps/s")
+    log(f"[bench] TPU median over {rounds} rounds "
+        f"(multi-step scan x{multi}): {sps:.2f} steps/s")
     return sps
 
 

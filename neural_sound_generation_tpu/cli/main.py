@@ -66,6 +66,8 @@ def parse_args(argv=None):
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--max-batches-per-epoch", type=int, default=None)
     p.add_argument("--norm", choices=["batch", "group"], default="batch")
+    p.add_argument("--multi-steps", type=int, default=1,
+                   help="optimization steps per device launch (lax.scan)")
     return p.parse_args(argv)
 
 
@@ -251,7 +253,8 @@ def main(argv=None):
         args.sampledir, args.dataset, "metrics.jsonl"
     )
     os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
-    trainer = Trainer(model, cfg, state, mesh=mesh, metrics_path=metrics_path)
+    trainer = Trainer(model, cfg, state, mesh=mesh, metrics_path=metrics_path,
+                      multi_steps=args.multi_steps)
     print(model)
 
     last_epoch = start_epoch - 1

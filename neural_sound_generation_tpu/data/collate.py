@@ -56,6 +56,7 @@ def collate_mel_batch(
     max_time_steps: Optional[int] = 8000,
     rng: Optional[np.random.Generator] = None,
     latent_stride: int = 4,
+    frames_out: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """items: list of (audio (T,), mel (frames, n_mels), speaker_id|None).
 
@@ -66,10 +67,15 @@ def collate_mel_batch(
       c: mel conditioning (B, n_mels, F) float32
       g: speaker ids (B,) int32 or None
       input_lengths: true (uncropped/unpadded) lengths in samples
+
+    ``frames_out`` overrides the static crop size — used by bucketed
+    batching (DataConfig.bucket_boundaries), where each batch is padded
+    only to its bucket's frame count instead of the global maximum.
     """
     rng = rng or np.random.default_rng()
     hop = cfg.effective_hop_size
-    frames_out = static_crop_frames(max_time_steps, hop, latent_stride)
+    if frames_out is None:
+        frames_out = static_crop_frames(max_time_steps, hop, latent_stride)
     samples_out = frames_out * hop
 
     if cfg.is_mulaw_quantize:

@@ -110,6 +110,25 @@ class MelFrameLoader:
                                    self.batch_size))
         return n // self.batch_size
 
+    def _bucket_frames(self, batch_idx) -> Optional[int]:
+        """Static frame count for this batch from DataConfig.bucket_boundaries:
+        the smallest boundary >= the batch's longest utterance (clamped to the
+        global crop). Length-sorted sampling keeps batches homogeneous, so
+        shorter batches pad to a smaller bucket instead of the global max;
+        XLA compiles one program per distinct bucket (bounded set)."""
+        boundaries = self.cfg.data.bucket_boundaries
+        if not boundaries:
+            return None
+        from neural_sound_generation_tpu.data.collate import static_crop_frames
+
+        hop = self.cfg.audio.effective_hop_size
+        cap = static_crop_frames(self.cfg.train.max_time_steps, hop)
+        max_frames = max(self.dataset.X.lengths[i] // hop for i in batch_idx)
+        for b in sorted(boundaries):
+            if b % 4 == 0 and b >= max_frames:
+                return min(b, cap)
+        return cap
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._indices()
         rng = np.random.default_rng(self.seed + 7919 * self._epoch)
@@ -127,6 +146,7 @@ class MelFrameLoader:
                             self.cfg.audio,
                             self.cfg.train.max_time_steps,
                             rng,
+                            frames_out=self._bucket_frames(batch_idx),
                         )
                         if self.batch_mode == "mel":
                             out = as_model_batch(out)

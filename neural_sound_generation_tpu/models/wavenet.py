@@ -45,7 +45,6 @@ class ConditionUpsampler(nn.Module):
 
     scales: Tuple[int, ...] = (4, 4, 4, 4)
     channels: int = 80
-    freq_kernel: int = 3
 
     @nn.compact
     def __call__(self, c: jnp.ndarray) -> jnp.ndarray:

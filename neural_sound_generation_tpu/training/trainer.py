@@ -183,6 +183,43 @@ def make_train_step(
     )
 
 
+def make_multistep_train(model, cfg: Config, n_inner: int, donate: bool = True):
+    """N optimization steps inside ONE jitted program via ``lax.scan``.
+
+    On this backend the per-call dispatch floor (~300us through the
+    tunnel) dominates small-batch steps; scanning n_inner steps amortizes
+    it to one launch. Takes a stacked super-batch (every array leaf gains
+    a leading (n_inner,) axis) and returns (state, stacked metrics).
+    """
+    inner = make_train_step(model, cfg, donate=False)
+    # unwrap: use the underlying python callable so scan traces it inline
+    inner_fn = inner.__wrapped__
+
+    def multi(state, batches, rng):
+        def body(carry, batch):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            state, metrics = inner_fn(state, batch, sub)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """List of dict batches -> one super-batch with a leading scan axis."""
+    import numpy as np
+
+    keys = batches[0].keys()
+    return {
+        k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+        for k in keys
+        if batches[0][k] is not None
+    }
+
+
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
@@ -249,6 +286,7 @@ class Trainer:
         mesh=None,
         log_fn: Optional[Callable[[str], None]] = print,
         metrics_path: Optional[str] = None,
+        multi_steps: int = 1,
     ):
         self.model = model
         self.cfg = cfg
@@ -258,7 +296,15 @@ class Trainer:
         # structured per-epoch scalar log (JSONL) — the observability the
         # reference lacks (SURVEY §5: print-only)
         self.metrics_path = metrics_path
+        # multi_steps > 1: scan N optimization steps per device launch
+        # (amortizes the dispatch floor; see make_multistep_train)
+        self.multi_steps = max(1, multi_steps)
         self._train_step = make_train_step(model, cfg, mesh)
+        self._multi_step = (
+            make_multistep_train(model, cfg, self.multi_steps)
+            if self.multi_steps > 1
+            else None
+        )
         self._eval_step = make_eval_step(model, cfg, mesh)
 
     def _write_metrics(self, record: Dict):
@@ -274,16 +320,31 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
-    def train_epoch(self, batches, rng: jax.Array, epoch: int = 0):
+    def train_epoch(self, batches, rng: jax.Array, epoch: int = 0,
+                    checkpoint_cb=None):
         """batches: iterable of dict batches (host numpy or device arrays).
-        Returns mean metrics over the epoch."""
+        Returns mean metrics over the epoch.
+
+        ``checkpoint_cb(state, step)`` is invoked every
+        ``cfg.train.checkpoint_interval`` optimization steps — the per-step
+        interval the reference configures but never consumes
+        (hparams.py:122)."""
         sums: Dict[str, float] = {}
         count = 0
+        interval = self.cfg.train.checkpoint_interval
+        if self._multi_step is not None:
+            batches = self._chunk_batches(batches)
         for i, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
-            self.state, metrics = self._train_step(
-                self.state, self._put(batch), step_rng
-            )
+            if self._multi_step is not None:
+                self.state, stacked = self._multi_step(
+                    self.state, self._put(batch), step_rng
+                )
+                metrics = jax.tree_util.tree_map(lambda v: v.mean(), stacked)
+            else:
+                self.state, metrics = self._train_step(
+                    self.state, self._put(batch), step_rng
+                )
             count += 1
             if (
                 self.cfg.train.log_interval
@@ -296,6 +357,10 @@ class Trainer:
                 )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
+            if checkpoint_cb and interval:
+                step_now = int(jax.device_get(self.state.step))
+                if step_now % interval == 0:
+                    checkpoint_cb(self.state, step_now)
         means = {k: v / max(count, 1) for k, v in sums.items()}
         self.log_fn(
             f"====> Epoch: {epoch} Average loss: {means.get('loss', 0.0):.4f}"
@@ -304,6 +369,17 @@ class Trainer:
             {"phase": "train", "epoch": epoch, "batches": count, **means}
         )
         return means
+
+    def _chunk_batches(self, batches):
+        """Group mini-batches into stacked super-batches of multi_steps."""
+        chunk = []
+        for b in batches:
+            chunk.append(b)
+            if len(chunk) == self.multi_steps:
+                yield stack_batches(chunk)
+                chunk = []
+        # drop the final partial chunk (static scan length); typically a
+        # fraction of one launch per epoch
 
     def eval_epoch(self, batches):
         sums: Dict[str, float] = {}

@@ -258,3 +258,36 @@ def test_evaluate_cli(tmp_path):
     assert os.path.exists(dump)
     recon = np.load(dump)
     assert recon.ndim == 4 and np.isfinite(recon).all()
+
+
+def _make_cifar10(tmp_path, n=24):
+    import pickle
+
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for name, count in [("data_batch_1", n), ("test_batch", n // 2)]:
+        d = {
+            b"data": rng.integers(0, 256, (count, 3072), dtype=np.uint8),
+            b"labels": rng.integers(0, 10, count).tolist(),
+        }
+        with open(base / name, "wb") as f:
+            pickle.dump(d, f)
+    return tmp_path
+
+
+def test_cifar10_reader_and_training(tmp_path):
+    from neural_sound_generation_tpu.data.images import load_cifar10
+
+    _make_cifar10(tmp_path)
+    x, y = load_cifar10(str(tmp_path))
+    assert x.shape == (24, 32, 32, 3) and x.max() <= 1.0
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "CIFAR10",
+        "--datadir", str(tmp_path),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "8", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+    ])
+    assert (tmp_path / "models" / "vqvae" / "checkpoint_CIFAR10_8_16").exists()

@@ -410,3 +410,23 @@ def test_preprocess_skip_errors(tmp_path):
         specs, str(tmp_path / "o2"), cfg, skip_errors=True
     )
     assert len(entries) == 1 and entries[0].text == "ok"
+
+
+def test_bucket_boundaries_reduce_padding(tmp_path):
+    """DataConfig.bucket_boundaries: short batches pad to their bucket's
+    frame count instead of the global crop size."""
+    import dataclasses
+
+    _write_corpus(tmp_path, n=16)  # lengths 10..25 frames
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, bucket_boundaries=(12, 16, 20, 28))
+    )
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+    ds = AudioDataset(x, mel)
+    loader = MelFrameLoader(ds, cfg, batch_size=2, shuffle=True)
+    widths = {b["x"].shape[2] for b in loader}
+    assert len(widths) > 1  # multiple static bucket shapes in play
+    assert all(w in (12, 16, 20, 28) for w in widths)
+    assert all(w % 4 == 0 for w in widths)

@@ -264,3 +264,22 @@ def test_vqvae_groupnorm_variant(rng):
     np.testing.assert_allclose(
         np.asarray(y_batch[0]), np.asarray(y_single[0]), atol=1e-5
     )
+
+
+def test_default_vae_mlp(rng):
+    """DefaultVAE: the 784-400-20 MLP baseline (models.py:35-61)."""
+    from neural_sound_generation_tpu.models import DefaultVAE
+
+    model = DefaultVAE()
+    x = jnp.asarray(rng.uniform(0, 1, (4, 28, 28, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    recon, mu, logvar = model.apply(
+        variables, x, train=True, rngs={"sample": jax.random.PRNGKey(1)}
+    )
+    assert recon.shape == (4, 784)
+    assert mu.shape == logvar.shape == (4, 20)
+    assert float(recon.min()) >= 0 and float(recon.max()) <= 1  # sigmoid
+    # eval path deterministic
+    r1, _, _ = model.apply(variables, x, train=False)
+    r2, _, _ = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

@@ -309,3 +309,56 @@ def test_ema_codebook_with_dead_restart(rng):
         state, m = step(state, batch, jax.random.PRNGKey(i))
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(np.asarray(state.params["codebook"])).all()
+
+
+def test_trainer_step_interval_checkpointing(rng):
+    import dataclasses
+
+    model, cfg, state, batch = _make_vqvae(rng)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, checkpoint_interval=3)
+    )
+    saved = []
+    trainer = Trainer(model, cfg, state, log_fn=None)
+    trainer.train_epoch(
+        [batch] * 7, jax.random.PRNGKey(0), epoch=1,
+        checkpoint_cb=lambda s, step: saved.append(step),
+    )
+    assert saved == [3, 6]
+
+
+def test_multistep_matches_sequential(rng):
+    """N scanned steps must equal N sequential steps given the same rng
+    splitting discipline."""
+    from neural_sound_generation_tpu.training.trainer import (
+        make_multistep_train,
+        stack_batches,
+    )
+
+    model, cfg, state, batch = _make_vqvae(rng)
+    n = 4
+    multi = make_multistep_train(model, cfg, n, donate=False)
+    s_multi, metrics = multi(state, stack_batches([batch] * n), jax.random.PRNGKey(7))
+    assert metrics["loss"].shape == (n,)
+
+    step = make_train_step(model, cfg, donate=False)
+    s_seq = state
+    key = jax.random.PRNGKey(7)
+    for _ in range(n):
+        key, sub = jax.random.split(key)
+        s_seq, m = step(s_seq, batch, sub)
+    np.testing.assert_allclose(
+        np.asarray(s_multi.params["codebook"]),
+        np.asarray(s_seq.params["codebook"]),
+        atol=1e-5,
+    )
+    assert int(s_multi.step) == int(s_seq.step) == 4
+
+
+def test_trainer_multi_steps_epoch(rng):
+    model, cfg, state, batch = _make_vqvae(rng)
+    trainer = Trainer(model, cfg, state, log_fn=None, multi_steps=2)
+    means = trainer.train_epoch([batch] * 5, jax.random.PRNGKey(0), epoch=1)
+    # 5 batches -> 2 launches of 2 (final partial dropped) = 4 steps
+    assert int(jax.device_get(trainer.state.step)) == 4
+    assert np.isfinite(means["loss"])
