@@ -57,6 +57,7 @@ def collate_mel_batch(
     rng: Optional[np.random.Generator] = None,
     latent_stride: int = 4,
     frames_out: Optional[int] = None,
+    one_hot: bool = True,
 ) -> Dict[str, np.ndarray]:
     """items: list of (audio (T,), mel (frames, n_mels), speaker_id|None).
 
@@ -113,9 +114,16 @@ def collate_mel_batch(
     y = np.stack(xs)
     if cfg.is_mulaw_quantize:
         y = y.astype(np.int64)
-        x = np.eye(cfg.quantize_channels, dtype=np.float32)[
-            np.clip(y, 0, cfg.quantize_channels - 1)
-        ]  # (B, S, Q) one-hot
+        # one-hot x matches the reference collate contract
+        # (dataloader.py:391-400); the framework's own models embed the
+        # int targets instead, so internal loaders pass one_hot=False and
+        # skip materializing (B, S, Q) float32 on host.
+        if one_hot:
+            x = np.eye(cfg.quantize_channels, dtype=np.float32)[
+                np.clip(y, 0, cfg.quantize_channels - 1)
+            ]  # (B, S, Q)
+        else:
+            x = y.astype(np.int32)
     else:
         y = y.astype(np.float32)
         x = y[..., None]

@@ -101,6 +101,7 @@ def preprocess_utterances(
     device_batch: int = 16,
     length_quantum: int = 32768,
     skip_errors: bool = False,
+    chunk_size: int = 1024,
     tqdm=lambda x, **kw: x,
 ) -> List[ManifestEntry]:
     """Run the full preprocessing pipeline; returns manifest entries in the
@@ -111,7 +112,40 @@ def preprocess_utterances(
     files) with a warning instead of aborting the whole run — the
     fault-tolerance the reference's ``future.result()`` fan-out lacks
     (SURVEY §5 failure detection).
+
+    Corpora are processed in chunks of ``chunk_size`` utterances so host
+    memory stays bounded (full LJSpeech would otherwise hold ~8 GB of
+    decoded audio at once).
     """
+    if len(specs) > chunk_size:
+        entries: List[ManifestEntry] = []
+        for start in range(0, len(specs), chunk_size):
+            entries.extend(
+                _preprocess_chunk(
+                    specs[start : start + chunk_size], out_dir, cfg, name,
+                    num_workers, device_batch, length_quantum, skip_errors,
+                    tqdm, index_offset=start,
+                )
+            )
+        return entries
+    return _preprocess_chunk(
+        specs, out_dir, cfg, name, num_workers, device_batch,
+        length_quantum, skip_errors, tqdm, index_offset=0,
+    )
+
+
+def _preprocess_chunk(
+    specs,
+    out_dir: str,
+    cfg: AudioConfig,
+    name: str,
+    num_workers: int,
+    device_batch: int,
+    length_quantum: int,
+    skip_errors: bool,
+    tqdm,
+    index_offset: int,
+) -> List[ManifestEntry]:
     os.makedirs(out_dir, exist_ok=True)
     sr = cfg.sample_rate
     hop = cfg.effective_hop_size
@@ -211,7 +245,7 @@ def preprocess_utterances(
             assert len(out) >= n_frames * hop
             out = out[: n_frames * hop]
 
-            idx1 = i + 1
+            idx1 = index_offset + i + 1
             audio_filename = f"{name}-audio-{idx1:05d}.npy"
             mel_filename = f"{name}-mel-{idx1:05d}.npy"
             np.save(

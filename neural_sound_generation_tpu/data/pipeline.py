@@ -147,6 +147,7 @@ class MelFrameLoader:
                             self.cfg.train.max_time_steps,
                             rng,
                             frames_out=self._bucket_frames(batch_idx),
+                            one_hot=False,  # models embed ints; see collate
                         )
                         if self.batch_mode == "mel":
                             out = as_model_batch(out)
@@ -221,3 +222,42 @@ def get_audio_data_loaders(
             hist = np.bincount(np.asarray(x_src.speaker_ids))
             print(f"Speaker stats: {dict(enumerate(hist.tolist()))}")
     return loaders
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Keep ``size`` batches resident on device ahead of consumption.
+
+    Device transfers are async in JAX, so enqueuing the next batches'
+    ``device_put`` before the consumer needs them overlaps H2D copies with
+    the current step's compute (the double-buffering half of the
+    reference's pin_memory intent, hparams.py:87). ``sharding`` places
+    batches straight onto a mesh (e.g. ``batch_sharding(mesh)``).
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        else:
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        buf.append(batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(max(1, size)):
+            put(next(it))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass

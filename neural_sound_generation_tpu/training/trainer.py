@@ -183,13 +183,19 @@ def make_train_step(
     )
 
 
-def make_multistep_train(model, cfg: Config, n_inner: int, donate: bool = True):
+def make_multistep_train(
+    model, cfg: Config, n_inner: int, donate: bool = True, mesh=None
+):
     """N optimization steps inside ONE jitted program via ``lax.scan``.
 
     On this backend the per-call dispatch floor (~300us through the
     tunnel) dominates small-batch steps; scanning n_inner steps amortizes
     it to one launch. Takes a stacked super-batch (every array leaf gains
     a leading (n_inner,) axis) and returns (state, stacked metrics).
+
+    With ``mesh``, each scanned step is data-parallel: the super-batch is
+    expected sharded as (scan, 'data', ...) and GSPMD emits one gradient
+    all-reduce per inner step, all inside the single launch.
     """
     inner = make_train_step(model, cfg, donate=False)
     # unwrap: use the underlying python callable so scan traces it inline
@@ -205,7 +211,19 @@ def make_multistep_train(model, cfg: Config, n_inner: int, donate: bool = True):
         (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
         return state, metrics
 
-    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=donate_argnums)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = replicated_sharding(mesh)
+    scan_data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        multi,
+        in_shardings=(rep, scan_data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=donate_argnums,
+    )
 
 
 def stack_batches(batches):
@@ -301,7 +319,7 @@ class Trainer:
         self.multi_steps = max(1, multi_steps)
         self._train_step = make_train_step(model, cfg, mesh)
         self._multi_step = (
-            make_multistep_train(model, cfg, self.multi_steps)
+            make_multistep_train(model, cfg, self.multi_steps, mesh=mesh)
             if self.multi_steps > 1
             else None
         )

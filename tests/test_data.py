@@ -430,3 +430,53 @@ def test_bucket_boundaries_reduce_padding(tmp_path):
     assert len(widths) > 1  # multiple static bucket shapes in play
     assert all(w in (12, 16, 20, 28) for w in widths)
     assert all(w % 4 == 0 for w in widths)
+
+
+def test_preprocess_chunked_numbering(tmp_path):
+    """Chunked processing keeps global %05d numbering and spec order."""
+    from neural_sound_generation_tpu.data.corpora.engine import (
+        UtteranceSpec,
+        preprocess_utterances,
+    )
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    specs = []
+    for i in range(7):
+        wav = (0.3 * rng.standard_normal(sr // 4 + 100 * i)).astype(np.float32)
+        specs.append(UtteranceSpec(f"u{i}", f"text {i}",
+                                   loader=(lambda w=wav: w)))
+    cfg = AudioConfig()
+    entries = preprocess_utterances(
+        specs, str(tmp_path), cfg, name="chunked", chunk_size=3
+    )
+    assert len(entries) == 7
+    for k, e in enumerate(entries):
+        assert e.audio_path == f"chunked-audio-{k + 1:05d}.npy"
+        assert e.text == f"text {k}"
+        assert (tmp_path / e.audio_path).exists()
+
+
+def test_device_prefetch(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.full((2, 4), float(i), np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jnp.ndarray)
+        assert float(b["x"][0, 0]) == float(i)
+
+    # with an explicit sharding over the 8-device mesh
+    from neural_sound_generation_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    big = [{"x": np.ones((8, 4), np.float32) * i} for i in range(3)]
+    out = list(device_prefetch(iter(big), size=2, sharding=batch_sharding(mesh)))
+    assert len(out) == 3
+    from jax.sharding import PartitionSpec as P
+
+    assert out[0]["x"].sharding.spec == P("data")

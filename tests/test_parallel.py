@@ -119,3 +119,37 @@ def test_distributed_topology_single_process():
     assert t.global_device_count == 8
     assert topology().local_device_count == 8
     assert loader_shard_args() == {"num_hosts": 1, "host_id": 0}
+
+
+def test_multistep_over_mesh_matches_single_device(rng):
+    """scan x N steps with data-parallel sharding == N single-device steps."""
+    from neural_sound_generation_tpu.training.trainer import (
+        make_multistep_train,
+        stack_batches,
+    )
+
+    model, cfg, state, batch = _setup(rng)
+    n = 3
+    key = jax.random.PRNGKey(5)
+
+    # single device reference
+    multi1 = make_multistep_train(model, cfg, n, donate=False)
+    s1, _ = multi1(state, stack_batches([batch] * n), key)
+
+    # 8-way data parallel
+    mesh = make_mesh()
+    multiN = make_multistep_train(model, cfg, n, donate=False, mesh=mesh)
+    rep = replicated_sharding(mesh)
+    stateN = jax.device_put(state, rep)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    super_batch = jax.device_put(
+        stack_batches([batch] * n), NamedSharding(mesh, P(None, "data"))
+    )
+    sN, metrics = multiN(stateN, super_batch, jax.device_put(key, rep))
+    np.testing.assert_allclose(
+        np.asarray(s1.params["codebook"]),
+        np.asarray(sN.params["codebook"]),
+        atol=1e-6,
+    )
+    assert metrics["loss"].shape == (n,)
