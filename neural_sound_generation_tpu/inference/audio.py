@@ -10,6 +10,7 @@ each as a single jitted batched program.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -21,15 +22,40 @@ from neural_sound_generation_tpu.models.pixelcnn import generate as pixelcnn_gen
 from neural_sound_generation_tpu.ops import dsp
 
 
-def extract_units(model: VQVAE, variables, mels: jnp.ndarray) -> jnp.ndarray:
-    """Mel batch (B, num_mels, frames, 1) -> discrete unit grid
-    (B, frames'/4, mels'/4) — the ZeroSpeech-style unit extraction."""
-
+@functools.lru_cache(maxsize=None)
+def _encode_fn(model: VQVAE):
+    # flax modules are frozen dataclasses (hashable): one jitted program
+    # per model configuration instead of retracing on every call
     @jax.jit
     def run(variables, mels):
         return model.apply(variables, mels, train=False, method=VQVAE.encode)
 
-    return run(variables, mels)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _forward_fn(model: VQVAE):
+    @jax.jit
+    def run(variables, mels, g):
+        x_tilde, _, _ = model.apply(variables, mels, train=False, g=g)
+        return x_tilde
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fn(model: VQVAE):
+    @jax.jit
+    def run(variables, indices, g):
+        return model.apply(variables, indices, g, train=False, method=VQVAE.decode)
+
+    return run
+
+
+def extract_units(model: VQVAE, variables, mels: jnp.ndarray) -> jnp.ndarray:
+    """Mel batch (B, num_mels, frames, 1) -> discrete unit grid
+    (B, frames'/4, mels'/4) — the ZeroSpeech-style unit extraction."""
+    return _encode_fn(model)(variables, mels)
 
 
 def reconstruct_audio(
@@ -41,13 +67,7 @@ def reconstruct_audio(
     g: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mel batch -> (reconstructed mel batch, waveform batch)."""
-
-    @jax.jit
-    def recon(variables, mels, g):
-        x_tilde, _, _ = model.apply(variables, mels, train=False, g=g)
-        return x_tilde
-
-    x_tilde = recon(variables, mels, g)
+    x_tilde = _forward_fn(model)(variables, mels, g)
     mel_batch = x_tilde[..., 0]  # (B, num_mels, frames)
     keys = jax.random.split(key, mel_batch.shape[0])
     wavs = dsp.inv_mel_spectrogram_batch(mel_batch, cfg, keys)
@@ -64,12 +84,7 @@ def codes_to_audio(
 ) -> jnp.ndarray:
     """Discrete code grids (B, H', W') -> waveforms via decoder +
     Griffin-Lim."""
-
-    @jax.jit
-    def decode(variables, indices, g):
-        return model.apply(variables, indices, g, train=False, method=VQVAE.decode)
-
-    mel = decode(variables, indices, g)[..., 0]
+    mel = _decode_fn(model)(variables, indices, g)[..., 0]
     keys = jax.random.split(key, mel.shape[0])
     return dsp.inv_mel_spectrogram_batch(mel, cfg, keys)
 

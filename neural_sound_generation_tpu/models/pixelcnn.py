@@ -20,6 +20,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -138,21 +139,10 @@ class GatedPixelCNN(nn.Module):
         )(out)
 
 
-def generate(
-    model: GatedPixelCNN,
-    params,
-    label: jnp.ndarray,
-    key: jax.Array,
-    shape: Tuple[int, int] = (8, 8),
-    batch_size: int = 64,
-) -> jnp.ndarray:
-    """Ancestral sampling of code grids, fully on device.
-
-    Raster-order loop over H*W positions; each step runs the full forward
-    (the reference's intended algorithm, models.py:327-341) under one jit
-    with static shapes.
-    """
-    H, W = shape
+@functools.lru_cache(maxsize=None)
+def _sample_fn(model: GatedPixelCNN, H: int, W: int, batch_size: int):
+    """One jitted sampler per (model, grid, batch) — cached so repeated
+    generation does not retrace."""
 
     def sample_fn(params, label, key):
         x0 = jnp.zeros((batch_size, H, W), jnp.int32)
@@ -173,4 +163,22 @@ def generate(
         x, _ = jax.lax.fori_loop(0, H * W, body, (x0, key))
         return x
 
-    return jax.jit(sample_fn)(params, label, key)
+    return jax.jit(sample_fn)
+
+
+def generate(
+    model: GatedPixelCNN,
+    params,
+    label: jnp.ndarray,
+    key: jax.Array,
+    shape: Tuple[int, int] = (8, 8),
+    batch_size: int = 64,
+) -> jnp.ndarray:
+    """Ancestral sampling of code grids, fully on device.
+
+    Raster-order loop over H*W positions; each step runs the full forward
+    (the reference's intended algorithm, models.py:327-341) under one jit
+    with static shapes.
+    """
+    H, W = shape
+    return _sample_fn(model, H, W, batch_size)(params, label, key)

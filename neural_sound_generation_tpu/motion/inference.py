@@ -77,7 +77,6 @@ class MotionDrivenGenerator:
         controller: MotionController,
         window: int = 16,
         max_windows: Optional[int] = None,
-        key: Optional[jax.Array] = None,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Consume a controller synchronously in windows of ``window``
         frames, yielding (latents, mel) per window (the streaming decode

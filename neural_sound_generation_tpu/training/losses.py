@@ -109,7 +109,6 @@ def discretized_mix_logistic_loss(
     """
     if y.ndim == 3:
         y = y[..., 0]
-    m = y_hat.shape[-1] // 3
     logit_probs, means, log_scales = jnp.split(y_hat, 3, axis=-1)
     log_scales = jnp.maximum(log_scales, log_scale_min)
 
@@ -150,7 +149,6 @@ def sample_from_discretized_mix_logistic(
     y_hat: jnp.ndarray, key, log_scale_min: float = -32.23619130191664
 ) -> jnp.ndarray:
     """Draw samples from a MoL output head; y_hat (..., 3*M) -> (...,)."""
-    m = y_hat.shape[-1] // 3
     logit_probs, means, log_scales = jnp.split(y_hat, 3, axis=-1)
     k1, k2 = jax.random.split(key)
     comp = jax.random.categorical(k1, logit_probs, axis=-1)  # (...,)
