@@ -11,3 +11,7 @@ from neural_sound_generation_tpu.parallel.distributed import (  # noqa: F401
     loader_shard_args,
     topology,
 )
+from neural_sound_generation_tpu.parallel.sequence import (  # noqa: F401
+    halo_conv1d,
+    sharded_conv1d,
+)

@@ -153,3 +153,51 @@ def test_multistep_over_mesh_matches_single_device(rng):
         atol=1e-6,
     )
     assert metrics["loss"].shape == (n,)
+
+
+def test_sequence_parallel_causal_conv_matches_full(rng):
+    """Halo-exchange sharded conv over the 8-device mesh must equal the
+    unsharded causal convolution exactly."""
+    from neural_sound_generation_tpu.parallel.sequence import sharded_conv1d
+
+    mesh = make_mesh()  # ('data': 8)
+    B, T, Cin, Cout, K = 2, 128, 8, 16, 5
+    x = jnp.asarray(rng.standard_normal((B, T, Cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((K, Cin, Cout)).astype(np.float32) * 0.1)
+
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1,), ((K - 1, 0),), dimension_numbers=("NWC", "WIO", "NWC")
+    )
+    out = sharded_conv1d(x, k, mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sequence_parallel_dilated_conv(rng):
+    from neural_sound_generation_tpu.parallel.sequence import sharded_conv1d
+
+    mesh = make_mesh()
+    B, T, C, K, D = 1, 256, 4, 3, 4
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((K, C, C)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1,), (((K - 1) * D, 0),), rhs_dilation=(D,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    out = sharded_conv1d(x, k, mesh, causal=True, dilation=D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sequence_parallel_same_padding(rng):
+    from neural_sound_generation_tpu.parallel.sequence import sharded_conv1d
+
+    mesh = make_mesh()
+    B, T, C, K = 2, 64, 4, 5
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((K, C, C)).astype(np.float32) * 0.1)
+    half = (K - 1) // 2
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1,), ((half, K - 1 - half),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    out = sharded_conv1d(x, k, mesh, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
