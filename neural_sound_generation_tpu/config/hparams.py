@@ -53,6 +53,9 @@ class AudioConfig:
     # Griffin-Lim (audio_tacotron.py:142-152); power applied pre-inversion
     power: float = 1.5
     griffin_lim_iters: int = 60
+    # fast Griffin-Lim momentum (0 = plain reference algorithm); 0.99
+    # typically halves the iterations needed
+    griffin_lim_momentum: float = 0.0
     # waveform input encoding (hparams.py:23-24)
     input_type: str = "raw"  # raw | mulaw | mulaw-quantize
     quantize_channels: int = 65536
@@ -230,6 +233,7 @@ class Config:
             "rescaling", "rescaling_max", "allow_clipping_in_normalization",
             "preemphasize", "preemphasis", "signal_normalization",
             "symmetric_mels", "max_abs_value", "power", "griffin_lim_iters",
+            "griffin_lim_momentum",
             "trim_silence", "trim_fft_size", "trim_hop_size", "trim_top_db",
             "win_size",
         ]

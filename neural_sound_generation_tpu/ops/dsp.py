@@ -375,12 +375,13 @@ def melspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return S.T
 
 
-@functools.partial(jax.jit, static_argnums=(1, 3))
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
 def griffin_lim(
     S: jnp.ndarray,
     cfg: AudioConfig,
     key: jax.Array,
     n_iters: int | None = None,
+    momentum: float = 0.0,
 ) -> jnp.ndarray:
     """Griffin-Lim phase reconstruction, fully on device.
 
@@ -388,6 +389,11 @@ def griffin_lim(
     numpy iterations per utterance on host (``src/audio_tacotron.py:142-152``,
     a hot CPU loop per SURVEY §3.1); here the iteration is a
     ``lax.fori_loop`` of batched FFTs on the TPU.
+
+    ``momentum`` > 0 enables fast Griffin-Lim (Perraudin et al. 2013):
+    the projection is extrapolated by ``momentum``/(1+``momentum``),
+    typically matching 60 plain iterations in ~15-20. Default 0 keeps
+    exact reference parity.
     """
     n_iters = cfg.griffin_lim_iters if n_iters is None else n_iters
     fft_size, hop = cfg.fft_size, cfg.effective_hop_size
@@ -397,12 +403,27 @@ def griffin_lim(
     S_complex = jnp.abs(S).astype(jnp.complex64)
     y = istft(S_complex * angles, fft_size, hop)
 
-    def body(_, y):
-        D = stft(y, fft_size, hop)
-        angles = jnp.exp(1j * jnp.angle(D)).astype(jnp.complex64)
-        return istft(S_complex * angles, fft_size, hop)
+    if momentum <= 0.0:
+        def body(_, y):
+            D = stft(y, fft_size, hop)
+            angles = jnp.exp(1j * jnp.angle(D)).astype(jnp.complex64)
+            return istft(S_complex * angles, fft_size, hop)
 
-    return jax.lax.fori_loop(0, n_iters, body, y)
+        return jax.lax.fori_loop(0, n_iters, body, y)
+
+    alpha = momentum / (1.0 + momentum)
+    D0 = stft(y, fft_size, hop)
+
+    def fast_body(_, carry):
+        y, t_prev = carry
+        t = stft(y, fft_size, hop)
+        t_ex = t + alpha * (t - t_prev)
+        angles = jnp.exp(1j * jnp.angle(t_ex)).astype(jnp.complex64)
+        y = istft(S_complex * angles, fft_size, hop)
+        return y, t
+
+    y, _ = jax.lax.fori_loop(0, n_iters, fast_body, (y, D0))
+    return y
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -420,7 +441,8 @@ def inv_mel_spectrogram(
         D = denormalize_spectrogram(D, cfg)
     amp = db_to_amp(D + cfg.ref_level_db)  # (n_mels, T)
     S = jnp.maximum(1e-10, _inv_mel_matrix(cfg) @ amp)  # (n_freq, T)
-    y = griffin_lim((S**cfg.power).T, cfg, key)
+    y = griffin_lim((S**cfg.power).T, cfg, key,
+                    momentum=cfg.griffin_lim_momentum)
     return inv_preemphasis(y, cfg.preemphasis, cfg.preemphasize)
 
 
@@ -434,7 +456,8 @@ def inv_linear_spectrogram(
     if cfg.signal_normalization:
         D = denormalize_spectrogram(D, cfg)
     S = db_to_amp(D + cfg.ref_level_db)
-    y = griffin_lim((S**cfg.power).T, cfg, key)
+    y = griffin_lim((S**cfg.power).T, cfg, key,
+                    momentum=cfg.griffin_lim_momentum)
     return inv_preemphasis(y, cfg.preemphasis, cfg.preemphasize)
 
 

@@ -291,3 +291,25 @@ def test_load_wav_resamples(tmp_path):
     dsp.save_wav(y, path, 44100)
     back = dsp.load_wav(path, 22050)
     assert abs(len(back) - len(y) // 2) <= 2
+
+
+def test_fast_griffin_lim_converges_faster():
+    """Momentum GL at 15 iters should match or beat plain GL at 30 iters
+    in spectral error (and default momentum=0 stays reference-exact)."""
+    y = _tone(seconds=0.4)
+    cfg = AudioConfig()
+    D = dsp.stft(jnp.asarray(dsp.preemphasis(jnp.asarray(y), 0.97)), 1024, 256)
+    S = jnp.abs(D)
+    key = jax.random.PRNGKey(0)
+
+    def spectral_err(rec):
+        S2 = jnp.abs(dsp.stft(rec, 1024, 256))
+        return float(jnp.linalg.norm(S2[3:-3] - S[3:-3]) / jnp.linalg.norm(S[3:-3]))
+
+    plain30 = spectral_err(dsp.griffin_lim(S, cfg, key, 30))
+    fast15 = spectral_err(dsp.griffin_lim(S, cfg, key, 15, momentum=0.99))
+    assert fast15 <= plain30 * 1.05  # at half the iterations
+    # momentum=0 path identical to the original implementation
+    a = dsp.griffin_lim(S, cfg, key, 5)
+    b = dsp.griffin_lim(S, cfg, key, 5, momentum=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
