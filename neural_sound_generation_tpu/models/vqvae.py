@@ -172,7 +172,10 @@ class VQVAE(nn.Module):
         )
         # snap to the nearest codebook entries so generation stays on the
         # learned discrete manifold
-        codes, _ = vq_st(z, self.codebook)
+        if self.num_quantizers > 1:
+            codes, _, _ = residual_vq(z, self.codebook)
+        else:
+            codes, _ = vq_st(z, self.codebook)
         return self.decoder(codes, train)
 
     def __call__(

@@ -313,3 +313,26 @@ def test_fast_griffin_lim_converges_faster():
     a = dsp.griffin_lim(S, cfg, key, 5)
     b = dsp.griffin_lim(S, cfg, key, 5, momentum=0.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_golden_regression():
+    """Frozen outputs of the verified round-1 implementation — guards the
+    DSP/VQ numerics against accidental changes in later rounds. If a test
+    here fails after an *intentional* change, regenerate the fixture and
+    document why in the commit."""
+    import os
+
+    from neural_sound_generation_tpu.ops.vq import vq
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "dsp_golden.npz")
+    g = np.load(path)
+    mel = np.asarray(dsp.melspectrogram(jnp.asarray(g["wav"]), AudioConfig()))
+    np.testing.assert_allclose(mel, g["mel"], atol=1e-5)
+    basis = mel_lib.mel_basis(22050, 1024, 80, 125.0, 7600.0, np.float64)
+    np.testing.assert_allclose(
+        basis[33].astype(np.float32), g["mel_basis_row33"], atol=1e-7
+    )
+    q = np.asarray(dsp.mulaw_quantize(jnp.asarray(g["wav"][:1000]), 256))
+    np.testing.assert_array_equal(q, g["mulaw_q"])
+    idx = np.asarray(vq(jnp.asarray(g["vq_x"]), jnp.asarray(g["vq_cb"])))
+    np.testing.assert_array_equal(idx, g["vq_idx"])

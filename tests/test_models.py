@@ -283,3 +283,19 @@ def test_default_vae_mlp(rng):
     r1, _, _ = model.apply(variables, x, train=False)
     r2, _, _ = model.apply(variables, x, train=False)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_rvq_feature_conditioned_decode(rng):
+    """decode_from_features must work with multi-stage codebooks too."""
+    model = VQVAE(input_dim=1, dim=16, z_dim=32, cond_features=3,
+                  num_quantizers=2)
+    x = _mel_batch(rng, b=2, h=16, w=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, train=False, features=jnp.zeros((2, 3))
+    )
+    out = model.apply(
+        variables, jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32)),
+        (4, 4), train=False, method=VQVAE.decode_from_features,
+    )
+    assert out.shape == (2, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
