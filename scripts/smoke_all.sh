@@ -1,0 +1,82 @@
+#!/usr/bin/env bash
+# Release-candidate smoke: every CLI surface in sequence on a fresh
+# synthetic corpus (~2 min on CPU). Usage: scripts/smoke_all.sh [workdir]
+set -euo pipefail
+WORK=${1:-$(mktemp -d /tmp/nsg-smoke-XXXX)}
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+PY() { python -c "import jax; jax.config.update('jax_platforms','cpu')
+$1"; }
+
+echo "== corpus -> $WORK"
+PY "
+import numpy as np, os
+from neural_sound_generation_tpu.ops import dsp
+sr = 22050
+os.makedirs('$WORK/in/wavs', exist_ok=True)
+lines = []
+for i in range(10):
+    t = np.arange(int(sr*(0.5+0.1*i)))/sr
+    wav = sum(0.3/k*np.sin(2*np.pi*(200+30*i)*k*t) for k in (1,2,3)).astype(np.float32)
+    dsp.save_wav(wav, f'$WORK/in/wavs/LJ-{i:04d}.wav', sr)
+    lines.append(f'LJ-{i:04d}|r{i}|text {i}')
+open('$WORK/in/metadata.csv','w').write('\n'.join(lines))
+"
+echo "== 1/7 preprocess"
+PY "
+from neural_sound_generation_tpu.cli.preprocess import main
+main(['ljspeech','$WORK/in','$WORK/out','--skip-errors'])" | tail -1
+echo "== 2/7 train (multi-step scan)"
+PY "
+from neural_sound_generation_tpu.cli.main import main
+main(['--model','vqvae','--dataset','ljspeech','--datadir','$WORK/out',
+      '--sampledir','$WORK/results','--ckpt-dir','$WORK/models',
+      '--batch-size','2','--epochs','1','--dim','8','--z-dim','16',
+      '--multi-steps','2','--max-batches-per-epoch','4'])" | grep Average
+echo "== 3/7 evaluate"
+PY "
+from neural_sound_generation_tpu.cli.evaluate import main
+main(['--model','vqvae','--dataset','ljspeech','--datadir','$WORK/out',
+      '--ckpt-dir','$WORK/models/vqvae/checkpoint_ljspeech_8_16',
+      '--batch-size','2','--dim','8','--z-dim','16'])" | tail -1
+echo "== 4/7 invert"
+PY "
+from neural_sound_generation_tpu.cli.invert import main
+main(['$WORK/out','22050','1024','256','80','--output','$WORK/inv.wav'])" | tail -1
+echo "== 5/7 prior train + sample"
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['train','--datadir','$WORK/out',
+      '--vqvae-ckpt','$WORK/models/vqvae/checkpoint_ljspeech_8_16',
+      '--ckpt-dir','$WORK/prior','--dim','8','--z-dim','16','--prior-dim','8',
+      '--prior-layers','2','--batch-size','2','--epochs','1',
+      '--max-batches-per-epoch','2'])" | tail -1
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['sample','--vqvae-ckpt','$WORK/models/vqvae/checkpoint_ljspeech_8_16',
+      '--prior-ckpt','$WORK/prior','--output-dir','$WORK/prior_samples',
+      '--dim','8','--z-dim','16','--prior-dim','8','--prior-layers','2',
+      '--code-shape','20','7','--num-samples','1'])" | tail -1
+echo "== 6/7 vocoder train + synthesize"
+PY "
+from neural_sound_generation_tpu.cli.vocoder import main
+main(['train','--datadir','$WORK/out','--ckpt-dir','$WORK/wn',
+      '--batch-size','2','--epochs','1','--layers','4','--stacks','2',
+      '--residual-channels','16','--max-batches-per-epoch','2'])" | tail -1
+PY "
+from neural_sound_generation_tpu.cli.vocoder import main
+main(['synthesize','--ckpt-dir','$WORK/wn',
+      '--mel-npy','$WORK/out/ljspeech-mel-00001.npy',
+      '--output','$WORK/synth.wav','--layers','4','--stacks','2',
+      '--residual-channels','16','--max-frames','4'])" | tail -1
+echo "== 7/7 motion capture + analyze + generate"
+PY "
+from neural_sound_generation_tpu.cli.motion import main
+main(['capture','$WORK/hand.csv','--frames','64'])
+main(['analyze','$WORK/hand.csv'])
+main(['generate','$WORK/hand.csv','$WORK/motion.wav','--dim','8',
+      '--z-dim','16','--max-windows','2'])" | tail -1
+
+echo "== artifacts:"
+ls "$WORK"/inv.wav "$WORK"/synth.wav "$WORK"/motion.wav "$WORK"/prior_samples/*.wav
+echo "SMOKE OK"
