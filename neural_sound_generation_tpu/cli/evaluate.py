@@ -50,6 +50,9 @@ def main(argv=None):
     args.seed = 0
     args.epochs = 1
     args.log_interval = 10
+    args.ema_codebook = False
+    args.restart_dead_threshold = 0.0
+    args.num_quantizers = 1
     cfg = build_config(args)
 
     loaders = get_audio_data_loaders(

@@ -16,6 +16,7 @@ src/main.py:137-220), checkpoint every epoch and on Ctrl-C
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -68,6 +69,13 @@ def parse_args(argv=None):
     p.add_argument("--norm", choices=["batch", "group"], default="batch")
     p.add_argument("--multi-steps", type=int, default=1,
                    help="optimization steps per device launch (lax.scan)")
+    p.add_argument("--ema-codebook", action="store_true",
+                   help="EMA codebook updates instead of gradient descent")
+    p.add_argument("--restart-dead-threshold", type=float, default=0.0,
+                   help="re-seed codes whose EMA cluster size drops below "
+                        "this (requires --ema-codebook)")
+    p.add_argument("--num-quantizers", type=int, default=1,
+                   help="residual VQ stages (1 = single codebook)")
     return p.parse_args(argv)
 
 
@@ -81,31 +89,26 @@ def build_config(args) -> Config:
             "initial_learning_rate": args.lr_rate,
         }
     )
-    cfg = Config(
-        name=cfg.name,
-        audio=cfg.audio,
-        arch=cfg.arch,
-        data=cfg.data,
-        model=cfg.model.__class__(
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
             model=args.model,
             input_dim=3 if args.dataset == "CIFAR10" else 1,
             dim=args.dim,
             z_dim=args.z_dim,
             beta=args.beta,
+            ema_codebook=getattr(args, "ema_codebook", False),
+            restart_dead_threshold=getattr(args, "restart_dead_threshold", 0.0),
+            num_quantizers=getattr(args, "num_quantizers", 1),
         ),
-        train=cfg.train.__class__(
-            **{
-                **{
-                    f.name: getattr(cfg.train, f.name)
-                    for f in cfg.train.__dataclass_fields__.values()
-                },
-                "seed": args.seed,
-                "log_interval": args.log_interval,
-                "nepochs": args.epochs,
-            }
+        train=dataclasses.replace(
+            cfg.train,
+            seed=args.seed,
+            log_interval=args.log_interval,
+            nepochs=args.epochs,
         ),
     )
-    return cfg
 
 
 def _checkpoint_dir(args) -> str:
@@ -138,6 +141,7 @@ def make_model(cfg: Config, n_speakers: int = 0, norm: str = "batch"):
         n_speakers=n_speakers if gin > 0 else 0,
         gin_channels=gin,
         norm=norm,
+        num_quantizers=mc.num_quantizers,
     )
 
 
@@ -230,7 +234,9 @@ def main(argv=None):
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
     )
-    state = create_train_state(variables, cfg.train)
+    state = create_train_state(
+        variables, cfg.train, ema_codebook=cfg.model.ema_codebook
+    )
 
     n_dev = len(jax.devices())
     mesh = None

@@ -160,6 +160,8 @@ class ModelConfig:
     dim: int = 256
     z_dim: int = 512  # codebook size for vqvae, latent channels for vae
     beta: float = 1.0  # commitment weight (main.py:49-51)
+    # residual VQ stages (SoundStream-style); 1 = single codebook
+    num_quantizers: int = 1
     # EMA codebook updates (VQ-VAE v2 style) as a config switch; the
     # reference uses gradient-descent codebook learning only.
     ema_codebook: bool = False
@@ -175,6 +177,12 @@ class ModelConfig:
     def __post_init__(self):
         if self.model not in ("vae", "vqvae", "wavevqvae"):
             raise ValueError(f"invalid model: {self.model!r}")
+        if self.ema_codebook and self.num_quantizers > 1:
+            raise ValueError(
+                "ema_codebook currently supports a single codebook "
+                "(num_quantizers=1); residual-VQ codebooks learn by "
+                "gradient descent"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
