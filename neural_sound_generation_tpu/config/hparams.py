@@ -177,12 +177,6 @@ class ModelConfig:
     def __post_init__(self):
         if self.model not in ("vae", "vqvae", "wavevqvae"):
             raise ValueError(f"invalid model: {self.model!r}")
-        if self.ema_codebook and self.num_quantizers > 1:
-            raise ValueError(
-                "ema_codebook currently supports a single codebook "
-                "(num_quantizers=1); residual-VQ codebooks learn by "
-                "gradient descent"
-            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -220,3 +220,44 @@ def restart_dead_codes(
     candidates = jax.lax.stop_gradient(batch_flat[idx])
     dead = (usage < threshold)[:, None]
     return jnp.where(dead, candidates.astype(codebook.dtype), codebook)
+
+
+def residual_codebook_ema_update(
+    codebooks: jnp.ndarray,
+    cluster_size_ema: jnp.ndarray,
+    embed_sum_ema: jnp.ndarray,
+    inputs_flat: jnp.ndarray,
+    indices: jnp.ndarray,
+    decay: float,
+    eps: float = 1e-5,
+):
+    """Per-stage EMA update for residual VQ.
+
+    ``codebooks``: (Q, K, D); ``cluster_size_ema``: (Q, K);
+    ``embed_sum_ema``: (Q, K, D); ``indices``: (Q, N) stage assignments
+    from ``residual_vq``. Stage q's statistics are computed against the
+    *residual* its quantizer saw (inputs minus the codes selected by the
+    earlier stages), reconstructed here from the indices.
+    """
+    num_q = codebooks.shape[0]
+    residual = inputs_flat
+    new_cbs, new_clusters, new_sums = [], [], []
+    for q in range(num_q):
+        cb, cl, es = codebook_ema_update(
+            codebooks[q],
+            cluster_size_ema[q],
+            embed_sum_ema[q],
+            residual,
+            indices[q],
+            decay,
+            eps,
+        )
+        new_cbs.append(cb)
+        new_clusters.append(cl)
+        new_sums.append(es)
+        residual = residual - jnp.take(codebooks[q], indices[q], axis=0)
+    return (
+        jnp.stack(new_cbs),
+        jnp.stack(new_clusters),
+        jnp.stack(new_sums),
+    )

@@ -125,9 +125,11 @@ def create_train_state(
     if ema_codebook:
         cb = params["codebook"]
         # cluster sizes start at 1 (not 0): embed_sum/cluster == codebook
-        # at init, and early updates never divide by a near-zero count
+        # at init, and early updates never divide by a near-zero count.
+        # Shapes generalize to residual VQ: (Q, K, D) codebooks get (Q, K)
+        # clusters.
         cb_ema = {
-            "cluster": jnp.ones((cb.shape[0],), jnp.float32),
+            "cluster": jnp.ones(cb.shape[:-1], jnp.float32),
             "embed_sum": jnp.array(cb, jnp.float32),
         }
     return TrainState(

@@ -141,26 +141,50 @@ def make_train_step(
         if ema_codebook:
             from neural_sound_generation_tpu.ops.vq import (
                 codebook_ema_update,
+                residual_codebook_ema_update,
+                residual_vq,
                 vq,
             )
 
             flat = z_e.reshape(-1, z_e.shape[-1])
-            indices = vq(flat, state.params["codebook"])
-            new_cb, cluster, esum = codebook_ema_update(
-                state.params["codebook"],
-                state.codebook_ema["cluster"],
-                state.codebook_ema["embed_sum"],
-                flat,
-                indices,
-                decay=cfg.model.ema_codebook_decay,
-            )
+            cb = state.params["codebook"]
+            if cb.ndim == 3:  # residual VQ: per-stage EMA
+                _, _, indices = residual_vq(flat, cb)
+                new_cb, cluster, esum = residual_codebook_ema_update(
+                    cb,
+                    state.codebook_ema["cluster"],
+                    state.codebook_ema["embed_sum"],
+                    flat,
+                    indices,
+                    decay=cfg.model.ema_codebook_decay,
+                )
+            else:
+                indices = vq(flat, cb)
+                new_cb, cluster, esum = codebook_ema_update(
+                    cb,
+                    state.codebook_ema["cluster"],
+                    state.codebook_ema["embed_sum"],
+                    flat,
+                    indices,
+                    decay=cfg.model.ema_codebook_decay,
+                )
             if cfg.model.restart_dead_threshold > 0:
                 from neural_sound_generation_tpu.ops.vq import restart_dead_codes
 
-                new_cb = restart_dead_codes(
-                    new_cb, cluster, flat, rng,
-                    threshold=cfg.model.restart_dead_threshold,
-                )
+                if new_cb.ndim == 3:
+                    restarted = [
+                        restart_dead_codes(
+                            new_cb[q], cluster[q], flat, jax.random.fold_in(rng, q),
+                            threshold=cfg.model.restart_dead_threshold,
+                        )
+                        for q in range(new_cb.shape[0])
+                    ]
+                    new_cb = jnp.stack(restarted)
+                else:
+                    new_cb = restart_dead_codes(
+                        new_cb, cluster, flat, rng,
+                        threshold=cfg.model.restart_dead_threshold,
+                    )
             params = dict(new_state.params)
             params["codebook"] = new_cb
             new_state = new_state.replace(

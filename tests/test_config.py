@@ -127,9 +127,3 @@ def test_tacotron_arch_config_surface():
     assert t.cross_entropy_pos_weight == 20
     assert t.tacotron_num_gpus == 1  # multi-GPU knobs: config only
 
-
-def test_ema_codebook_rvq_combination_rejected():
-    from neural_sound_generation_tpu.config import ModelConfig
-
-    with pytest.raises(ValueError):
-        ModelConfig(model="vqvae", ema_codebook=True, num_quantizers=2)

@@ -362,3 +362,37 @@ def test_trainer_multi_steps_epoch(rng):
     # 5 batches -> 2 launches of 2 (final partial dropped) = 4 steps
     assert int(jax.device_get(trainer.state.step)) == 4
     assert np.isfinite(means["loss"])
+
+
+def test_rvq_with_ema_codebook(rng):
+    """Residual VQ + per-stage EMA codebook + dead restart compose."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.models import VQVAE
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, model="vqvae", dim=8, z_dim=16, num_quantizers=3,
+            ema_codebook=True, ema_codebook_decay=0.9,
+            restart_dead_threshold=0.05,
+        ),
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16, num_quantizers=3)
+    batch = _mel_batch(np.random.default_rng(0))
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, ema_codebook=True)
+    assert state.codebook_ema["cluster"].shape == (3, 16)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    cb0 = np.asarray(state.params["codebook"])
+    for i in range(20):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    cb1 = np.asarray(state.params["codebook"])
+    assert losses[-1] < losses[0] and np.isfinite(losses[-1])
+    # every stage's codebook moved via EMA
+    for q in range(3):
+        assert not np.allclose(cb0[q], cb1[q])
+    assert np.abs(cb1).max() < 100  # no explosion
