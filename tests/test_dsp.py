@@ -336,3 +336,27 @@ def test_golden_regression():
     np.testing.assert_array_equal(q, g["mulaw_q"])
     idx = np.asarray(vq(jnp.asarray(g["vq_x"]), jnp.asarray(g["vq_cb"])))
     np.testing.assert_array_equal(idx, g["vq_idx"])
+
+
+@pytest.mark.parametrize("sr,fft,hop,mels,fmax", [
+    (16000, 1024, 256, 80, 7600.0),
+    (22050, 1024, 256, 40, 7600.0),   # hparams_tacotron num_mels=40
+    (24000, 2048, 300, 80, 11000.0),
+    (48000, 2048, 512, 128, 20000.0),
+])
+def test_mel_chain_config_grid(sr, fft, hop, mels, fmax):
+    """Shape/bound invariants of the mel chain across sample-rate / FFT /
+    mel-count configurations (the reference's presets span several)."""
+    cfg = AudioConfig(sample_rate=sr, fft_size=fft, hop_size=hop,
+                      num_mels=mels, fmax=fmax)
+    y = jnp.asarray(_tone(sr=sr, seconds=0.3))
+    S = dsp.melspectrogram(y, cfg)
+    assert S.shape == (mels, dsp.num_stft_frames(y.shape[0], fft, hop))
+    s_np = np.asarray(S)
+    assert np.isfinite(s_np).all()
+    assert s_np.min() >= 0.0 and s_np.max() <= cfg.max_abs_value + 1e-6
+    # inversion runs and stays finite at this config
+    wav = dsp.inv_mel_spectrogram(S, AudioConfig(
+        sample_rate=sr, fft_size=fft, hop_size=hop, num_mels=mels,
+        fmax=fmax, griffin_lim_iters=5), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(wav)).all()

@@ -101,3 +101,36 @@ def test_unknown_route(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(server + "/nope", b"")
     assert err.value.code == 404
+
+
+def test_serve_with_trained_checkpoint(tmp_path, rng):
+    """build_service restores a checkpoint and serves it (the production
+    deployment path, not just fresh weights)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.cli.serve import build_service
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import checkpoint, create_train_state
+
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    x = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    state = create_train_state(variables, Config().train)
+    ckpt = str(tmp_path / "ck")
+    checkpoint.save(ckpt, state, step=1)
+
+    args = argparse.Namespace(
+        preset=None, dim=8, z_dim=16, frames=16, ckpt_dir=ckpt
+    )
+    service = build_service(args)
+    out = service.encode(_wav_bytes())
+    assert out["shape"] == [20, 4]
+    # the served params are the checkpoint's, not a fresh init
+    np.testing.assert_array_equal(
+        np.asarray(service.variables["params"]["codebook"]),
+        np.asarray(state.params["codebook"]),
+    )
