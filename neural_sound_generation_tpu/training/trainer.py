@@ -357,10 +357,19 @@ class Trainer:
         with open(self.metrics_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
 
-    def _put(self, batch):
-        if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
-        return batch
+    def _put(self, batch, super_batch: bool = False):
+        if self.mesh is None:
+            return batch
+        if super_batch:
+            # stacked (scan, batch, ...) super-batches shard the SECOND
+            # axis over 'data'; the leading axis is the scan dimension
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return shard_batch(batch, self.mesh)
 
     def train_epoch(self, batches, rng: jax.Array, epoch: int = 0,
                     checkpoint_cb=None):
@@ -380,7 +389,7 @@ class Trainer:
             rng, step_rng = jax.random.split(rng)
             if self._multi_step is not None:
                 self.state, stacked = self._multi_step(
-                    self.state, self._put(batch), step_rng
+                    self.state, self._put(batch, super_batch=True), step_rng
                 )
                 metrics = jax.tree_util.tree_map(lambda v: v.mean(), stacked)
             else:

@@ -201,3 +201,17 @@ def test_sequence_parallel_same_padding(rng):
     )
     out = sharded_conv1d(x, k, mesh, causal=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_trainer_mesh_with_multi_steps(rng):
+    """Trainer(mesh=..., multi_steps=N): super-batches must shard their
+    second (batch) axis, not the scan axis — regression for the _put bug."""
+    from neural_sound_generation_tpu.training import Trainer
+
+    model, cfg, state, batch = _setup(rng)
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    trainer = Trainer(model, cfg, state, mesh=mesh, log_fn=None, multi_steps=2)
+    means = trainer.train_epoch([batch] * 4, jax.random.PRNGKey(0), epoch=1)
+    assert np.isfinite(means["loss"])
+    assert int(jax.device_get(trainer.state.step)) == 4
