@@ -37,6 +37,10 @@ def parse_args(argv=None):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default=None)
+    p.add_argument("--gl-iters", type=int, default=60)
+    p.add_argument("--gl-momentum", type=float, default=0.0,
+                   help="fast Griffin-Lim extrapolation (0.99 typical; "
+                        "0 = plain reference algorithm)")
     return p.parse_args(argv)
 
 
@@ -48,6 +52,8 @@ def main(argv=None):
         hop_size=args.hop_size,
         num_mels=args.n_mels,
         fmax=min(7600.0, args.sample_rate / 2),
+        griffin_lim_iters=args.gl_iters,
+        griffin_lim_momentum=args.gl_momentum,
     )
     mel = np.load(os.path.join(args.out_dir, args.mel_file))
     mel = mel.T  # stored time-major; chain expects (n_mels, frames)

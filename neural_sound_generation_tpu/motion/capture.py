@@ -186,6 +186,11 @@ class MotionController:
 
     def drain(self, n_frames: int) -> np.ndarray:
         """Synchronously fetch up to n_frames rows (no producer thread)."""
+        if self.running:
+            raise RuntimeError(
+                "drain() consumes the stream directly; stop() the "
+                "controller first (use poll()/read() while streaming)"
+            )
         buf = np.zeros((n_frames, NUM_FEATURES), np.float64)
         got = self._lib.nsg_controller_drain(
             self._handle,
@@ -197,6 +202,8 @@ class MotionController:
     def record_csv(self, path: str, n_frames: int) -> int:
         """Capture joint-angle rows to CSV (MotionDataCollection2csv
         capability)."""
+        if self.running:
+            raise RuntimeError("stop() the controller before record_csv()")
         got = self._lib.nsg_record_csv(
             self._handle, path.encode(), n_frames
         )
