@@ -293,3 +293,16 @@ def test_motion_cli_watch(capsys):
     out = capsys.readouterr().out
     assert "watched" in out
     assert "pitch=" in out
+
+
+def test_motion_golden_regression():
+    """Frozen synthetic-hand features from the round-1 C++ implementation —
+    guards the native scene-graph math across rounds/compilers."""
+    path = os.path.join(os.path.dirname(__file__), "golden", "motion_golden.npz")
+    g = np.load(path)
+    c = synthetic_controller(seed=123, n_frames=16)
+    try:
+        frames = c.drain(16)
+    finally:
+        c.close()
+    np.testing.assert_allclose(frames, g["frames"], atol=1e-12)

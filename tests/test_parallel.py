@@ -215,3 +215,64 @@ def test_trainer_mesh_with_multi_steps(rng):
     means = trainer.train_epoch([batch] * 4, jax.random.PRNGKey(0), epoch=1)
     assert np.isfinite(means["loss"])
     assert int(jax.device_get(trainer.state.step)) == 4
+
+
+def test_mesh_with_bucketed_shapes(rng, tmp_path):
+    """Bucketed static shapes + data-parallel mesh: the jitted step
+    recompiles per bucket width and every shape trains on the mesh."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.data import (
+        AudioDataset,
+        ManifestEntry,
+        MelFrameLoader,
+        NpyDataSource,
+        write_manifest,
+    )
+    from neural_sound_generation_tpu.training import Trainer, create_train_state
+
+    # corpus with two distinct length regimes
+    np_rng = np.random.default_rng(0)
+    entries = []
+    for i in range(32):
+        ts = 256 * (12 if i % 2 == 0 else 24)
+        np.save(tmp_path / f"a{i:05d}.npy",
+                np_rng.standard_normal(ts).astype(np.float32))
+        np.save(tmp_path / f"m{i:05d}.npy",
+                np_rng.standard_normal((ts // 256, 80)).astype(np.float32))
+        entries.append(ManifestEntry(f"a{i:05d}.npy", f"m{i:05d}.npy", ts, f"u{i}"))
+    write_manifest(str(tmp_path), entries)
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, bucket_boundaries=(12, 24))
+    )
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+    loader = MelFrameLoader(AudioDataset(x, mel), cfg, batch_size=8, shuffle=True)
+
+    from neural_sound_generation_tpu.models import VQVAE
+
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = next(iter(loader))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(sample["x"]),
+                           train=False)
+    state = create_train_state(variables, cfg.train)
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    trainer = Trainer(model, cfg, state, mesh=mesh, log_fn=None)
+    batches = list(loader)
+    widths = {b["x"].shape[2] for b in batches}
+    # small corpora shuffle into mixed-length batches (sampler group spans
+    # the whole set), so only the large bucket may appear — every width
+    # must still be a declared boundary
+    assert widths <= {12, 24} and widths
+    means = trainer.train_epoch(batches, jax.random.PRNGKey(0), epoch=1)
+    assert np.isfinite(means["loss"])
+
+    # the bucket selector itself picks the small bucket for short batches
+    short_idx = [i for i, e in enumerate(x.entries) if e.timesteps == 12 * 256]
+    assert loader._bucket_frames(short_idx[:2]) == 12
+    long_idx = [i for i, e in enumerate(x.entries) if e.timesteps == 24 * 256]
+    assert loader._bucket_frames(long_idx[:2]) == 24
