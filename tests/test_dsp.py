@@ -360,3 +360,47 @@ def test_mel_chain_config_grid(sr, fft, hop, mels, fmax):
         sample_rate=sr, fft_size=fft, hop_size=hop, num_mels=mels,
         fmax=fmax, griffin_lim_iters=5), jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_stft_matches_torch(rng):
+    """Cross-library parity: torch.stft with librosa-convention settings
+    (centered, reflect pad, periodic hann) is an independent third
+    implementation; our JAX STFT must agree at fp32 tolerance."""
+    import torch
+
+    y = _tone(seconds=0.4)
+    ours = np.asarray(dsp.stft(jnp.asarray(y), 1024, 256))  # (frames, freq)
+    t = torch.stft(
+        torch.tensor(y),
+        n_fft=1024,
+        hop_length=256,
+        window=torch.hann_window(1024, periodic=True),
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    ).numpy().T  # torch gives (freq, frames)
+    assert ours.shape == t.shape
+    err = np.abs(ours - t).max() / np.abs(t).max()
+    assert err < 1e-5
+
+
+def test_mel_chain_matches_torch_pipeline(rng):
+    """Full mel chain vs a torch-built pipeline (torch stft + our numpy
+    Slaney basis + reference normalization formulas)."""
+    import torch
+
+    cfg = AudioConfig()
+    y = _tone()
+    ours = np.asarray(dsp.melspectrogram(jnp.asarray(y), cfg))
+
+    yp = scipy.signal.lfilter([1, -cfg.preemphasis], [1], y.astype(np.float64))
+    D = torch.stft(
+        torch.tensor(yp.astype(np.float32)),
+        n_fft=1024, hop_length=256,
+        window=torch.hann_window(1024, periodic=True),
+        center=True, pad_mode="reflect", return_complex=True,
+    ).abs().numpy()  # (freq, frames)
+    basis = mel_lib.mel_basis(22050, 1024, 80, 125.0, 7600.0, np.float64)
+    S = _np_amp_to_db(basis @ D, cfg.min_level_db) - cfg.ref_level_db
+    ref = _np_normalize(S, cfg)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
