@@ -63,6 +63,8 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     jax.block_until_ready(metrics)
     rates = []
     for r in range(rounds):
+        if r > 0:
+            time.sleep(20)  # sample distinct tunnel-quality windows
         t0 = time.perf_counter()
         for _ in range(launches):
             state, metrics = run(state, super_batch, key)

@@ -276,3 +276,25 @@ def test_mesh_with_bucketed_shapes(rng, tmp_path):
     assert loader._bucket_frames(short_idx[:2]) == 12
     long_idx = [i for i, e in enumerate(x.entries) if e.timesteps == 24 * 256]
     assert loader._bucket_frames(long_idx[:2]) == 24
+
+
+def test_wavevqvae_on_mesh(rng):
+    """The raw-waveform family trains data-parallel on the mesh too."""
+    from neural_sound_generation_tpu.models import WaveVQVAE
+    from neural_sound_generation_tpu.training import create_train_state, make_train_step
+
+    cfg = Config()
+    model = WaveVQVAE(dim=8, z_dim=16, num_downsample=3)
+    x = jnp.asarray(rng.standard_normal((8, 128, 1)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train)
+    mesh = make_mesh()
+    step = make_train_step(model, cfg, mesh=mesh, donate=False)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = shard_batch({"x": x}, mesh)
+    key = jax.device_put(jax.random.PRNGKey(0), replicated_sharding(mesh))
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] and np.isfinite(losses[-1])
