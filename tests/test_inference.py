@@ -1,0 +1,57 @@
+"""Inference test matrix (the reference shipped an empty
+test/test_inference.py — SURVEY §4; the intended coverage lives here and
+in test_wavevqvae.py / test_serve.py / test_motion.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.config import Config
+from neural_sound_generation_tpu.inference import (
+    codes_to_audio,
+    extract_units,
+    reconstruct_audio,
+)
+from neural_sound_generation_tpu.models import VQVAE
+
+
+def _setup(rng, nq=1):
+    model = VQVAE(input_dim=1, dim=8, z_dim=16, num_quantizers=nq)
+    mels = jnp.asarray(rng.uniform(0, 1, (2, 80, 16, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), mels, train=False)
+    return model, variables, mels
+
+
+def test_unit_extraction_deterministic(rng):
+    model, variables, mels = _setup(rng)
+    a = np.asarray(extract_units(model, variables, mels))
+    b = np.asarray(extract_units(model, variables, mels))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_units_roundtrip_through_decode(rng):
+    """encode -> decode -> encode must be a fixed point once codes are on
+    the discrete manifold... at minimum shapes and ranges hold."""
+    model, variables, mels = _setup(rng)
+    units = extract_units(model, variables, mels)
+    wavs = codes_to_audio(
+        model, variables, units, Config().audio, jax.random.PRNGKey(0)
+    )
+    assert wavs.shape[0] == 2
+    assert np.isfinite(np.asarray(wavs)).all()
+
+
+def test_reconstruct_audio_batched(rng):
+    model, variables, mels = _setup(rng)
+    mel_out, wavs = reconstruct_audio(
+        model, variables, mels, Config().audio, jax.random.PRNGKey(1)
+    )
+    assert mel_out.shape == (2, 80, 16)
+    assert wavs.shape[0] == 2
+
+
+def test_rvq_unit_extraction(rng):
+    model, variables, mels = _setup(rng, nq=2)
+    units = extract_units(model, variables, mels)
+    assert units.shape == (2, 2, 20, 4)  # (Q, B, H', W')
