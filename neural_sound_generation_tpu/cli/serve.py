@@ -18,8 +18,10 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import logging
 import sys
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -123,6 +125,12 @@ def make_handler(service: InferenceService):
             else:
                 self._send(404, b'{"error": "not found"}')
 
+        # malformed input from the client: safe to describe in the response
+        _CLIENT_ERRORS = (
+            ValueError, KeyError, TypeError, OverflowError,
+            json.JSONDecodeError,
+        )
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
@@ -136,8 +144,20 @@ def make_handler(service: InferenceService):
                     self._send(200, service.decode(codes), "audio/wav")
                 else:
                     self._send(404, b'{"error": "not found"}')
-            except Exception as e:  # surface errors as 400s, keep serving
-                self._send(400, json.dumps({"error": str(e)}).encode())
+            except self._CLIENT_ERRORS as e:
+                self._send(400, json.dumps(
+                    {"error": f"bad request: {type(e).__name__}: {e}"}
+                ).encode())
+            except Exception:
+                # unexpected: log the traceback server-side under an opaque
+                # id; never echo internals (paths, shapes, stack) to clients
+                err_id = uuid.uuid4().hex[:12]
+                logging.getLogger("nsg.serve").exception(
+                    "internal error %s on %s", err_id, self.path
+                )
+                self._send(500, json.dumps(
+                    {"error": "internal error", "id": err_id}
+                ).encode())
 
     return Handler
 

@@ -90,7 +90,29 @@ def test_bad_request_keeps_serving(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         _post(server + "/decode", b"this is not json")
     assert err.value.code == 400
+    body = json.loads(err.value.read())
+    assert body["error"].startswith("bad request:")
     # server still alive
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_internal_error_is_sanitized(server):
+    """Unexpected failures return 500 with an opaque id — internals
+    (exception text, paths, shapes) must never reach the client."""
+    import urllib.error
+
+    # /encode expects a RIFF wav; scipy raises on garbage bytes with a
+    # message mentioning its own internals -> must be masked as 500
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/encode", b"\x00" * 64)
+    assert err.value.code in (400, 500)
+    body = json.loads(err.value.read())
+    if err.value.code == 500:
+        assert body["error"] == "internal error"
+        assert len(body["id"]) == 12
+        assert "Traceback" not in json.dumps(body)
+    # still serving afterwards
     with urllib.request.urlopen(server + "/health", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
 
