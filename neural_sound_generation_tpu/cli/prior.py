@@ -135,7 +135,7 @@ def cmd_sample(args):
     from neural_sound_generation_tpu.config import Config
     from neural_sound_generation_tpu.inference import codes_to_audio
     from neural_sound_generation_tpu.models import GatedPixelCNN
-    from neural_sound_generation_tpu.models.pixelcnn import generate
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
     from neural_sound_generation_tpu.ops import dsp
     from neural_sound_generation_tpu.training import checkpoint
 
@@ -156,7 +156,7 @@ def cmd_sample(args):
 
     labels = jnp.full((args.num_samples,), args.label, jnp.int32)
     key = jax.random.PRNGKey(args.seed)
-    codes = generate(
+    codes = fast_generate(
         prior, pvars, labels, key, shape=(h, w), batch_size=args.num_samples
     )
     wavs = codes_to_audio(model, vq_vars, codes, cfg.audio, key)

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 from neural_sound_generation_tpu.config import AudioConfig
 from neural_sound_generation_tpu.models import VQVAE, GatedPixelCNN
-from neural_sound_generation_tpu.models.pixelcnn import generate as pixelcnn_generate
+from neural_sound_generation_tpu.models.pixelcnn import (
+    fast_generate as pixelcnn_generate,
+)
 from neural_sound_generation_tpu.ops import dsp
 
 

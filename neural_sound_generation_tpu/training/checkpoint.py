@@ -9,6 +9,7 @@ latest-step query for resume.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 from typing import Any, Optional
@@ -72,20 +73,32 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     return state, restored.get("extra")
 
 
-def _fill_missing(template_sd, restored_sd):
+def _fill_missing(template_sd, restored_sd, path=""):
     """Forward compatibility: fields added to TrainState after a checkpoint
     was written (e.g. codebook_ema) fall back to the template's value
-    instead of failing the strict name-based restore."""
+    instead of failing the strict name-based restore.
+
+    Every filled subtree is logged loudly: a fill under ``params`` almost
+    always means the requested architecture does not match the checkpoint
+    (e.g. ``--prior-layers`` larger than what was trained), and silently
+    grafting fresh-init weights there produces a half-random model."""
     if not isinstance(template_sd, dict):
         return restored_sd
     if not isinstance(restored_sd, dict):
         return restored_sd
     out = {}
     for key, tmpl_val in template_sd.items():
+        child = f"{path}/{key}" if path else key
         if key in restored_sd:
-            out[key] = _fill_missing(tmpl_val, restored_sd[key])
+            out[key] = _fill_missing(tmpl_val, restored_sd[key], child)
         else:
             out[key] = tmpl_val
+            logging.getLogger("nsg.checkpoint").warning(
+                "checkpoint is missing '%s'; using the template's "
+                "(fresh-init) value — if this is under params/opt_state, "
+                "the model architecture likely does not match the "
+                "checkpoint", child,
+            )
     # keys present only in the checkpoint are dropped (template defines
     # the structure); from_state_dict would reject them anyway
     return out

@@ -299,3 +299,48 @@ def test_rvq_feature_conditioned_decode(rng):
     )
     assert out.shape == (2, 16, 16, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pixelcnn_incremental_logits_match_parallel(pixelcnn_setup):
+    """The fast sampler's row-cached arithmetic (vertical stack per row,
+    horizontal stack per pixel) must reproduce the parallel forward
+    exactly under teacher forcing."""
+    from neural_sound_generation_tpu.models.pixelcnn import incremental_logits
+
+    model, variables, x, label = pixelcnn_setup
+    ref = np.asarray(model.apply(variables, x, label))
+    inc = np.asarray(incremental_logits(model, variables, x, label))
+    np.testing.assert_allclose(inc, ref, atol=1e-5)
+
+
+def test_pixelcnn_fast_generate_matches_naive(pixelcnn_setup):
+    """Same PRNG split order + same arithmetic (CPU) => identical samples
+    from the O(HW)-forwards sampler and the incremental one (25x faster on
+    TPU at batch 64 / 32x32)."""
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+
+    model, variables, _, _ = pixelcnn_setup
+    label = jnp.asarray([0, 4], jnp.int32)
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(
+        generate(model, variables, label, key, shape=(8, 8), batch_size=2)
+    )
+    b = np.asarray(
+        fast_generate(model, variables, label, key, shape=(8, 8), batch_size=2)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pixelcnn_fast_generate_nonsquare_and_conditioned(pixelcnn_setup):
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+
+    model, variables, _, _ = pixelcnn_setup
+    label = jnp.asarray([1, 2, 3], jnp.int32)
+    out = np.asarray(
+        fast_generate(
+            model, variables, label, jax.random.PRNGKey(5),
+            shape=(6, 9), batch_size=3,
+        )
+    )
+    assert out.shape == (3, 6, 9)
+    assert out.min() >= 0 and out.max() < 32
