@@ -60,7 +60,7 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     launches = max(1, steps // multi)
     for _ in range(max(1, warmup // multi)):
         state, metrics = run(state, super_batch, key)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"][-1])  # drain warmup compute
     rates = []
     for r in range(rounds):
         if r > 0:
@@ -68,12 +68,14 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
         t0 = time.perf_counter()
         for _ in range(launches):
             state, metrics = run(state, super_batch, key)
-        jax.block_until_ready(metrics)
+        # host-materialize the final (state-chained) loss INSIDE the timed
+        # region: on this backend block_until_ready returns without waiting
+        # for the tunnel, so it must not be used as the timing barrier
+        loss = float(metrics["loss"][-1])
         dt = time.perf_counter() - t0
         rates.append(launches * multi / dt)
         log(f"[bench] TPU round {r}: {launches * multi} steps in {dt:.3f}s "
-            f"-> {rates[-1]:.2f} steps/s "
-            f"(loss={float(metrics['loss'][-1]):.4f})")
+            f"-> {rates[-1]:.2f} steps/s (loss={loss:.4f})")
     sps = float(np.median(rates))
     log(f"[bench] TPU median over {rounds} rounds "
         f"(multi-step scan x{multi}): {sps:.2f} steps/s")
@@ -147,7 +149,7 @@ def bench_torch_cpu(steps=3, warmup=1):
         )
         loss.backward()
         opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     for _ in range(warmup):
         one_step()
