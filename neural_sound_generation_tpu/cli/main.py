@@ -74,6 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--restart-dead-threshold", type=float, default=0.0,
                    help="re-seed codes whose EMA cluster size drops below "
                         "this (requires --ema-codebook)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32; measured +9-12%% "
+                        "throughput on TPU v5e, see PERF.md)")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
     return p.parse_args(argv)
@@ -120,8 +123,12 @@ def _checkpoint_dir(args) -> str:
     )
 
 
-def make_model(cfg: Config, n_speakers: int = 0, norm: str = "batch"):
+def make_model(
+    cfg: Config, n_speakers: int = 0, norm: str = "batch",
+    dtype=None,
+):
     mc = cfg.model
+    dtype = dtype or jnp.float32
     if mc.model == "vae":
         return VAE(input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim)
     gin = cfg.arch.gin_channels if n_speakers > 0 else -1
@@ -142,6 +149,7 @@ def make_model(cfg: Config, n_speakers: int = 0, norm: str = "batch"):
         gin_channels=gin,
         norm=norm,
         num_quantizers=mc.num_quantizers,
+        dtype=dtype,
     )
 
 
@@ -229,7 +237,8 @@ def main(argv=None):
         sample_batch = next(test_iter())
         n_speakers = 0
 
-    model = make_model(cfg, n_speakers, norm=args.norm)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = make_model(cfg, n_speakers, norm=args.norm, dtype=dtype)
     init_kwargs = {"g": sample_batch["g"]} if "g" in sample_batch else {}
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs

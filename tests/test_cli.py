@@ -291,3 +291,38 @@ def test_cifar10_reader_and_training(tmp_path):
         "--dim", "8", "--z-dim", "16",
     ])
     assert (tmp_path / "models" / "vqvae" / "checkpoint_CIFAR10_8_16").exists()
+
+
+def test_train_cli_bf16(tmp_path):
+    """--bf16 trains with bfloat16 compute; the checkpoint stays f32 and
+    restores into the default (f32) model."""
+    import numpy as np
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    argv = [
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "2", "--bf16",
+    ]
+    train_cli.main(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import checkpoint, create_train_state
+
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)  # default f32
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)), train=False)
+    state = create_train_state(v, Config().train)
+    restored, _ = checkpoint.restore(
+        str(tmp_path / "models" / "vqvae" / "checkpoint_ljspeech_8_16"), state
+    )
+    assert restored.params["codebook"].dtype == np.float32
