@@ -61,7 +61,21 @@ class InferenceService:
         self._reconstruct = reconstruct
         self._decode = decode
 
-    def _wav_to_mel(self, wav_bytes: bytes) -> jnp.ndarray:
+    #: encoder time-axis downsampling (two stride-2 convs)
+    STRIDE = 4
+
+    def _wav_to_mel(self, wav_bytes: bytes):
+        """Window the full utterance into (n, n_mels, frames, 1) batches.
+
+        Long inputs are tiled over serving windows instead of silently
+        cropped; returns (windows, t) where t is the true mel frame count
+        so callers can trim the stitched output. The window batch is
+        padded to the next power of two so the jitted encode/reconstruct
+        functions compile for O(log n) distinct shapes, not one per
+        request length. Codes near window boundaries can differ slightly
+        from a single full-length encode (conv receptive fields are cut
+        at window edges) — inherent to tiling with a fixed-shape model.
+        """
         from scipy.io import wavfile
 
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
@@ -70,13 +84,15 @@ class InferenceService:
         data = np.asarray(data, np.float32)
         if data.ndim == 2:
             data = data.mean(axis=1)
-        mel = self.dsp.melspectrogram(jnp.asarray(data), self.cfg.audio)
+        mel = np.asarray(self.dsp.melspectrogram(jnp.asarray(data), self.cfg.audio))
         t = mel.shape[1]
-        if t >= self.frames:
-            mel = mel[:, : self.frames]
-        else:
-            mel = jnp.pad(mel, ((0, 0), (0, self.frames - t)))
-        return mel[None, :, :, None]
+        n_win = max(1, -(-t // self.frames))
+        n_pad = 1 << (n_win - 1).bit_length()
+        padded = np.zeros((mel.shape[0], n_pad * self.frames), mel.dtype)
+        padded[:, :t] = mel[:, : n_pad * self.frames]
+        windows = padded.reshape(mel.shape[0], n_pad, self.frames)
+        windows = np.transpose(windows, (1, 0, 2))[..., None]
+        return jnp.asarray(windows), t, n_win
 
     def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
         wav = self.dsp.inv_mel_spectrogram(
@@ -91,13 +107,18 @@ class InferenceService:
         return buf.getvalue()
 
     def encode(self, wav_bytes: bytes) -> dict:
-        codes = self._encode(self._wav_to_mel(wav_bytes))
-        codes_np = np.asarray(codes)[0]
-        return {"codes": codes_np.tolist(), "shape": list(codes_np.shape)}
+        windows, t, n_win = self._wav_to_mel(wav_bytes)
+        codes = np.asarray(self._encode(windows))[:n_win]  # (n, H', W')
+        # stitch window code grids along time, trim to the true length
+        valid_cols = max(1, -(-t // self.STRIDE))
+        stitched = np.concatenate(list(codes), axis=-1)[:, :valid_cols]
+        return {"codes": stitched.tolist(), "shape": list(stitched.shape)}
 
     def reconstruct(self, wav_bytes: bytes) -> bytes:
-        mel = self._reconstruct(self._wav_to_mel(wav_bytes))[0, :, :, 0]
-        return self._mel_to_wav_bytes(mel)
+        windows, t, n_win = self._wav_to_mel(wav_bytes)
+        mels = np.asarray(self._reconstruct(windows))[:n_win, :, :, 0]
+        mel = np.concatenate(list(mels), axis=-1)[:, :t]
+        return self._mel_to_wav_bytes(jnp.asarray(mel))
 
     def decode(self, codes: list) -> bytes:
         idx = jnp.asarray(np.asarray(codes, np.int32))[None, ...]

@@ -55,12 +55,44 @@ def test_health(server):
     assert body["status"] == "ok"
 
 
+def _expected_code_cols(seconds, sr=22050):
+    """True mel frame count -> code columns after /4 downsampling."""
+    import jax.numpy as jnp
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.ops import dsp
+
+    t = dsp.melspectrogram(
+        jnp.zeros(int(sr * seconds)), Config().audio
+    ).shape[1]
+    return -(-t // 4)
+
+
 def test_encode_endpoint(server):
     with _post(server + "/encode", _wav_bytes()) as r:
         body = json.loads(r.read())
-    assert body["shape"] == [20, 4]
+    assert body["shape"] == [20, _expected_code_cols(0.3)]
     codes = np.asarray(body["codes"])
     assert codes.min() >= 0 and codes.max() < 16
+
+
+def test_encode_long_audio_windows(server):
+    """Audio longer than the serving window is tiled and stitched, not
+    silently cropped: 2 s through a 16-frame window yields the full code
+    sequence."""
+    with _post(server + "/encode", _wav_bytes(seconds=2.0)) as r:
+        body = json.loads(r.read())
+    assert body["shape"] == [20, _expected_code_cols(2.0)]
+
+
+def test_reconstruct_long_audio_full_length(server):
+    with _post(server + "/reconstruct", _wav_bytes(seconds=2.0)) as r:
+        data = r.read()
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(io.BytesIO(data))
+    # Griffin-Lim output length tracks the stitched full-length mel
+    assert len(wav) > int(22050 * 1.8)
 
 
 def test_reconstruct_endpoint(server):
@@ -150,7 +182,7 @@ def test_serve_with_trained_checkpoint(tmp_path, rng):
     )
     service = build_service(args)
     out = service.encode(_wav_bytes())
-    assert out["shape"] == [20, 4]
+    assert out["shape"] == [20, _expected_code_cols(0.3)]
     # the served params are the checkpoint's, not a fresh init
     np.testing.assert_array_equal(
         np.asarray(service.variables["params"]["codebook"]),
