@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--dump-npy", default=None,
                    help="write the last reconstruction batch here")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute for the eval sweep (checkpoints "
+                        "are f32 and restore unchanged)")
     return p.parse_args(argv)
 
 
@@ -63,7 +66,8 @@ def main(argv=None):
     sample = next(iter(test_loader))
     n_speakers = cfg.arch.n_speakers if "g" in sample else 0
 
-    model = make_model(cfg, n_speakers, norm=args.norm)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = make_model(cfg, n_speakers, norm=args.norm, dtype=dtype)
     init_kwargs = {"g": sample["g"]} if "g" in sample else {}
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(sample["x"]), train=False, **init_kwargs
