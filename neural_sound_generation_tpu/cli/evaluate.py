@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a saved checkpoint")
-    p.add_argument("--model", default="vqvae", choices=["vae", "vqvae", "wavevqvae"])
+    p.add_argument("--model", default="vqvae",
+                   choices=["vae", "vqvae", "wavevqvae", "hiervqvae"])
     p.add_argument("--dataset", default="ljspeech")
     p.add_argument("--datadir", required=True)
     p.add_argument("--ckpt-dir", required=True)
@@ -61,6 +62,7 @@ def main(argv=None):
     loaders = get_audio_data_loaders(
         args.datadir, None, args.batch_size, cfg, test_shuffle=False,
         batch_mode="wave" if args.model == "wavevqvae" else "mel",
+        latent_stride=8 if args.model == "hiervqvae" else 4,
     )
     test_loader = loaders["test"]
     sample = next(iter(test_loader))

@@ -54,7 +54,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--model", type=str, default="vae",
-                   choices=["vae", "vqvae", "wavevqvae"])
+                   choices=["vae", "vqvae", "wavevqvae", "hiervqvae"])
     p.add_argument("--beta", type=float, default=1.0)
     p.add_argument("--dim", type=int, default=1, help="hidden layer width")
     p.add_argument("--z-dim", type=int, default=512)
@@ -131,6 +131,13 @@ def make_model(
     dtype = dtype or jnp.float32
     if mc.model == "vae":
         return VAE(input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim)
+    if mc.model == "hiervqvae":
+        from neural_sound_generation_tpu.models import HierVQVAE
+
+        return HierVQVAE(
+            input_dim=mc.input_dim, dim=mc.dim, z_dim=mc.z_dim,
+            norm=norm, dtype=dtype,
+        )
     gin = cfg.arch.gin_channels if n_speakers > 0 else -1
     if mc.model == "wavevqvae":
         return WaveVQVAE(
@@ -161,6 +168,9 @@ def _audio_loaders(args, cfg):
         cfg,
         test_shuffle=True,
         batch_mode="wave" if args.model == "wavevqvae" else "mel",
+        # two-level hierarchy downsamples time by 8, so crops/buckets
+        # must be divisible by 8 for the top decoder to re-align
+        latent_stride=8 if args.model == "hiervqvae" else 4,
     )
     return loaders["train"], loaders["test"]
 
@@ -239,7 +249,13 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = make_model(cfg, n_speakers, norm=args.norm, dtype=dtype)
-    init_kwargs = {"g": sample_batch["g"]} if "g" in sample_batch else {}
+    # hiervqvae has no speaker-conditioning entry point (train it per
+    # speaker or unconditioned); other families accept g
+    init_kwargs = (
+        {"g": sample_batch["g"]}
+        if "g" in sample_batch and args.model != "hiervqvae"
+        else {}
+    )
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
     )

@@ -155,7 +155,7 @@ class DataConfig:
 class ModelConfig:
     """Autoencoder family (models.py:64-341)."""
 
-    model: str = "vqvae"  # vae | vqvae
+    model: str = "vqvae"  # vae | vqvae | wavevqvae | hiervqvae
     input_dim: int = 1
     dim: int = 256
     z_dim: int = 512  # codebook size for vqvae, latent channels for vae
@@ -175,7 +175,7 @@ class ModelConfig:
     prior_n_classes: int = 10
 
     def __post_init__(self):
-        if self.model not in ("vae", "vqvae", "wavevqvae"):
+        if self.model not in ("vae", "vqvae", "wavevqvae", "hiervqvae"):
             raise ValueError(f"invalid model: {self.model!r}")
 
 

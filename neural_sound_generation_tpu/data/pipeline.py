@@ -68,6 +68,7 @@ class MelFrameLoader:
         shuffle: bool = True,
         batch_mode: str = "mel",  # mel | wave | raw
         drop_last: bool = True,
+        latent_stride: int = 4,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -79,6 +80,9 @@ class MelFrameLoader:
         self.shuffle = shuffle
         assert batch_mode in ("mel", "wave", "raw")
         self.batch_mode = batch_mode
+        # encoder time-downsampling: crops/buckets stay divisible by it
+        # (4 for the flat VQ-VAE, 8 for the two-level hierarchy)
+        self.latent_stride = latent_stride
         self.drop_last = drop_last
         self._epoch = 0
 
@@ -122,10 +126,12 @@ class MelFrameLoader:
         from neural_sound_generation_tpu.data.collate import static_crop_frames
 
         hop = self.cfg.audio.effective_hop_size
-        cap = static_crop_frames(self.cfg.train.max_time_steps, hop)
+        cap = static_crop_frames(
+            self.cfg.train.max_time_steps, hop, self.latent_stride
+        )
         max_frames = max(self.dataset.X.lengths[i] // hop for i in batch_idx)
         for b in sorted(boundaries):
-            if b % 4 == 0 and b >= max_frames:
+            if b % self.latent_stride == 0 and b >= max_frames:
                 return min(b, cap)
         return cap
 
@@ -146,6 +152,7 @@ class MelFrameLoader:
                             self.cfg.audio,
                             self.cfg.train.max_time_steps,
                             rng,
+                            latent_stride=self.latent_stride,
                             frames_out=self._bucket_frames(batch_idx),
                             one_hot=False,  # models embed ints; see collate
                         )
@@ -176,6 +183,7 @@ def get_audio_data_loaders(
     num_hosts: int = 1,
     host_id: int = 0,
     batch_mode: str = "mel",
+    latent_stride: int = 4,
 ) -> Dict[str, MelFrameLoader]:
     """Train/test loader pair over a preprocessed corpus directory
     (get_audio_data_loaders surface, dataloader.py:441-493)."""
@@ -217,6 +225,7 @@ def get_audio_data_loaders(
             shuffle=train or test_shuffle,
             batch_mode=batch_mode,
             drop_last=train,
+            latent_stride=latent_stride,
         )
         if train and x_src.multi_speaker:
             hist = np.bincount(np.asarray(x_src.speaker_ids))

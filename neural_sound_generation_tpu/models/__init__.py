@@ -4,3 +4,4 @@ from neural_sound_generation_tpu.models.vqvae import VQVAE  # noqa: F401
 from neural_sound_generation_tpu.models.pixelcnn import GatedPixelCNN  # noqa: F401
 from neural_sound_generation_tpu.models.wavevqvae import WaveVQVAE  # noqa: F401
 from neural_sound_generation_tpu.models.wavenet import WaveNet  # noqa: F401
+from neural_sound_generation_tpu.models.hiervqvae import HierVQVAE  # noqa: F401

@@ -48,7 +48,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 # The codebook's rows (codes) shard over 'model'; wide conv kernels shard
 # their output channels. Everything else replicates.
 _TP_RULES = (
-    (re.compile(r"\['codebook'\]$"), P("model", None)),
+    (re.compile(r"\['codebook(_top|_bottom)?'\]$"), P("model", None)),
     (re.compile(r"\['(encoder|decoder)'\].*\['kernel'\]$"), P(None, None, None, "model")),
 )
 

@@ -57,6 +57,36 @@ def vqvae_loss(
     return total, metrics
 
 
+def hier_vqvae_loss(
+    x_tilde, x, levels, beta: float = 1.0
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Two-level VQ-VAE loss: recon + per-level (vq + beta*commit).
+
+    ``levels`` is a sequence of (z_e, z_q) pairs (top, bottom). Metrics
+    mirror :func:`vqvae_loss` with per-level vq/commit terms summed.
+    """
+    loss_recons = jnp.mean((x_tilde - x) ** 2)
+    loss_vq = 0.0
+    loss_commit = 0.0
+    metrics: Dict[str, jnp.ndarray] = {}
+    for name, (z_e, z_q) in zip(("top", "bottom"), levels):
+        lv = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+        lc = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
+        loss_vq = loss_vq + lv
+        loss_commit = loss_commit + lc
+        metrics[f"loss_vq_{name}"] = lv
+        metrics[f"loss_commit_{name}"] = lc
+    total = loss_recons + loss_vq + beta * loss_commit
+    metrics.update(
+        loss=total,
+        loss_recons=loss_recons,
+        loss_vq=loss_vq,
+        loss_commit=loss_commit,
+        train_loss=loss_recons + loss_vq,
+    )
+    return total, metrics
+
+
 def codebook_perplexity(indices: jnp.ndarray, num_codes: int) -> jnp.ndarray:
     """exp(entropy) of the code usage distribution — the standard VQ health
     metric (not in the reference; SURVEY §5 observability gap)."""

@@ -122,6 +122,10 @@ def create_train_state(
         else None
     )
     cb_ema = None
+    if ema_codebook and "codebook" not in params:
+        # only the single-codebook families support EMA updates; the
+        # hierarchical model trains codebook_top/_bottom by gradient
+        ema_codebook = False
     if ema_codebook:
         cb = params["codebook"]
         # cluster sizes start at 1 (not 0): embed_sum/cluster == codebook

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from neural_sound_generation_tpu.config import Config
-from neural_sound_generation_tpu.models import VAE, VQVAE, WaveVQVAE
+from neural_sound_generation_tpu.models import VAE, VQVAE, HierVQVAE, WaveVQVAE
 from neural_sound_generation_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
@@ -29,6 +29,7 @@ from neural_sound_generation_tpu.parallel.mesh import (
 from neural_sound_generation_tpu.training.losses import (
     codebook_perplexity,
     elbo_mse,
+    hier_vqvae_loss,
     masked_cross_entropy,
     vqvae_loss,
 )
@@ -100,6 +101,24 @@ def _wave_vqvae_loss_fn(model: WaveVQVAE, beta: float):
     return loss_fn
 
 
+def _hier_vqvae_loss_fn(model: HierVQVAE, beta: float):
+    def loss_fn(params, batch_stats, batch, rng):
+        (x_tilde, top, bottom), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, metrics = hier_vqvae_loss(
+            x_tilde, batch["x"], (top, bottom), beta
+        )
+        # z_e slot feeds the EMA-codebook path, which is single-codebook
+        # only; hier uses gradient codebooks (make_train_step gates it off)
+        return total, (metrics, mut.get("batch_stats", batch_stats), None)
+
+    return loss_fn
+
+
 def make_train_step(
     model,
     cfg: Config,
@@ -116,6 +135,8 @@ def make_train_step(
     less HBM (the standard lever for fitting larger models/batches)."""
     if isinstance(model, WaveVQVAE):
         loss_fn = _wave_vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, HierVQVAE):
+        loss_fn = _hier_vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VQVAE):
         loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VAE):
@@ -125,7 +146,11 @@ def make_train_step(
     if remat:
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
-    ema_codebook = cfg.model.ema_codebook and not isinstance(model, VAE)
+    # EMA codebook updates are wired for the single-codebook families;
+    # the hierarchical model trains its two codebooks by gradient
+    ema_codebook = cfg.model.ema_codebook and isinstance(
+        model, (VQVAE, WaveVQVAE)
+    )
 
     def train_step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -291,6 +316,19 @@ def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
             )
             metrics["perplexity"] = codebook_perplexity(indices, model.z_dim)
             return out, metrics
+        if isinstance(model, HierVQVAE):
+            x_tilde, top, bottom = model.apply(
+                variables, batch["x"], train=False
+            )
+            _, metrics = hier_vqvae_loss(
+                x_tilde, batch["x"], (top, bottom), cfg.model.beta
+            )
+            idx_t, idx_b = model.apply(
+                variables, batch["x"], train=False, method=HierVQVAE.encode
+            )
+            metrics["perplexity_top"] = codebook_perplexity(idx_t, model.k_top)
+            metrics["perplexity"] = codebook_perplexity(idx_b, model.z_dim)
+            return x_tilde, metrics
         if isinstance(model, VQVAE):
             x_tilde, z_e, z_q = model.apply(
                 variables, batch["x"], train=False, g=batch.get("g")

@@ -1,0 +1,172 @@
+"""Hierarchical (two-level) VQ-VAE — beyond-parity model family tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.config import Config
+from neural_sound_generation_tpu.models import HierVQVAE
+from neural_sound_generation_tpu.training import create_train_state
+from neural_sound_generation_tpu.training.trainer import (
+    make_eval_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(rng_module):
+    model = HierVQVAE(input_dim=1, dim=8, z_dim=16, z_dim_top=12)
+    x = jnp.asarray(
+        rng_module.uniform(-1, 1, (2, 80, 16, 1)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables, x
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(0)
+
+
+def test_forward_shapes(setup):
+    model, variables, x = setup
+    x_tilde, (z_e_t, z_q_t), (z_e_b, z_q_b) = model.apply(
+        variables, x, train=False
+    )
+    assert x_tilde.shape == x.shape
+    assert z_e_t.shape == (2, 10, 2, 8)   # stride 8
+    assert z_e_b.shape == (2, 20, 4, 8)   # stride 4
+    assert z_q_t.shape == z_e_t.shape and z_q_b.shape == z_e_b.shape
+
+
+def test_encode_shapes_and_ranges(setup):
+    model, variables, x = setup
+    idx_t, idx_b = model.apply(
+        variables, x, train=False, method=HierVQVAE.encode
+    )
+    assert idx_t.shape == (2, 10, 2) and idx_b.shape == (2, 20, 4)
+    assert int(idx_t.max()) < 12 and int(idx_b.max()) < 16
+    assert int(idx_t.min()) >= 0 and int(idx_b.min()) >= 0
+
+
+def test_decode_matches_forward(setup):
+    """decode(encode(x)) must reproduce the forward reconstruction: the
+    straight-through codes ARE the quantized vectors."""
+    model, variables, x = setup
+    x_tilde, _, _ = model.apply(variables, x, train=False)
+    idx_t, idx_b = model.apply(
+        variables, x, train=False, method=HierVQVAE.encode
+    )
+    x_dec = model.apply(
+        variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_dec), np.asarray(x_tilde), atol=1e-5
+    )
+
+
+def test_grads_reach_both_codebooks(setup):
+    model, variables, x = setup
+
+    def loss(params):
+        x_tilde, (z_e_t, z_q_t), (z_e_b, z_q_b) = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        from neural_sound_generation_tpu.training.losses import hier_vqvae_loss
+
+        total, _ = hier_vqvae_loss(
+            x_tilde, x, ((z_e_t, z_q_t), (z_e_b, z_q_b))
+        )
+        return total
+
+    grads = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(grads["codebook_top"]).max()) > 0
+    assert float(jnp.abs(grads["codebook_bottom"]).max()) > 0
+
+
+def test_train_step_integration(setup):
+    model, variables, x = setup
+    cfg = Config()
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    new_state, metrics = step(state, {"x": x}, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert {"loss_vq_top", "loss_vq_bottom", "loss_recons"} <= set(metrics)
+    # both codebooks moved
+    for name in ("codebook_top", "codebook_bottom"):
+        assert not np.allclose(
+            np.asarray(new_state.params[name]), np.asarray(state.params[name])
+        )
+
+
+def test_eval_step_reports_both_perplexities(setup):
+    model, variables, x = setup
+    cfg = Config()
+    state = create_train_state(variables, cfg.train)
+    eval_step = make_eval_step(model, cfg)
+    x_tilde, metrics = eval_step(state, {"x": x})
+    assert x_tilde.shape == x.shape
+    assert float(metrics["perplexity"]) >= 1.0
+    assert float(metrics["perplexity_top"]) >= 1.0
+
+
+def test_ema_codebook_flag_gated_off():
+    """--ema-codebook with hiervqvae must not break state creation (the
+    hierarchical codebooks train by gradient)."""
+    model = HierVQVAE(input_dim=1, dim=8, z_dim=16)
+    x = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, Config().train, ema_codebook=True)
+    assert state.codebook_ema is None
+
+
+def test_tp_sharding_rules_cover_both_codebooks(setup):
+    from jax.sharding import PartitionSpec as P
+
+    from neural_sound_generation_tpu.parallel.mesh import (
+        make_mesh,
+        model_param_shardings,
+    )
+
+    model, variables, _ = setup
+    mesh = make_mesh(n_data=2, n_model=4)
+    shardings = model_param_shardings(
+        variables["params"], mesh, tensor_parallel=True
+    )
+    for name in ("codebook_top", "codebook_bottom"):
+        assert shardings[name].spec == P("model", None)
+
+
+def test_train_cli_hiervqvae(tmp_path):
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "hiervqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "2",
+    ])
+    ckpt = tmp_path / "models" / "hiervqvae" / "checkpoint_ljspeech_8_16"
+    assert ckpt.exists()
+
+    # evaluate CLI must accept the family and use stride-8 crops
+    import json
+
+    from neural_sound_generation_tpu.cli import evaluate as evaluate_cli
+
+    evaluate_cli.main([
+        "--model", "hiervqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--ckpt-dir", str(ckpt),
+        "--batch-size", "2", "--dim", "8", "--z-dim", "16",
+    ])
