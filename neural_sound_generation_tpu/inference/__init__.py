@@ -1,5 +1,7 @@
 from neural_sound_generation_tpu.inference.audio import (  # noqa: F401
     codes_to_audio,
+    hier_cond_map,
+    sample_hier_audio,
     extract_units,
     reconstruct_audio,
     sample_prior_audio,

@@ -110,3 +110,61 @@ def sample_prior_audio(
     )
     wavs = codes_to_audio(model, variables, codes, cfg, k2)
     return codes, wavs
+
+
+# --------------------------------------------------------------------------
+# Hierarchical (two-level) generative chain
+# --------------------------------------------------------------------------
+
+
+def hier_cond_map(vqvae_variables, idx_top: jnp.ndarray):
+    """Conditioning map for the bottom prior: the top codes' codebook
+    vectors, nearest-upsampled x2 to the bottom grid (B, Hb, Wb, dim)."""
+    from neural_sound_generation_tpu.ops.vq import codebook_lookup
+
+    cb_top = vqvae_variables["params"]["codebook_top"]
+    z = codebook_lookup(cb_top, idx_top.reshape(-1)).reshape(
+        idx_top.shape + (cb_top.shape[-1],)
+    )
+    return jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
+
+
+def sample_hier_audio(
+    vqvae_model,
+    vqvae_variables,
+    top_prior: GatedPixelCNN,
+    top_variables,
+    bottom_prior: GatedPixelCNN,
+    bottom_variables,
+    labels: jnp.ndarray,
+    top_shape: Tuple[int, int],
+    cfg: AudioConfig,
+    key: jax.Array,
+):
+    """VQ-VAE-2-style ancestral chain: sample the top prior, condition
+    the bottom prior on the decoded top codes, decode both levels, and
+    invert the mel with Griffin-Lim.
+
+    Returns (idx_top, idx_bottom, waveforms). ``bottom_prior`` must be
+    built with ``spatial_cond=True``.
+    """
+    from neural_sound_generation_tpu.models import HierVQVAE
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+
+    B = int(labels.shape[0])
+    Ht, Wt = top_shape
+    k_t, k_b, k_w = jax.random.split(key, 3)
+    idx_t = fast_generate(
+        top_prior, top_variables, labels, k_t, shape=(Ht, Wt), batch_size=B
+    )
+    cond = hier_cond_map(vqvae_variables, idx_t)
+    idx_b = fast_generate(
+        bottom_prior, bottom_variables, labels, k_b,
+        shape=(2 * Ht, 2 * Wt), batch_size=B, cond_map=cond,
+    )
+    mels = vqvae_model.apply(
+        vqvae_variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
+    )[..., 0]
+    keys = jax.random.split(k_w, B)
+    wavs = dsp.inv_mel_spectrogram_batch(mels, cfg, keys)
+    return idx_t, idx_b, wavs

@@ -40,14 +40,22 @@ class GatedMaskedConvLayer(nn.Module):
     residual: bool = True
     n_classes: int = 10
     mask_a: bool = False
+    spatial_cond: bool = False
 
     @nn.compact
-    def __call__(self, x_v, x_h, label):
+    def __call__(self, x_v, x_h, label, cond_map=None):
         k = self.kernel
         dim2 = 2 * self.dim
 
         h_cond = nn.Embed(self.n_classes, dim2, name="class_cond_embedding")(label)
         h_cond = h_cond[:, None, None, :]
+        if self.spatial_cond:
+            # conditional PixelCNN: a per-position conditioning map joins
+            # the class bias in both gates (used by the hierarchical
+            # bottom prior, conditioned on the decoded top code grid)
+            h_cond = h_cond + nn.Conv(
+                dim2, (1, 1), kernel_init=conv_kernel_init, name="spatial_cond"
+            )(cond_map)
 
         # --- vertical stack ---
         kh = k // 2 + 1
@@ -113,10 +121,14 @@ class GatedPixelCNN(nn.Module):
     dim: int = 64
     n_layers: int = 15
     n_classes: int = 10
+    spatial_cond: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
-        """x: int32 code grid (B, H, W); label: int32 (B,).
+    def __call__(
+        self, x: jnp.ndarray, label: jnp.ndarray, cond_map=None
+    ) -> jnp.ndarray:
+        """x: int32 code grid (B, H, W); label: int32 (B,); cond_map
+        (B, H, W, Cc) when ``spatial_cond`` (conditional PixelCNN).
         Returns logits (B, H, W, input_dim)."""
         h = nn.Embed(self.input_dim, self.dim, name="embedding")(x)  # (B,H,W,C)
         x_v, x_h = h, h
@@ -127,9 +139,10 @@ class GatedPixelCNN(nn.Module):
                 residual=i > 0,
                 n_classes=self.n_classes,
                 mask_a=i == 0,
+                spatial_cond=self.spatial_cond,
                 name=f"layer_{i}",
             )
-            x_v, x_h = layer(x_v, x_h, label)
+            x_v, x_h = layer(x_v, x_h, label, cond_map)
         out = nn.Conv(512, (1, 1), kernel_init=conv_kernel_init, name="out_hidden")(
             x_h
         )
@@ -144,13 +157,16 @@ def _sample_fn(model: GatedPixelCNN, H: int, W: int, batch_size: int):
     """One jitted sampler per (model, grid, batch) — cached so repeated
     generation does not retrace."""
 
-    def sample_fn(params, label, key):
+    def sample_fn(params, label, key, cond_map=None):
         x0 = jnp.zeros((batch_size, H, W), jnp.int32)
 
         def body(t, carry):
             x, key = carry
             i, j = t // W, t % W
-            logits = model.apply(params, x, label)  # (B,H,W,K)
+            if model.spatial_cond:
+                logits = model.apply(params, x, label, cond_map)
+            else:
+                logits = model.apply(params, x, label)  # (B,H,W,K)
             key, sub = jax.random.split(key)
             pix = jax.random.categorical(
                 sub, logits[:, i, j, :], axis=-1
@@ -163,7 +179,7 @@ def _sample_fn(model: GatedPixelCNN, H: int, W: int, batch_size: int):
         x, _ = jax.lax.fori_loop(0, H * W, body, (x0, key))
         return x
 
-    return jax.jit(sample_fn)
+    return jax.jit(sample_fn, static_argnames=())
 
 
 def generate(
@@ -173,15 +189,17 @@ def generate(
     key: jax.Array,
     shape: Tuple[int, int] = (8, 8),
     batch_size: int = 64,
+    cond_map=None,
 ) -> jnp.ndarray:
     """Ancestral sampling of code grids, fully on device.
 
     Raster-order loop over H*W positions; each step runs the full forward
     (the reference's intended algorithm, models.py:327-341) under one jit
-    with static shapes.
+    with static shapes. ``cond_map`` feeds a spatial-conditional model
+    (``spatial_cond=True``).
     """
     H, W = shape
-    return _sample_fn(model, H, W, batch_size)(params, label, key)
+    return _sample_fn(model, H, W, batch_size)(params, label, key, cond_map)
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +222,11 @@ def _layer_specs(model: GatedPixelCNN):
         {"k": 7 if i == 0 else 3, "mask_a": i == 0, "residual": i > 0}
         for i in range(model.n_layers)
     ]
+
+
+def _cond_broadcast(c):
+    """Per-layer conditioning: (B, 2C) class bias or (B, H, W, 2C) map."""
+    return c if c.ndim == 4 else c[:, None, None, :]
 
 
 def _vertical_pass(p, specs, emb, cond):
@@ -235,7 +258,7 @@ def _vertical_pass(p, specs, emb, cond):
             + lp["vert_to_horiz"]["bias"]
         )
         v2h_all.append(v2h)
-        x_v = _gate(h_vert + cond[l][:, None, None, :])
+        x_v = _gate(h_vert + _cond_broadcast(cond[l]))
     return jnp.stack(v2h_all)
 
 
@@ -253,6 +276,10 @@ def _row_scan(p, specs, v2h_row, cond, emb_table, init_emb_row, h_buf0, key,
     k0 = specs[0]["k"]
     pad0 = k0 // 2  # left zero-pad of the mask-A horizontal conv
 
+    def cond_at(l, j):
+        c = cond[l]
+        return c if c.ndim == 2 else c[:, j]  # (B,2C) or row-sliced map
+
     def step(carry, j):
         emb_row, h_buf, key = carry
         lp0 = p["layer_0"]
@@ -263,7 +290,7 @@ def _row_scan(p, specs, v2h_row, cond, emb_table, init_emb_row, h_buf0, key,
             jnp.einsum("brc,rcd->bd", window, lp0["horiz_kernel"][0, :pad0])
             + lp0["horiz_bias"]
         )
-        out = _gate(v2h_row[0][:, j] + h_horiz + cond[0])
+        out = _gate(v2h_row[0][:, j] + h_horiz + cond_at(0, j))
         cur = (
             out @ lp0["horiz_resid"]["kernel"][0, 0]
             + lp0["horiz_resid"]["bias"]
@@ -274,7 +301,7 @@ def _row_scan(p, specs, v2h_row, cond, emb_table, init_emb_row, h_buf0, key,
             prev = jnp.where(j > 0, h_buf[l - 1, :, jnp.maximum(j - 1, 0)], 0.0)
             hk = lp["horiz_kernel"]  # (1, 2, C, 2C): taps j-1, j
             h_horiz = prev @ hk[0, 0] + cur @ hk[0, 1] + lp["horiz_bias"]
-            out = _gate(v2h_row[l][:, j] + h_horiz + cond[l])
+            out = _gate(v2h_row[l][:, j] + h_horiz + cond_at(l, j))
             out_h = (
                 out @ lp["horiz_resid"]["kernel"][0, 0]
                 + lp["horiz_resid"]["bias"]
@@ -308,7 +335,9 @@ def _row_scan(p, specs, v2h_row, cond, emb_table, init_emb_row, h_buf0, key,
     )
 
 
-def _run_incremental(model, params, label, key, H, W, batch_size, forced=None):
+def _run_incremental(
+    model, params, label, key, H, W, batch_size, forced=None, cond_map=None
+):
     p = params["params"]
     specs = _layer_specs(model)
     L = len(specs)
@@ -318,6 +347,18 @@ def _run_incremental(model, params, label, key, H, W, batch_size, forced=None):
         p[f"layer_{l}"]["class_cond_embedding"]["embedding"][label]
         for l in range(L)
     ]
+    if model.spatial_cond:
+        if cond_map is None:
+            raise ValueError("spatial_cond model requires cond_map")
+        cond = [
+            c[:, None, None, :]
+            + jnp.einsum(
+                "bhwc,cd->bhwd", cond_map,
+                p[f"layer_{l}"]["spatial_cond"]["kernel"][0, 0],
+            )
+            + p[f"layer_{l}"]["spatial_cond"]["bias"]
+            for l, c in enumerate(cond)
+        ]
     x0 = jnp.zeros((batch_size, H, W), jnp.int32) if forced is None else forced
     logits0 = jnp.zeros((batch_size, H, W, emb_table.shape[0]), jnp.float32)
 
@@ -325,6 +366,11 @@ def _run_incremental(model, params, label, key, H, W, batch_size, forced=None):
         x, logits_all, key = carry
         v2h = _vertical_pass(p, specs, emb_table[x], cond)  # (L,B,H,W,2C)
         v2h_row = jax.lax.dynamic_slice_in_dim(v2h, i, 1, axis=2)[:, :, 0]
+        cond_rows = [
+            c if c.ndim == 2
+            else jax.lax.dynamic_slice_in_dim(c, i, 1, axis=1)[:, 0]
+            for c in cond
+        ]
         h_buf0 = jnp.zeros((L - 1, batch_size, W, C))
         emb_row0 = jnp.zeros((batch_size, W, C))
         forced_row = (
@@ -332,7 +378,7 @@ def _run_incremental(model, params, label, key, H, W, batch_size, forced=None):
             else jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)[:, 0]
         )
         pix, logits, key = _row_scan(
-            p, specs, v2h_row, cond, emb_table, emb_row0, h_buf0, key,
+            p, specs, v2h_row, cond_rows, emb_table, emb_row0, h_buf0, key,
             forced_row=forced_row,
         )
         x = jax.lax.dynamic_update_slice(x, pix[:, None, :], (0, i, 0))
@@ -347,8 +393,10 @@ def _run_incremental(model, params, label, key, H, W, batch_size, forced=None):
 
 @functools.lru_cache(maxsize=None)
 def _fast_sample_fn(model: GatedPixelCNN, H: int, W: int, batch_size: int):
-    def sample_fn(params, label, key):
-        x, _ = _run_incremental(model, params, label, key, H, W, batch_size)
+    def sample_fn(params, label, key, cond_map=None):
+        x, _ = _run_incremental(
+            model, params, label, key, H, W, batch_size, cond_map=cond_map
+        )
         return x
 
     return jax.jit(sample_fn)
@@ -361,6 +409,7 @@ def fast_generate(
     key: jax.Array,
     shape: Tuple[int, int] = (8, 8),
     batch_size: int = 64,
+    cond_map=None,
 ) -> jnp.ndarray:
     """Incremental ancestral sampling: vertical stack once per row,
     horizontal stack per pixel — measured 25x faster than :func:`generate`
@@ -370,15 +419,18 @@ def fast_generate(
     identical otherwise (conv-vs-matmul float rounding can flip near-tie
     categorical draws)."""
     H, W = shape
-    return _fast_sample_fn(model, H, W, batch_size)(params, label, key)
+    return _fast_sample_fn(model, H, W, batch_size)(
+        params, label, key, cond_map
+    )
 
 
-def incremental_logits(model, params, x, label):
+def incremental_logits(model, params, x, label, cond_map=None):
     """Teacher-forced logits computed via the incremental path — must
     equal ``model.apply(params, x, label)``; exists to prove the fast
     sampler's arithmetic against the parallel forward."""
     B, H, W = x.shape
     _, logits = _run_incremental(
-        model, params, label, jax.random.PRNGKey(0), H, W, B, forced=x
+        model, params, label, jax.random.PRNGKey(0), H, W, B, forced=x,
+        cond_map=cond_map,
     )
     return logits
