@@ -39,6 +39,11 @@ def parse_args(argv=None):
     tr.add_argument("--lr", type=float, default=3e-4)
     tr.add_argument("--max-batches-per-epoch", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--hier", action="store_true",
+                    help="VQ-VAE checkpoint is a two-level hiervqvae")
+    tr.add_argument("--hier-level", choices=["top", "bottom"], default="top",
+                    help="which level's prior to train (bottom is "
+                         "spatially conditioned on the top codes)")
 
     sa = sub.add_parser("sample")
     sa.add_argument("--vqvae-ckpt", required=True)
@@ -53,15 +58,22 @@ def parse_args(argv=None):
     sa.add_argument("--num-samples", type=int, default=4)
     sa.add_argument("--label", type=int, default=0)
     sa.add_argument("--seed", type=int, default=0)
+    sa.add_argument("--hier", action="store_true",
+                    help="sample the two-level chain; --prior-ckpt is the "
+                         "top prior, --bottom-ckpt the conditional bottom")
+    sa.add_argument("--bottom-ckpt", default=None)
     return p.parse_args(argv)
 
 
 def _load_vqvae(args, sample_x):
     from neural_sound_generation_tpu.config import Config
-    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
     from neural_sound_generation_tpu.training import checkpoint, create_train_state
 
-    model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+    if getattr(args, "hier", False):
+        model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+    else:
+        model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
     variables = model.init(jax.random.PRNGKey(0), sample_x, train=False)
     state = create_train_state(variables, Config().train)
     restored, _ = checkpoint.restore(args.vqvae_ckpt, state)
@@ -78,32 +90,57 @@ def cmd_train(args):
     from neural_sound_generation_tpu.training import checkpoint
 
     cfg = Config()
-    loaders = get_audio_data_loaders(args.datadir, None, args.batch_size, cfg)
+    hier = getattr(args, "hier", False)
+    bottom_level = hier and args.hier_level == "bottom"
+    loaders = get_audio_data_loaders(
+        args.datadir, None, args.batch_size, cfg,
+        latent_stride=8 if hier else 4,
+    )
     sample = next(iter(loaders["train"]))
     model, vq_vars = _load_vqvae(args, jnp.asarray(sample["x"]))
 
-    @jax.jit
-    def encode(x):
-        return model.apply(vq_vars, x, train=False, method=VQVAE.encode)
+    if hier:
+        from neural_sound_generation_tpu.inference import hier_cond_map
+        from neural_sound_generation_tpu.models import HierVQVAE
+
+        @jax.jit
+        def encode(x):
+            """(codes, cond_map|None) for the configured level."""
+            idx_t, idx_b = model.apply(
+                vq_vars, x, train=False, method=HierVQVAE.encode
+            )
+            if bottom_level:
+                return idx_b, hier_cond_map(vq_vars, idx_t)
+            return idx_t, None
+    else:
+
+        @jax.jit
+        def encode(x):
+            return model.apply(vq_vars, x, train=False, method=VQVAE.encode), None
 
     prior = GatedPixelCNN(
         input_dim=args.z_dim,
         dim=args.prior_dim,
         n_layers=args.prior_layers,
         n_classes=args.n_classes,
+        spatial_cond=bottom_level,
     )
-    codes0 = encode(jnp.asarray(sample["x"]))
+    codes0, cond0 = encode(jnp.asarray(sample["x"]))
     labels0 = jnp.asarray(
         sample.get("g", np.zeros(codes0.shape[0], np.int32)), jnp.int32
     )
-    pvars = prior.init(jax.random.PRNGKey(args.seed), codes0, labels0)
+    init_args = (codes0, labels0) + ((cond0,) if bottom_level else ())
+    pvars = prior.init(jax.random.PRNGKey(args.seed), *init_args)
     tx = optax.adam(args.lr)
     opt_state = tx.init(pvars)
 
     @jax.jit
-    def train_step(pvars, opt_state, codes, labels):
+    def train_step(pvars, opt_state, codes, labels, cond):
         def loss_fn(pv):
-            logits = prior.apply(pv, codes, labels)
+            if bottom_level:
+                logits = prior.apply(pv, codes, labels, cond)
+            else:
+                logits = prior.apply(pv, codes, labels)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)
             return jnp.mean(nll)
@@ -118,11 +155,13 @@ def cmd_train(args):
         for i, batch in enumerate(loaders["train"]):
             if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
                 break
-            codes = encode(jnp.asarray(batch["x"]))
+            codes, cond = encode(jnp.asarray(batch["x"]))
             labels = jnp.asarray(
                 batch.get("g", np.zeros(codes.shape[0], np.int32)), jnp.int32
             )
-            pvars, opt_state, loss = train_step(pvars, opt_state, codes, labels)
+            pvars, opt_state, loss = train_step(
+                pvars, opt_state, codes, labels, cond
+            )
             losses.append(float(loss))
             step += 1
         print(f"prior epoch {epoch}: nll/code {np.mean(losses):.4f} "
@@ -141,6 +180,47 @@ def cmd_sample(args):
 
     cfg = Config()
     h, w = args.code_shape
+
+    if args.hier:
+        from neural_sound_generation_tpu.inference import sample_hier_audio
+        from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+        if not args.bottom_ckpt:
+            raise SystemExit("--hier sampling requires --bottom-ckpt")
+        # code_shape names the TOP grid for hier; input is 8x that
+        sample_x = jnp.zeros((1, h * 8, w * 8, 1))
+        model, vq_vars = _load_vqvae(args, sample_x)
+        top = GatedPixelCNN(
+            input_dim=args.z_dim, dim=args.prior_dim,
+            n_layers=args.prior_layers, n_classes=args.n_classes,
+        )
+        bottom = GatedPixelCNN(
+            input_dim=args.z_dim, dim=args.prior_dim,
+            n_layers=args.prior_layers, n_classes=args.n_classes,
+            spatial_cond=True,
+        )
+        lab0 = jnp.zeros((1,), jnp.int32)
+        tv = top.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0
+        )
+        bv = bottom.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2 * h, 2 * w), jnp.int32),
+            lab0, jnp.zeros((1, 2 * h, 2 * w, args.dim)),
+        )
+        tv, _ = ckpt_mod.restore(args.prior_ckpt, tv)
+        bv, _ = ckpt_mod.restore(args.bottom_ckpt, bv)
+        labels = jnp.full((args.num_samples,), args.label, jnp.int32)
+        _, _, wavs = sample_hier_audio(
+            model, vq_vars, top, tv, bottom, bv, labels, (h, w),
+            cfg.audio, jax.random.PRNGKey(args.seed),
+        )
+        os.makedirs(args.output_dir, exist_ok=True)
+        for i in range(args.num_samples):
+            path = os.path.join(args.output_dir, f"hier_sample_{i:03d}.wav")
+            dsp.save_wav(np.asarray(wavs[i]), path, cfg.audio.sample_rate)
+        print(f"wrote {args.num_samples} hier samples to {args.output_dir}")
+        return
+
     sample_x = jnp.zeros((1, h * 4, w * 4, 1))
     model, vq_vars = _load_vqvae(args, sample_x)
 
