@@ -391,9 +391,10 @@ def griffin_lim(
     ``lax.fori_loop`` of batched FFTs on the TPU.
 
     ``momentum`` > 0 enables fast Griffin-Lim (Perraudin et al. 2013):
-    the projection is extrapolated by ``momentum``/(1+``momentum``),
-    typically matching 60 plain iterations in ~15-20. Default 0 keeps
-    exact reference parity.
+    the projection is extrapolated by ``momentum``/(1+``momentum``).
+    Measured on TPU (PERF.md): momentum 0.99 matches 60 plain iterations
+    in ~30, and at equal 60 iterations halves the STFT-consistency error
+    (0.091 vs 0.170). Default 0 keeps exact reference parity.
     """
     n_iters = cfg.griffin_lim_iters if n_iters is None else n_iters
     fft_size, hop = cfg.fft_size, cfg.effective_hop_size
