@@ -5,8 +5,11 @@ path is the stubbed Leap listener, src/inference.py). Stdlib-only HTTP
 server exposing the batched on-device inference paths:
 
   POST /encode   wav bytes (RIFF) -> {"codes": [[...]], "shape": [...]}
+                 (--model hiervqvae: {"codes_top", "codes_bottom", ...},
+                 bottom exactly twice the top width)
   POST /reconstruct  wav bytes -> reconstructed wav bytes
   POST /decode   {"codes": [[...]]} JSON -> wav bytes
+                 (--model hiervqvae: {"codes_top": ..., "codes_bottom": ...})
   GET  /health   -> {"status": "ok", "backend": ...}
 
 Model compilation happens once at startup; each request runs jitted
@@ -34,28 +37,59 @@ class InferenceService:
     """Holds the model + jitted programs; thread-safe (JAX dispatch is)."""
 
     def __init__(self, cfg, model, variables, frames: int = 84):
-        from neural_sound_generation_tpu.models import VQVAE
+        from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
         from neural_sound_generation_tpu.ops import dsp
 
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.hier = isinstance(model, HierVQVAE)
+        if self.hier and frames % 8:
+            raise ValueError(
+                f"hiervqvae serving window must be a multiple of 8, "
+                f"got frames={frames}"
+            )
         self.frames = frames
         self.dsp = dsp
         self._lock = threading.Lock()
 
-        @jax.jit
-        def encode(mels):
-            return model.apply(variables, mels, train=False, method=VQVAE.encode)
+        if self.hier:
 
-        @jax.jit
-        def reconstruct(mels):
-            x_tilde, _, _ = model.apply(variables, mels, train=False)
-            return x_tilde
+            @jax.jit
+            def encode(mels):
+                return model.apply(
+                    variables, mels, train=False, method=HierVQVAE.encode
+                )
 
-        @jax.jit
-        def decode(codes):
-            return model.apply(variables, codes, train=False, method=VQVAE.decode)
+            @jax.jit
+            def reconstruct(mels):
+                x_tilde, _, _ = model.apply(variables, mels, train=False)
+                return x_tilde
+
+            @jax.jit
+            def decode(idx_t, idx_b):
+                return model.apply(
+                    variables, idx_t, idx_b, train=False,
+                    method=HierVQVAE.decode,
+                )
+        else:
+
+            @jax.jit
+            def encode(mels):
+                return model.apply(
+                    variables, mels, train=False, method=VQVAE.encode
+                )
+
+            @jax.jit
+            def reconstruct(mels):
+                x_tilde, _, _ = model.apply(variables, mels, train=False)
+                return x_tilde
+
+            @jax.jit
+            def decode(codes):
+                return model.apply(
+                    variables, codes, train=False, method=VQVAE.decode
+                )
 
         self._encode = encode
         self._reconstruct = reconstruct
@@ -106,12 +140,30 @@ class InferenceService:
         wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
         return buf.getvalue()
 
+    @staticmethod
+    def _stitch(codes, t, stride):
+        """(n, H', W') window code grids -> one (H', cols) grid trimmed to
+        the true mel length t."""
+        valid = max(1, -(-t // stride))
+        return np.concatenate(list(codes), axis=-1)[:, :valid]
+
     def encode(self, wav_bytes: bytes) -> dict:
         windows, t, n_win = self._wav_to_mel(wav_bytes)
+        if self.hier:
+            idx_t, idx_b = self._encode(windows)
+            top = self._stitch(np.asarray(idx_t)[:n_win], t, 8)
+            # bottom trims to exactly 2x the top width (not ceil(t/4),
+            # which can be one column short): decode requires alignment
+            bottom = np.concatenate(list(np.asarray(idx_b)[:n_win]), axis=-1)
+            bottom = bottom[:, : 2 * top.shape[-1]]
+            return {
+                "codes_top": top.tolist(), "shape_top": list(top.shape),
+                "codes_bottom": bottom.tolist(),
+                "shape_bottom": list(bottom.shape),
+            }
         codes = np.asarray(self._encode(windows))[:n_win]  # (n, H', W')
         # stitch window code grids along time, trim to the true length
-        valid_cols = max(1, -(-t // self.STRIDE))
-        stitched = np.concatenate(list(codes), axis=-1)[:, :valid_cols]
+        stitched = self._stitch(codes, t, self.STRIDE)
         return {"codes": stitched.tolist(), "shape": list(stitched.shape)}
 
     def reconstruct(self, wav_bytes: bytes) -> bytes:
@@ -120,9 +172,25 @@ class InferenceService:
         mel = np.concatenate(list(mels), axis=-1)[:, :t]
         return self._mel_to_wav_bytes(jnp.asarray(mel))
 
-    def decode(self, codes: list) -> bytes:
-        idx = jnp.asarray(np.asarray(codes, np.int32))[None, ...]
-        mel = self._decode(idx)[0, :, :, 0]
+    def decode(self, payload: dict) -> bytes:
+        if self.hier:
+            idx_t = jnp.asarray(
+                np.asarray(payload["codes_top"], np.int32)
+            )[None, ...]
+            idx_b = jnp.asarray(
+                np.asarray(payload["codes_bottom"], np.int32)
+            )[None, ...]
+            if 2 * idx_t.shape[-1] != idx_b.shape[-1]:
+                raise ValueError(
+                    "codes_bottom must be exactly twice as wide as "
+                    f"codes_top, got {idx_b.shape[-1]} vs {idx_t.shape[-1]}"
+                )
+            mel = self._decode(idx_t, idx_b)[0, :, :, 0]
+        else:
+            idx = jnp.asarray(
+                np.asarray(payload["codes"], np.int32)
+            )[None, ...]
+            mel = self._decode(idx)[0, :, :, 0]
         return self._mel_to_wav_bytes(mel)
 
 
@@ -161,8 +229,9 @@ def make_handler(service: InferenceService):
                 elif self.path == "/reconstruct":
                     self._send(200, service.reconstruct(body), "audio/wav")
                 elif self.path == "/decode":
-                    codes = json.loads(body)["codes"]
-                    self._send(200, service.decode(codes), "audio/wav")
+                    self._send(
+                        200, service.decode(json.loads(body)), "audio/wav"
+                    )
                 else:
                     self._send(404, b'{"error": "not found"}')
             except self._CLIENT_ERRORS as e:
@@ -185,11 +254,19 @@ def make_handler(service: InferenceService):
 
 def build_service(args):
     from neural_sound_generation_tpu.config import Config, load_preset
-    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
     from neural_sound_generation_tpu.training import checkpoint, create_train_state
 
     cfg = load_preset(args.preset, Config()) if args.preset else Config()
-    model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+    if getattr(args, "model", "vqvae") == "hiervqvae":
+        if args.frames % 8:
+            raise SystemExit(
+                f"--frames must be a multiple of 8 for hiervqvae "
+                f"(got {args.frames}); try {args.frames - args.frames % 8}"
+            )
+        model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+    else:
+        model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
     sample = jnp.zeros((1, cfg.audio.num_mels, args.frames, 1))
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
     if args.ckpt_dir:
@@ -210,12 +287,17 @@ def parse_args(argv=None):
     p.add_argument("--preset", default=None)
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--z-dim", type=int, default=512)
-    p.add_argument("--frames", type=int, default=84, help="serving mel window")
+    p.add_argument("--frames", type=int, default=None,
+                   help="serving mel window (default 84 flat / 80 hier)")
+    p.add_argument("--model", default="vqvae",
+                   choices=["vqvae", "hiervqvae"])
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.frames is None:
+        args.frames = 80 if args.model == "hiervqvae" else 84
     service = build_service(args)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving on http://{args.host}:{args.port} "

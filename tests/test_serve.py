@@ -188,3 +188,69 @@ def test_serve_with_trained_checkpoint(tmp_path, rng):
         np.asarray(service.variables["params"]["codebook"]),
         np.asarray(state.params["codebook"]),
     )
+
+
+# ------------------------- hierarchical serving -------------------------
+
+
+@pytest.fixture(scope="module")
+def hier_server():
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import HierVQVAE
+
+    cfg = Config()
+    model = HierVQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    service = InferenceService(cfg, model, variables, frames=16)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_hier_encode_decode_roundtrip(hier_server):
+    with _post(hier_server + "/encode", _wav_bytes(seconds=0.5)) as r:
+        body = json.loads(r.read())
+    assert body["shape_bottom"][1] == 2 * body["shape_top"][1]
+    assert body["shape_top"][0] == 10 and body["shape_bottom"][0] == 20
+    payload = json.dumps(
+        {"codes_top": body["codes_top"], "codes_bottom": body["codes_bottom"]}
+    ).encode()
+    with _post(hier_server + "/decode", payload) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(io.BytesIO(data))
+    assert sr == 22050 and len(wav) > 0
+
+
+def test_hier_decode_misaligned_grids_400(hier_server):
+    import urllib.error
+
+    payload = json.dumps(
+        {"codes_top": [[1] * 4] * 10, "codes_bottom": [[1] * 7] * 20}
+    ).encode()
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(hier_server + "/decode", payload)
+    assert err.value.code == 400
+    assert "twice as wide" in json.loads(err.value.read())["error"]
+
+
+def test_hier_service_rejects_unaligned_window():
+    from neural_sound_generation_tpu.cli.serve import InferenceService
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import HierVQVAE
+
+    model = HierVQVAE(input_dim=1, dim=8, z_dim=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)), train=False
+    )
+    with pytest.raises(ValueError, match="multiple of 8"):
+        InferenceService(Config(), model, variables, frames=20)
