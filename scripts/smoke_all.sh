@@ -80,3 +80,29 @@ main(['generate','$WORK/hand.csv','$WORK/motion.wav','--dim','8',
 echo "== artifacts:"
 ls "$WORK"/inv.wav "$WORK"/synth.wav "$WORK"/motion.wav "$WORK"/prior_samples/*.wav
 echo "SMOKE OK"
+
+echo "== 8/8 hierarchical chain (hiervqvae + per-level priors + sample)"
+PY "
+from neural_sound_generation_tpu.cli.main import main
+main(['--model','hiervqvae','--dataset','ljspeech','--datadir','$WORK/out',
+      '--sampledir','$WORK/results_h','--ckpt-dir','$WORK/models_h',
+      '--batch-size','2','--epochs','1','--dim','8','--z-dim','16',
+      '--max-batches-per-epoch','2'])" | grep Average
+for LEVEL in top bottom; do
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['train','--hier','--hier-level','$LEVEL','--datadir','$WORK/out',
+      '--vqvae-ckpt','$WORK/models_h/hiervqvae/checkpoint_ljspeech_8_16',
+      '--ckpt-dir','$WORK/prior_$LEVEL','--dim','8','--z-dim','16',
+      '--prior-dim','8','--prior-layers','2','--batch-size','2',
+      '--epochs','1','--max-batches-per-epoch','1'])" | tail -1
+done
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['sample','--hier',
+      '--vqvae-ckpt','$WORK/models_h/hiervqvae/checkpoint_ljspeech_8_16',
+      '--prior-ckpt','$WORK/prior_top','--bottom-ckpt','$WORK/prior_bottom',
+      '--output-dir','$WORK/hier_samples','--dim','8','--z-dim','16',
+      '--prior-dim','8','--prior-layers','2','--code-shape','10','2',
+      '--num-samples','1'])" | tail -1
+echo "SMOKE OK (incl. hier)"
