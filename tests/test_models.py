@@ -344,3 +344,40 @@ def test_pixelcnn_fast_generate_nonsquare_and_conditioned(pixelcnn_setup):
     )
     assert out.shape == (3, 6, 9)
     assert out.min() >= 0 and out.max() < 32
+
+
+def test_model_forwards_match_golden():
+    """Frozen fixed-seed forward outputs (tests/golden/models_golden.npz):
+    catches silent numeric drift from refactors of the model stacks —
+    same role as the DSP/motion golden files."""
+    import os
+
+    import jax
+
+    from neural_sound_generation_tpu.models import HierVQVAE
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "models_golden.npz")
+    g = np.load(path)
+    x = jnp.asarray(g["vqvae_in"])
+
+    m = VQVAE(input_dim=1, dim=8, z_dim=16)
+    v = m.init(jax.random.PRNGKey(7), x, train=False)
+    xt, ze, zq = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(xt), g["vqvae_xt"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ze), g["vqvae_ze"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zq), g["vqvae_zq"], atol=1e-5)
+
+    h = HierVQVAE(input_dim=1, dim=8, z_dim=16, z_dim_top=12)
+    hv = h.init(jax.random.PRNGKey(8), x, train=False)
+    hxt, (zet, _), (zeb, _) = h.apply(hv, x, train=False)
+    np.testing.assert_allclose(np.asarray(hxt), g["hier_xt"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zet), g["hier_zet"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(zeb), g["hier_zeb"], atol=1e-5)
+
+    p = GatedPixelCNN(input_dim=16, dim=8, n_layers=3, n_classes=4)
+    codes = jnp.asarray(g["pcnn_codes"])
+    lab = jnp.asarray([1, 3], jnp.int32)
+    pv = p.init(jax.random.PRNGKey(9), codes, lab)
+    np.testing.assert_allclose(
+        np.asarray(p.apply(pv, codes, lab)), g["pcnn_logits"], atol=1e-4
+    )
