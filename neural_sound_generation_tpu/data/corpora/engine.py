@@ -226,7 +226,11 @@ def _preprocess_chunk(
                         dsp.mulaw_quantize(jnp.asarray(0.0), cfg.quantize_channels)
                     )
                 )
-                out_dtype = np.int16
+                # dtype must hold [0, quantize_channels): int16 wraps
+                # silently at 32768 with the default 65536-channel config
+                # (the reference has the same latent bug at hparams.py:24 —
+                # fixed here, not mirrored)
+                out_dtype = np.int16 if cfg.quantize_channels <= 32768 else np.int32
             else:
                 pad_value = (
                     float(

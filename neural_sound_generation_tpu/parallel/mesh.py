@@ -44,13 +44,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# Parameter path patterns -> PartitionSpec for tensor parallelism.
-# The codebook's rows (codes) shard over 'model'; wide conv kernels shard
-# their output channels. Everything else replicates.
+# Parameter path patterns -> which dim of the leaf shards over 'model'.
+# A dim of 0 shards the codebook rows (codes); -1 shards a conv/dense
+# kernel's output channels regardless of kernel rank (2-D dense, 3-D
+# Conv1D as in WaveVQVAE/WaveNet, 4-D Conv2D as in VQVAE/PixelCNN) —
+# the spec is built from the leaf's actual rank, never hard-coded, so
+# every model family shards without rank assumptions (round-1 bug:
+# a fixed 4-dim spec raised IndexError on 3-dim Conv1D kernels).
 _TP_RULES = (
-    (re.compile(r"\['codebook(_top|_bottom)?'\]$"), P("model", None)),
-    (re.compile(r"\['(encoder|decoder)'\].*\['kernel'\]$"), P(None, None, None, "model")),
+    # -2 is the codes axis for both the flat (K, D) codebook and the
+    # residual-VQ (Q, K, D) codebook stack
+    (re.compile(r"\['codebook(_top|_bottom)?'\]$"), -2),
+    (re.compile(r"\['(encoder|decoder)'\].*\['kernel'\]$"), -1),
+    # WaveNet conv stack: dilated/cond/res/skip/post/first_conv kernels
+    (
+        re.compile(
+            r"\['(dilated|cond|res|skip)_\d+'\]\['kernel'\]$|"
+            r"\['(post1|post2|first_conv)'\]\['kernel'\]$|"
+            r"\['upsampler'\].*\['kernel'\]$"
+        ),
+        -1,
+    ),
 )
+
+
+def _rule_spec(leaf, dim: int) -> Optional[P]:
+    """PartitionSpec sharding ``dim`` of ``leaf`` over 'model', built from
+    the leaf's actual rank. None if the leaf is too small to have that dim."""
+    ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+    if ndim == 0:
+        return None
+    axis = dim if dim >= 0 else ndim + dim
+    if not (0 <= axis < ndim):
+        return None
+    entries = [None] * ndim
+    entries[axis] = "model"
+    return P(*entries)
 
 
 def model_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False):
@@ -60,11 +89,14 @@ def model_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False
 
     def spec_for(path: str, leaf) -> NamedSharding:
         if tensor_parallel and mesh.shape.get("model", 1) > 1:
-            for pattern, spec in _TP_RULES:
+            for pattern, dim in _TP_RULES:
                 if pattern.search(path):
+                    spec = _rule_spec(leaf, dim)
+                    if spec is None:
+                        continue
+                    axis = spec.index("model")
                     # only shard if the target dim divides evenly
-                    dim = spec.index("model") if "model" in spec else None
-                    if dim is not None and leaf.shape[dim] % mesh.shape["model"] == 0:
+                    if leaf.shape[axis] % mesh.shape["model"] == 0:
                         return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 

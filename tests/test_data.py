@@ -281,6 +281,29 @@ def test_preprocess_mulaw_quantize(tmp_path):
     assert audio.min() >= 0 and audio.max() <= 256
 
 
+def test_preprocess_mulaw_quantize_65536_no_overflow(tmp_path):
+    """Regression: the default quantize_channels is 65536; int16 would wrap
+    every sample >= 32768 negative. The engine must pick int32 and the
+    saved ids must round-trip losslessly through inv_mulaw_quantize."""
+    import jax.numpy as jnp
+
+    in_dir = _make_wav_corpus(tmp_path / "in", n=2)
+    out_dir = tmp_path / "out"
+    cfg = AudioConfig(input_type="mulaw-quantize", quantize_channels=65536)
+    entries = ljspeech.build_from_path(str(in_dir), str(out_dir), cfg=cfg)
+    audio = np.load(out_dir / entries[0].audio_path)
+    assert audio.dtype == np.int32
+    assert audio.min() >= 0 and audio.max() < 65536
+    # a loud sine quantizes well above the int16 ceiling somewhere
+    assert audio.max() > 32768
+    # round-trip: re-quantizing the dequantized signal returns the ids up
+    # to 1 step of float32 jitter (65536 levels sit at f32 resolution) —
+    # the int16 wrap this guards against was a >32768 sign flip
+    rec = np.asarray(dsp.inv_mulaw_quantize(jnp.asarray(audio), 65536))
+    requant = np.asarray(dsp.mulaw_quantize(jnp.asarray(rec), 65536))
+    assert np.abs(requant.astype(np.int64) - audio.astype(np.int64)).max() <= 1
+
+
 def test_preprocess_mel_matches_single_utterance(tmp_path):
     """Batched bucket processing must produce the same mel as the direct
     single-utterance transform."""

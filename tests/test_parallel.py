@@ -278,6 +278,65 @@ def test_mesh_with_bucketed_shapes(rng, tmp_path):
     assert loader._bucket_frames(long_idx[:2]) == 24
 
 
+def test_tensor_parallel_rank_aware_wave_families(rng):
+    """Regression: TP rules must not assume 4-dim conv kernels. The 1-D
+    conv families (WaveVQVAE, WaveNet) have 3-dim (K, Cin, Cout) kernels;
+    model_param_shardings must shard their *last* dim, not index dim 3 of
+    the spec (round-1 IndexError, parallel/mesh.py)."""
+    from neural_sound_generation_tpu.models import WaveNet, WaveVQVAE
+
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    m = WaveVQVAE(dim=8, z_dim=16, num_downsample=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 1)), train=False)
+    sh = model_param_shardings(v["params"], mesh, tensor_parallel=True)
+    assert sh["codebook"].spec == P("model", None)
+    # 3-dim conv kernel shards its output-channel (last) dim
+    assert sh["encoder"]["conv_1"]["kernel"].spec == P(None, None, "model")
+    # out conv has Cout=1: indivisible by 2, must replicate instead of crash
+    assert sh["decoder"]["out"]["kernel"].spec == P()
+
+    wn = WaveNet(layers=2, stacks=1, residual_channels=8, gate_channels=8,
+                 skip_out_channels=8, cin_channels=10, upsample_scales=(2, 2))
+    wv = wn.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 1)),
+                 c=jnp.zeros((1, 16, 10)))
+    wsh = model_param_shardings(wv["params"], mesh, tensor_parallel=True)
+    assert wsh["dilated_0"]["kernel"].spec == P(None, None, "model")
+    assert wsh["post2"]["kernel"].spec == P(None, None, "model")
+    assert wsh["first_conv"]["bias"].spec == P()
+
+
+def test_tensor_parallel_wavevqvae_step_matches_tp1(rng):
+    """A dp4xtp2 WaveVQVAE train step must produce the same loss as the
+    unsharded step — GSPMD layout changes must not change the math."""
+    from neural_sound_generation_tpu.models import WaveVQVAE
+
+    cfg = Config()
+    model = WaveVQVAE(dim=8, z_dim=16, num_downsample=3)
+    x = jnp.asarray(rng.standard_normal((8, 128, 1)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train)
+    key = jax.random.PRNGKey(0)
+
+    step1 = make_train_step(model, cfg, donate=False)
+    _, m1 = step1(state, {"x": x}, key)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sh = model_param_shardings(state.params, mesh, tensor_parallel=True)
+    rep = replicated_sharding(mesh)
+    stateN = state.replace(
+        params=jax.device_put(state.params, sh),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(state.opt_state, rep),
+        step=jax.device_put(state.step, rep),
+    )
+    stepN = make_train_step(model, cfg, donate=False)
+    batchN = jax.device_put({"x": x}, batch_sharding(mesh))
+    with mesh:
+        _, mN = stepN(stateN, batchN, jax.device_put(key, rep))
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+
+
 def test_wavevqvae_on_mesh(rng):
     """The raw-waveform family trains data-parallel on the mesh too."""
     from neural_sound_generation_tpu.models import WaveVQVAE
