@@ -29,6 +29,38 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Peak MXU throughput per chip, bf16 FLOP/s. JAX's default matmul
+# precision on TPU ("DEFAULT") executes f32 arrays as bf16 MXU passes, so
+# bf16 peak is the correct MFU denominator even for an f32 model. Source:
+# public TPU spec sheets (v5e: 197 TFLOP/s bf16, v4: 275, v5p: 459).
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _program_flops(run, state, super_batch, key, multi):
+    """FLOPs of ONE optimization step, from XLA's cost analysis of the
+    exact compiled multi-step program that the timed loop launches."""
+    try:
+        lowered = run.lower(state, super_batch, key)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total = float(ca["flops"])
+        if total <= 0:
+            return None
+        return total / multi
+    except Exception as e:
+        log(f"[bench] cost analysis unavailable: {e!r}")
+        return None
+
+
 def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     # The TPU is reached through a tunnel with occasional latency spikes;
     # measure several blocked windows of dependent steps and report the
@@ -57,6 +89,11 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
 
+    flops_per_step = _program_flops(run, state, super_batch, key, multi)
+    if flops_per_step:
+        log(f"[bench] XLA cost analysis: {flops_per_step / 1e9:.2f} GF/step "
+            f"({flops_per_step * multi / 1e9:.2f} GF per scan x{multi} launch)")
+
     launches = max(1, steps // multi)
     for _ in range(max(1, warmup // multi)):
         state, metrics = run(state, super_batch, key)
@@ -79,7 +116,30 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     sps = float(np.median(rates))
     log(f"[bench] TPU median over {rounds} rounds "
         f"(multi-step scan x{multi}): {sps:.2f} steps/s")
-    return sps
+
+    perf = {
+        "rounds_steps_per_sec": [round(r, 2) for r in rates],
+        "window_spread": round(max(rates) / min(rates), 2),
+    }
+    if flops_per_step:
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_BF16.get(kind)
+        tflops = flops_per_step * sps / 1e12
+        perf.update(
+            flops_per_step=round(flops_per_step),
+            tflops_per_sec=round(tflops, 2),
+            device_kind=kind,
+        )
+        if peak:
+            # MFU vs bf16 MXU peak — the chip's matmul path for f32 arrays
+            # under JAX default precision; self-checking: mfu must be < 1
+            perf["mfu_vs_bf16_peak"] = round(tflops * 1e12 / peak, 4)
+            log(f"[bench] {tflops:.2f} TFLOP/s on {kind} -> "
+                f"MFU {perf['mfu_vs_bf16_peak']:.1%} of bf16 peak")
+            if perf["mfu_vs_bf16_peak"] > 1.0:
+                log("[bench] WARNING: implied MFU > 100% — measurement "
+                    "artifact, do not trust this window")
+    return sps, perf
 
 
 def bench_torch_cpu(steps=3, warmup=1):
@@ -164,7 +224,7 @@ def bench_torch_cpu(steps=3, warmup=1):
 
 
 def main():
-    tpu_sps = bench_tpu()
+    tpu_sps, perf = bench_tpu()
     try:
         ref_sps = bench_torch_cpu()
     except Exception as e:  # torch missing/broken should not kill the bench
@@ -175,6 +235,7 @@ def main():
         "value": round(tpu_sps, 3),
         "unit": "steps/sec",
         "vs_baseline": round(tpu_sps / ref_sps, 2) if ref_sps else None,
+        **perf,
     }
     print(json.dumps(result))
 
