@@ -24,6 +24,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight tests (multi-process spawns, full-size jit "
+        "compiles); deselect with -m 'not slow' for the quick tier",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
