@@ -56,6 +56,13 @@ class AudioConfig:
     # fast Griffin-Lim momentum (0 = plain reference algorithm); 0.99
     # typically halves the iterations needed
     griffin_lim_momentum: float = 0.0
+    # LWS STFT convention + phase estimation (ops/lws.py). The reference's
+    # wavenet-variant chain (audio.py, cmu_arctic/jsut/librivox) is
+    # LWS-only; its tacotron variant gates on use_lws
+    # (audio_tacotron.py:89,155, hparams_tacotron.py:77 default False)
+    use_lws: bool = False
+    lws_iterations: int = 100
+    lws_k_radius: int = 2  # lws's L = 2*k_radius + 1 (speech mode L=5)
     # waveform input encoding (hparams.py:23-24)
     input_type: str = "raw"  # raw | mulaw | mulaw-quantize
     quantize_channels: int = 65536
@@ -238,6 +245,7 @@ class Config:
             "griffin_lim_momentum",
             "trim_silence", "trim_fft_size", "trim_hop_size", "trim_top_db",
             "win_size",
+            "use_lws", "lws_iterations", "lws_k_radius",
         ]
         arch_keys = [
             "builder", "out_channels", "layers", "stacks",

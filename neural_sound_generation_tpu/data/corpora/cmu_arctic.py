@@ -55,7 +55,8 @@ def build_from_path(
     tqdm=lambda x, **kw: x,
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
-    cfg = cfg or AudioConfig(sample_rate=16000)
+    # the reference's chain for this corpus is LWS-only (audio.py:112-127)
+    cfg = cfg or AudioConfig(sample_rate=16000, use_lws=True)
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
         specs, out_dir, cfg, name="cmu_arctic", num_workers=num_workers,

@@ -74,10 +74,15 @@ def _batch_transform(wavs: jnp.ndarray, prepped: jnp.ndarray, cfg: AudioConfig):
         outs = wavs
 
     def one_mel(p):
-        D = dsp.stft(
-            p, cfg.fft_size, cfg.effective_hop_size, cfg.effective_win_size,
-            center=False,
-        )
+        if cfg.use_lws:
+            from neural_sound_generation_tpu.ops.lws import lws_stft_prepadded
+
+            D = lws_stft_prepadded(p, cfg.fft_size, cfg.effective_hop_size)
+        else:
+            D = dsp.stft(
+                p, cfg.fft_size, cfg.effective_hop_size,
+                cfg.effective_win_size, center=False,
+            )
         mel_mag = jnp.abs(D) @ dsp._mel_matrix(cfg).T
         S = dsp.amp_to_db(mel_mag, cfg.min_level_db) - cfg.ref_level_db
         if cfg.signal_normalization:
@@ -191,12 +196,20 @@ def _preprocess_chunk(
             trimmed.append(wav)
         wavs = trimmed
 
-    # 3. host-side shift-variant prep: preemphasis, reflect pad
+    # 3. host-side shift-variant prep: preemphasis, then the convention's
+    # analysis padding — librosa center (reflect fft//2) by default, or
+    # the exact per-utterance LWS zero pads (audio.py:130-140) when
+    # cfg.use_lws. prep_extra sizes the device batch so every prepped
+    # utterance fits (LWS right pad < fft_size).
     half = cfg.fft_size // 2
+    prep_extra = 2 * half if not cfg.use_lws else 2 * cfg.fft_size - hop
 
     def prep(w: np.ndarray) -> np.ndarray:
         if cfg.preemphasize:
             w = np.concatenate([w[:1], w[1:] - cfg.preemphasis * w[:-1]])
+        if cfg.use_lws:
+            l, r = dsp.lws_pad_lr(len(w), cfg.fft_size, hop)
+            return np.pad(w, (l, r)).astype(np.float32)
         return np.pad(w, (half, half), mode="reflect").astype(np.float32)
 
     prepped = [prep(w) for w in wavs]
@@ -207,7 +220,7 @@ def _preprocess_chunk(
 
     def flush(batch_ids: List[int], pad_len: int):
         batch = np.zeros((len(batch_ids), pad_len), np.float32)
-        batch_p = np.zeros((len(batch_ids), pad_len + 2 * half), np.float32)
+        batch_p = np.zeros((len(batch_ids), pad_len + prep_extra), np.float32)
         for row, i in enumerate(batch_ids):
             batch[row, : len(wavs[i])] = wavs[i]
             batch_p[row, : len(prepped[i])] = prepped[i]
@@ -216,10 +229,15 @@ def _preprocess_chunk(
         outs = np.asarray(outs)
         for row, i in enumerate(batch_ids):
             true_len = len(wavs[i])
-            n_frames = dsp.num_stft_frames(true_len, cfg.fft_size, hop)
+            # frame count + audio/mel alignment pads under the configured
+            # convention (ljspeech.py:66-82; lws math audio.py:119-140)
+            if cfg.use_lws:
+                n_frames = dsp.lws_num_frames(true_len, cfg.fft_size, hop)
+                l, r = dsp.lws_pad_lr(true_len, cfg.fft_size, hop)
+            else:
+                n_frames = dsp.num_stft_frames(true_len, cfg.fft_size, hop)
+                l, r = dsp.librosa_pad_lr(true_len, cfg.fft_size, hop)
             mel = mels[row, :n_frames].astype(np.float32)
-            # align + truncate waveform to n_frames * hop (ljspeech.py:66-82)
-            l, r = dsp.librosa_pad_lr(true_len, cfg.fft_size, hop)
             if cfg.is_mulaw_quantize:
                 pad_value = int(
                     np.asarray(

@@ -67,7 +67,8 @@ def build_from_path(
     tqdm=lambda x, **kw: x,
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
-    cfg = cfg or AudioConfig()
+    # the reference's chain for this corpus is LWS-only (audio.py:112-127)
+    cfg = cfg or AudioConfig(use_lws=True)
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
         specs, out_dir, cfg, name="librivox", num_workers=num_workers,

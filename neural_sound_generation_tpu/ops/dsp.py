@@ -347,11 +347,22 @@ def _inv_mel_matrix(cfg: AudioConfig) -> jnp.ndarray:
     )
 
 
+def _analysis_stft(y: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
+    """STFT under the configured convention: librosa-centered by default,
+    or the LWS speech-mode framing when ``cfg.use_lws``
+    (``src/audio_tacotron.py:154-158`` dispatches the same way)."""
+    if cfg.use_lws:
+        from neural_sound_generation_tpu.ops.lws import lws_stft
+
+        return lws_stft(y, cfg.fft_size, cfg.effective_hop_size)
+    return stft(y, cfg.fft_size, cfg.effective_hop_size, cfg.effective_win_size)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def linearspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     """Normalized linear dB spectrogram, (1 + fft_size//2, n_frames)."""
     y = preemphasis(wav, cfg.preemphasis, cfg.preemphasize)
-    D = stft(y, cfg.fft_size, cfg.effective_hop_size, cfg.effective_win_size)
+    D = _analysis_stft(y, cfg)
     S = amp_to_db(jnp.abs(D), cfg.min_level_db) - cfg.ref_level_db
     if cfg.signal_normalization:
         S = normalize_spectrogram(S, cfg)
@@ -362,11 +373,14 @@ def linearspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
 def melspectrogram(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     """Normalized mel dB spectrogram, (num_mels, n_frames).
 
-    Parity target: ``src/audio_tacotron.py:70-78`` (librosa STFT branch, the
-    reference's own default — use_lws=False, hparams_tacotron.py:77).
+    Parity target: ``src/audio_tacotron.py:70-78``. Default is the librosa
+    centered STFT (the reference tacotron default, use_lws=False,
+    hparams_tacotron.py:77); ``cfg.use_lws`` switches to the LWS
+    speech-mode framing used by the wavenet-variant chain
+    (``src/audio.py:95-101``, cmu_arctic/jsut/librivox).
     """
     y = preemphasis(wav, cfg.preemphasis, cfg.preemphasize)
-    D = stft(y, cfg.fft_size, cfg.effective_hop_size, cfg.effective_win_size)
+    D = _analysis_stft(y, cfg)
     # |D|: (n_frames, n_freq); mel basis: (n_mels, n_freq) -> MXU matmul
     mel_mag = jnp.abs(D) @ _mel_matrix(cfg).T
     S = amp_to_db(mel_mag, cfg.min_level_db) - cfg.ref_level_db
@@ -427,23 +441,36 @@ def griffin_lim(
     return y
 
 
+def _phase_reconstruct(S_pow: jnp.ndarray, cfg: AudioConfig, key: jax.Array):
+    """Waveform from a linear magnitude**power spectrogram (n_freq, T):
+    LWS phase estimation + LWS synthesis when ``cfg.use_lws``
+    (``src/audio_tacotron.py:109-112`` / ``src/audio.py:86-92``),
+    Griffin-Lim otherwise (``audio_tacotron.py:113-116``)."""
+    if cfg.use_lws:
+        from neural_sound_generation_tpu.ops.lws import lws_istft, run_lws
+
+        D = run_lws(S_pow.T, cfg.fft_size, cfg.effective_hop_size,
+                    iterations=cfg.lws_iterations, k_radius=cfg.lws_k_radius)
+        return lws_istft(D, cfg.fft_size, cfg.effective_hop_size)
+    return griffin_lim(S_pow.T, cfg, key, momentum=cfg.griffin_lim_momentum)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def inv_mel_spectrogram(
     mel_spectrogram: jnp.ndarray, cfg: AudioConfig, key: jax.Array
 ) -> jnp.ndarray:
     """Mel dB spectrogram (num_mels, n_frames) -> waveform.
 
-    Parity target: ``src/audio_tacotron.py:99-116`` Griffin-Lim branch:
-    denormalize -> db_to_amp -> pinv mel basis -> power -> Griffin-Lim ->
-    inverse preemphasis.
+    Parity target: ``src/audio_tacotron.py:99-116``: denormalize ->
+    db_to_amp -> pinv mel basis -> power -> phase reconstruction (LWS when
+    cfg.use_lws, else Griffin-Lim) -> inverse preemphasis.
     """
     D = mel_spectrogram
     if cfg.signal_normalization:
         D = denormalize_spectrogram(D, cfg)
     amp = db_to_amp(D + cfg.ref_level_db)  # (n_mels, T)
     S = jnp.maximum(1e-10, _inv_mel_matrix(cfg) @ amp)  # (n_freq, T)
-    y = griffin_lim((S**cfg.power).T, cfg, key,
-                    momentum=cfg.griffin_lim_momentum)
+    y = _phase_reconstruct(S**cfg.power, cfg, key)
     return inv_preemphasis(y, cfg.preemphasis, cfg.preemphasize)
 
 
@@ -452,13 +479,12 @@ def inv_linear_spectrogram(
     linear_spectrogram: jnp.ndarray, cfg: AudioConfig, key: jax.Array
 ) -> jnp.ndarray:
     """Linear dB spectrogram (n_freq, n_frames) -> waveform
-    (src/audio_tacotron.py:80-96, Griffin-Lim branch)."""
+    (src/audio_tacotron.py:80-96)."""
     D = linear_spectrogram
     if cfg.signal_normalization:
         D = denormalize_spectrogram(D, cfg)
     S = db_to_amp(D + cfg.ref_level_db)
-    y = griffin_lim((S**cfg.power).T, cfg, key,
-                    momentum=cfg.griffin_lim_momentum)
+    y = _phase_reconstruct(S**cfg.power, cfg, key)
     return inv_preemphasis(y, cfg.preemphasis, cfg.preemphasize)
 
 
