@@ -43,6 +43,12 @@ def parse_args(argv=None):
     wat.add_argument("--frames", type=int, default=20)
     wat.add_argument("--fps", type=float, default=120.0)
     wat.add_argument("--seed", type=int, default=0)
+    wat.add_argument(
+        "--gestures", action="store_true",
+        help="stream the scripted gesture choreography and print "
+             "recognized circle/swipe/tap events "
+             "(src/inference.py:170-206 handling)",
+    )
 
     gen = sub.add_parser("generate", help="replay CSV -> decoder -> wav")
     gen.add_argument("input_csv")
@@ -81,31 +87,82 @@ def cmd_analyze(args):
     print("per-component latent std:", np.round(latents.std(axis=0), 4).tolist())
 
 
+def _describe_gesture(event, last_progress):
+    """Render one gesture event the way the reference's listener handles
+    them (src/inference.py:170-206): circles report clockwiseness and the
+    angle swept since the previous update; swipes report direction/speed;
+    taps report position."""
+    import math
+
+    from neural_sound_generation_tpu.motion import (
+        GESTURE_STATE_START,
+        GESTURE_TYPE_CIRCLE,
+        GESTURE_TYPE_SWIPE,
+    )
+
+    if event.type == GESTURE_TYPE_CIRCLE:
+        clockwiseness = (
+            "clockwise" if event.clockwise else "counterclockwise"
+        )
+        swept = 0.0
+        if event.state != GESTURE_STATE_START:
+            swept = (
+                event.progress - last_progress.get(event.id, event.progress)
+            ) * 2 * math.pi
+        last_progress[event.id] = event.progress
+        return (
+            f"Circle id: {event.id}, {event.state_name}, progress: "
+            f"{event.progress:.2f}, radius: {event.radius:.1f}, angle: "
+            f"{math.degrees(swept):.1f} degrees, {clockwiseness}"
+        )
+    if event.type == GESTURE_TYPE_SWIPE:
+        d = event.direction
+        return (
+            f"Swipe id: {event.id}, {event.state_name}, direction: "
+            f"({d[0]:+.2f} {d[1]:+.2f} {d[2]:+.2f}), speed: {event.speed:.0f}"
+        )
+    p = event.position
+    return (
+        f"{event.type_name} id: {event.id}, {event.state_name}, position: "
+        f"({p[0]:.0f} {p[1]:.0f} {p[2]:.0f})"
+    )
+
+
 def cmd_watch(args):
     """Stream frames through the listener-callback path and print them —
-    the console sample app (src/Read.py:17-172 twin)."""
+    the console sample app (src/Read.py:17-172 twin). With --gestures,
+    recognized gesture events are printed as they fire."""
     import threading
 
     from neural_sound_generation_tpu.motion import (
         replay_controller,
+        scripted_gesture_controller,
         synthetic_controller,
     )
 
-    ctrl = (
-        replay_controller(args.csv, fps=args.fps)
-        if args.csv
-        else synthetic_controller(seed=args.seed, fps=args.fps,
-                                  n_frames=args.frames)
-    )
+    if args.gestures:
+        ctrl = scripted_gesture_controller(fps=args.fps)
+        args.frames = max(args.frames, len(ctrl))
+    elif args.csv:
+        ctrl = replay_controller(args.csv, fps=args.fps)
+    else:
+        ctrl = synthetic_controller(seed=args.seed, fps=args.fps,
+                                    n_frames=args.frames)
+    last_progress = {}
+    if args.gestures:
+        ctrl.add_gesture_listener(
+            lambda e: print("  " + _describe_gesture(e, last_progress))
+        )
     done = threading.Event()
     count = [0]
 
     def on_frame(feats):
         count[0] += 1
-        print(
-            f"frame {count[0]}: pitch={feats[0]:+.3f} roll={feats[1]:+.3f} "
-            f"yaw={feats[2]:+.3f} joints[{feats[3]:+.2f} {feats[4]:+.2f} ...]"
-        )
+        if not args.gestures:  # gesture mode prints events, not frames
+            print(
+                f"frame {count[0]}: pitch={feats[0]:+.3f} roll={feats[1]:+.3f} "
+                f"yaw={feats[2]:+.3f} joints[{feats[3]:+.2f} {feats[4]:+.2f} ...]"
+            )
         if count[0] >= args.frames:
             done.set()
 

@@ -29,8 +29,75 @@ _lib_lock = threading.Lock()
 _CALLBACK_TYPE = ctypes.CFUNCTYPE(
     None, ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_void_p
 )
+_GESTURE_CALLBACK_TYPE = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ctypes.c_double), ctypes.c_void_p
+)
 
 NUM_FEATURES = 18  # 3 palm angles + 5 fingers x 3 joint angles
+GESTURE_DOUBLES = 13  # serialized gesture record width
+
+# Leap SDK numeric conventions (Gesture.Type / Gesture.State), kept so
+# handling code reads like the reference's (src/inference.py:170-206).
+GESTURE_TYPE_SWIPE = 1
+GESTURE_TYPE_CIRCLE = 4
+GESTURE_TYPE_SCREEN_TAP = 5
+GESTURE_TYPE_KEY_TAP = 6
+GESTURE_STATE_START = 1
+GESTURE_STATE_UPDATE = 2
+GESTURE_STATE_STOP = 3
+
+GESTURE_TYPE_NAMES = {
+    GESTURE_TYPE_SWIPE: "swipe",
+    GESTURE_TYPE_CIRCLE: "circle",
+    GESTURE_TYPE_SCREEN_TAP: "screen_tap",
+    GESTURE_TYPE_KEY_TAP: "key_tap",
+}
+GESTURE_STATE_NAMES = {
+    GESTURE_STATE_START: "start",
+    GESTURE_STATE_UPDATE: "update",
+    GESTURE_STATE_STOP: "stop",
+}
+
+
+class GestureEvent:
+    """One recognized gesture event.
+
+    ``progress`` is cumulative turns for circles and displacement (mm) for
+    swipes; ``direction`` is the circle-plane normal for circles and the
+    motion direction for swipes/taps; ``clockwise`` mirrors the reference's
+    pointable-direction-vs-normal test (src/inference.py:175-178)."""
+
+    __slots__ = ("type", "state", "id", "progress", "radius", "clockwise",
+                 "speed", "direction", "position")
+
+    def __init__(self, record: np.ndarray):
+        self.type = int(record[0])
+        self.state = int(record[1])
+        self.id = int(record[2])
+        self.progress = float(record[3])
+        self.radius = float(record[4])
+        self.clockwise = bool(record[5])
+        self.speed = float(record[6])
+        self.direction = np.asarray(record[7:10], np.float64)
+        self.position = np.asarray(record[10:13], np.float64)
+
+    @property
+    def type_name(self) -> str:
+        return GESTURE_TYPE_NAMES.get(self.type, f"type{self.type}")
+
+    @property
+    def state_name(self) -> str:
+        return GESTURE_STATE_NAMES.get(self.state, f"state{self.state}")
+
+    def __repr__(self):
+        extra = ""
+        if self.type == GESTURE_TYPE_CIRCLE:
+            extra = (f", progress={self.progress:.2f}, radius={self.radius:.1f}"
+                     f", {'clockwise' if self.clockwise else 'counterclockwise'}")
+        elif self.type == GESTURE_TYPE_SWIPE:
+            extra = f", speed={self.speed:.0f}"
+        return (f"GestureEvent({self.type_name}, {self.state_name}, "
+                f"id={self.id}{extra})")
 
 
 def _build() -> None:
@@ -92,7 +159,18 @@ def load_library() -> ctypes.CDLL:
         lib.nsg_extract_features.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.nsg_scripted_controller_new.restype = ctypes.c_void_p
+        lib.nsg_scripted_controller_new.argtypes = [ctypes.c_double]
+        lib.nsg_gesture_record_size.restype = ctypes.c_int
+        lib.nsg_controller_poll_gestures.restype = ctypes.c_int
+        lib.nsg_controller_poll_gestures.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ]
+        lib.nsg_controller_set_gesture_callback.argtypes = [
+            ctypes.c_void_p, _GESTURE_CALLBACK_TYPE, ctypes.c_void_p,
+        ]
         assert lib.nsg_num_features() == NUM_FEATURES
+        assert lib.nsg_gesture_record_size() == GESTURE_DOUBLES
         _lib = lib
         return lib
 
@@ -113,6 +191,8 @@ class MotionController:
         self._handle = ctypes.c_void_p(handle)
         self._listeners: List[Callable[[np.ndarray], None]] = []
         self._cb_ref = None  # keep the CFUNCTYPE object alive
+        self._gesture_listeners: List[Callable[[GestureEvent], None]] = []
+        self._gesture_cb_ref = None
 
     # -- lifecycle -------------------------------------------------------
     def start(self):
@@ -165,6 +245,38 @@ class MotionController:
 
         self._cb_ref = _CALLBACK_TYPE(trampoline)
         self._lib.nsg_controller_set_callback(self._handle, self._cb_ref, None)
+
+    # -- gestures --------------------------------------------------------
+    def add_gesture_listener(self, fn: Callable[["GestureEvent"], None]):
+        """Push delivery of recognized gestures from the producer thread
+        (the reference's on_frame gesture loop, src/inference.py:170-206,
+        as a callback)."""
+        self._gesture_listeners.append(fn)
+        if self._gesture_cb_ref is None:
+            self._install_gesture_callback()
+        return self
+
+    def _install_gesture_callback(self):
+        def trampoline(ptr, _user):
+            rec = np.ctypeslib.as_array(ptr, shape=(GESTURE_DOUBLES,)).copy()
+            event = GestureEvent(rec)
+            for fn in self._gesture_listeners:
+                fn(event)
+
+        self._gesture_cb_ref = _GESTURE_CALLBACK_TYPE(trampoline)
+        self._lib.nsg_controller_set_gesture_callback(
+            self._handle, self._gesture_cb_ref, None
+        )
+
+    def poll_gestures(self, max_events: int = 256) -> List["GestureEvent"]:
+        """Pop pending gesture events (pull model)."""
+        buf = np.zeros((max_events, GESTURE_DOUBLES), np.float64)
+        n = self._lib.nsg_controller_poll_gestures(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            max_events,
+        )
+        return [GestureEvent(buf[i]) for i in range(n)]
 
     # -- pull ------------------------------------------------------------
     def poll(self) -> Optional[np.ndarray]:
@@ -229,6 +341,14 @@ def synthetic_controller(
     """Deterministic synthetic hand (full scene graph animated in C++)."""
     lib = load_library()
     return MotionController(lib.nsg_synthetic_controller_new(seed, fps, n_frames))
+
+
+def scripted_gesture_controller(fps: float = 60.0) -> MotionController:
+    """Deterministic gesture choreography — a hand performing a clockwise
+    circle, a counterclockwise circle, a rightward swipe, a key tap and a
+    screen tap, for driving the gesture recognizers without a device."""
+    lib = load_library()
+    return MotionController(lib.nsg_scripted_controller_new(fps))
 
 
 def extract_features_native(scene: np.ndarray) -> np.ndarray:

@@ -306,3 +306,172 @@ def test_motion_golden_regression():
     finally:
         c.close()
     np.testing.assert_allclose(frames, g["frames"], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Gesture recognition (reference: src/inference.py:170-206 consumes the Leap
+# SDK recognizers — circle with clockwiseness + swept angle, swipe, key tap,
+# screen tap; SDK classes src/Leap.h:1812)
+# ---------------------------------------------------------------------------
+
+
+def _scripted_events(fps=60.0):
+    from neural_sound_generation_tpu.motion import scripted_gesture_controller
+
+    c = scripted_gesture_controller(fps=fps)
+    try:
+        frames = c.drain(len(c))
+        events = c.poll_gestures(max_events=2048)
+    finally:
+        c.close()
+    return frames, events
+
+
+def test_gesture_choreography_detects_all_types():
+    from neural_sound_generation_tpu.motion import (
+        GESTURE_STATE_START,
+        GESTURE_STATE_STOP,
+        GESTURE_TYPE_CIRCLE,
+        GESTURE_TYPE_KEY_TAP,
+        GESTURE_TYPE_SCREEN_TAP,
+        GESTURE_TYPE_SWIPE,
+    )
+
+    frames, events = _scripted_events()
+    assert frames.shape[1] == 18  # feature stream stays intact
+    types = {e.type for e in events}
+    assert types == {
+        GESTURE_TYPE_CIRCLE, GESTURE_TYPE_SWIPE,
+        GESTURE_TYPE_KEY_TAP, GESTURE_TYPE_SCREEN_TAP,
+    }
+    # exactly two circles: first clockwise, second counterclockwise
+    circle_starts = [
+        e for e in events
+        if e.type == GESTURE_TYPE_CIRCLE and e.state == GESTURE_STATE_START
+    ]
+    assert len(circle_starts) == 2
+    assert circle_starts[0].clockwise is True
+    assert circle_starts[1].clockwise is False
+    # each circle sweeps over a full turn and reports a sane radius
+    circle_stops = [
+        e for e in events
+        if e.type == GESTURE_TYPE_CIRCLE and e.state == GESTURE_STATE_STOP
+    ]
+    assert len(circle_stops) == 2
+    for stop in circle_stops:
+        assert stop.progress > 1.0
+        assert 30.0 < stop.radius < 90.0  # scripted radius is 60 mm
+    # one swipe, rightward (+x), fast
+    swipe_starts = [
+        e for e in events
+        if e.type == GESTURE_TYPE_SWIPE and e.state == GESTURE_STATE_START
+    ]
+    assert len(swipe_starts) == 1
+    assert swipe_starts[0].direction[0] > 0.9
+    assert swipe_starts[0].speed > 600.0
+    # taps are discrete STATE_STOP events, one each
+    assert sum(1 for e in events if e.type == GESTURE_TYPE_KEY_TAP) == 1
+    assert sum(1 for e in events if e.type == GESTURE_TYPE_SCREEN_TAP) == 1
+
+
+def test_gesture_event_ordering_and_states():
+    """Start/update/stop discipline: every continuous gesture opens with
+    START, carries UPDATEs, and closes with STOP; ids are stable."""
+    from neural_sound_generation_tpu.motion import (
+        GESTURE_STATE_START,
+        GESTURE_STATE_STOP,
+        GESTURE_STATE_UPDATE,
+        GESTURE_TYPE_CIRCLE,
+        GESTURE_TYPE_SWIPE,
+    )
+
+    _, events = _scripted_events()
+    by_id = {}
+    for e in events:
+        by_id.setdefault((e.type, e.id), []).append(e)
+    for (etype, _), seq in by_id.items():
+        if etype in (GESTURE_TYPE_CIRCLE, GESTURE_TYPE_SWIPE):
+            assert seq[0].state == GESTURE_STATE_START
+            assert seq[-1].state == GESTURE_STATE_STOP
+            assert all(
+                e.state == GESTURE_STATE_UPDATE for e in seq[1:-1]
+            )
+            # circle progress is monotonic within a gesture
+            if etype == GESTURE_TYPE_CIRCLE:
+                progresses = [e.progress for e in seq]
+                assert progresses == sorted(progresses)
+
+
+def test_gesture_detection_frame_rate_invariant():
+    """The recognizers track the Leap device's nominal 60-115 fps range."""
+    from neural_sound_generation_tpu.motion import GESTURE_TYPE_CIRCLE
+
+    _, ev60 = _scripted_events(fps=60.0)
+    _, ev115 = _scripted_events(fps=115.0)
+    kinds60 = sorted({(e.type, e.clockwise) for e in ev60
+                      if e.type == GESTURE_TYPE_CIRCLE})
+    kinds115 = sorted({(e.type, e.clockwise) for e in ev115
+                       if e.type == GESTURE_TYPE_CIRCLE})
+    assert kinds60 == kinds115 == [(GESTURE_TYPE_CIRCLE, False),
+                                   (GESTURE_TYPE_CIRCLE, True)]
+
+
+def test_gesture_push_callbacks_from_native_thread():
+    """Gesture events also arrive via the push callback (Listener model)."""
+    import threading
+
+    from neural_sound_generation_tpu.motion import (
+        GESTURE_TYPE_CIRCLE,
+        scripted_gesture_controller,
+    )
+
+    got = []
+    seen_circle = threading.Event()
+
+    def on_gesture(event):
+        got.append(event)
+        if event.type == GESTURE_TYPE_CIRCLE:
+            seen_circle.set()
+
+    c = scripted_gesture_controller(fps=1000.0)  # fast playback
+    c.add_gesture_listener(on_gesture)
+    try:
+        c.start()
+        assert seen_circle.wait(timeout=20.0)
+    finally:
+        c.stop()
+        c.close()
+    assert any(e.type == GESTURE_TYPE_CIRCLE for e in got)
+
+
+def test_gestures_absent_for_feature_only_replay(tmp_path):
+    """CSV recordings carry reduced features only (no positions) — the
+    detector must stay silent rather than hallucinate gestures."""
+    from neural_sound_generation_tpu.motion import (
+        replay_controller,
+        synthetic_controller,
+    )
+
+    csv = str(tmp_path / "rec.csv")
+    cap = synthetic_controller(seed=5, n_frames=64)
+    try:
+        cap.record_csv(csv, 64)
+    finally:
+        cap.close()
+    rep = replay_controller(csv)
+    try:
+        rep.drain(64)
+        assert rep.poll_gestures() == []
+    finally:
+        rep.close()
+
+
+def test_motion_cli_watch_gestures(capsys):
+    from neural_sound_generation_tpu.cli import motion as motion_cli
+
+    motion_cli.main(["watch", "--gestures", "--fps", "1000"])
+    out = capsys.readouterr().out
+    assert "Circle" in out and "clockwise" in out
+    assert "Swipe" in out
+    assert "key_tap" in out and "screen_tap" in out
+    assert "degrees" in out  # swept-angle rendering (inference.py:180-184)
