@@ -54,9 +54,9 @@ def _nearest_indices(inputs_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.nda
     k = codebook.shape[0]
     use_pallas = _VQ_BACKEND == "pallas"
     if _VQ_BACKEND == "auto" and jax.default_backend() == "tpu":
-        from neural_sound_generation_tpu.ops.pallas.vq_kernel import pallas_supported
+        from neural_sound_generation_tpu.ops.pallas.vq_kernel import pallas_preferred
 
-        use_pallas = pallas_supported(n, d, k)
+        use_pallas = pallas_preferred(n, d, k)
     if use_pallas:
         from neural_sound_generation_tpu.ops.pallas.vq_kernel import (
             nearest_codebook_indices,

@@ -197,6 +197,44 @@ def test_pallas_supported_constraints():
     assert pallas_supported(1000, 256, 512)
     assert not pallas_supported(1000, 100, 512)  # D not lane-aligned
     assert not pallas_supported(1000, 256, 500)  # K not lane-aligned
+    # quantize_channels-scale codebooks route to the K-tiled kernel
+    assert pallas_supported(1000, 256, 65536)
+    assert pallas_supported(1000, 128, 4096)
+
+
+def test_pallas_tiled_kernel_matches_xla_interpret(rng):
+    """K-tiled kernel (running argmin across codebook blocks) vs XLA, on a
+    K that is neither VMEM-resident nor a TILE_K multiple (pad path)."""
+    from neural_sound_generation_tpu.ops.pallas.vq_kernel import (
+        _fits_single_pass,
+        nearest_codebook_indices,
+    )
+    from neural_sound_generation_tpu.ops.vq import _nearest_indices_xla
+
+    x = rng.standard_normal((1500, 128)).astype(np.float32)
+    cb = rng.standard_normal((1536, 128)).astype(np.float32)
+    assert not _fits_single_pass(128, 1536)  # really exercises the tiled path
+    got = np.asarray(
+        nearest_codebook_indices(jnp.asarray(x), jnp.asarray(cb), interpret=True)
+    )
+    ref = np.asarray(_nearest_indices_xla(jnp.asarray(x), jnp.asarray(cb)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_tiled_kernel_tie_break(rng):
+    """Duplicate codes across different K tiles: earliest index must win,
+    matching jnp.argmin semantics."""
+    from neural_sound_generation_tpu.ops.pallas.vq_kernel import (
+        nearest_codebook_indices,
+    )
+
+    cb = rng.standard_normal((1536, 128)).astype(np.float32)
+    cb[1200] = cb[7]  # same code in tile 0 and tile 1
+    x = np.repeat(cb[7][None, :], 16, axis=0).astype(np.float32)
+    got = np.asarray(
+        nearest_codebook_indices(jnp.asarray(x), jnp.asarray(cb), interpret=True)
+    )
+    np.testing.assert_array_equal(got, np.full(16, 7, np.int32))
 
 
 def test_residual_vq_reduces_error(rng):
