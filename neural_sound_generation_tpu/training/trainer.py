@@ -417,10 +417,16 @@ class Trainer:
         ``checkpoint_cb(state, step)`` is invoked every
         ``cfg.train.checkpoint_interval`` optimization steps — the per-step
         interval the reference configures but never consumes
-        (hparams.py:122)."""
-        sums: Dict[str, float] = {}
+        (hparams.py:122).
+
+        Metric sums accumulate as device scalars (async dispatch, no
+        host round-trip) and are pulled once per epoch; only the
+        log_interval print and the checkpoint callback synchronize."""
+        sums: Optional[Dict[str, jnp.ndarray]] = None
         count = 0
         interval = self.cfg.train.checkpoint_interval
+        step_now = int(jax.device_get(self.state.step))
+        step_incr = self.multi_steps if self._multi_step is not None else 1
         if self._multi_step is not None:
             batches = self._chunk_batches(batches)
         for i, batch in enumerate(batches):
@@ -435,6 +441,7 @@ class Trainer:
                     self.state, self._put(batch), step_rng
                 )
             count += 1
+            step_now += step_incr
             if (
                 self.cfg.train.log_interval
                 and i % self.cfg.train.log_interval == 0
@@ -444,13 +451,21 @@ class Trainer:
                     f"Train Epoch: {epoch} [{i}]\t"
                     + " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items()))
                 )
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            if sums is None:
+                sums = dict(metrics)
+            else:
+                sums = {k: sums[k] + v for k, v in metrics.items()}
             if checkpoint_cb and interval:
-                step_now = int(jax.device_get(self.state.step))
-                if step_now % interval == 0:
+                # host-side step counter mirrors state.step (one increment
+                # per optimization step) without a device round-trip
+                if step_now % interval < step_incr:
                     checkpoint_cb(self.state, step_now)
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+        pulled = (
+            {k: float(v) for k, v in jax.device_get(sums).items()}
+            if sums
+            else {}
+        )
+        means = {k: v / max(count, 1) for k, v in pulled.items()}
         self.log_fn(
             f"====> Epoch: {epoch} Average loss: {means.get('loss', 0.0):.4f}"
         )
@@ -471,15 +486,22 @@ class Trainer:
         # fraction of one launch per epoch
 
     def eval_epoch(self, batches):
-        sums: Dict[str, float] = {}
+        sums: Optional[Dict[str, jnp.ndarray]] = None
         count = 0
         last_recon = None
         for batch in batches:
             last_recon, metrics = self._eval_step(self.state, self._put(batch))
             count += 1
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        means = {k: v / max(count, 1) for k, v in sums.items()}
+            if sums is None:
+                sums = dict(metrics)
+            else:
+                sums = {k: sums[k] + v for k, v in metrics.items()}
+        pulled = (
+            {k: float(v) for k, v in jax.device_get(sums).items()}
+            if sums
+            else {}
+        )
+        means = {k: v / max(count, 1) for k, v in pulled.items()}
         self.log_fn(f"====> Test set loss: {means.get('loss', 0.0):.4f}")
         self._write_metrics({"phase": "test", "batches": count, **means})
         return means, last_recon
