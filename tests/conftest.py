@@ -20,6 +20,15 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env override; force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# programs whose HLO is identical run over run (measured 17s -> 9s on the
+# slowest model test once warm). Cold first runs are unchanged.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("NSG_JAX_CACHE_DIR", "/tmp/nsg_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -63,7 +63,7 @@ def test_vqvae_three_term_loss_grads_flow(rng):
         loss_commit = jnp.mean((z_e - jax.lax.stop_gradient(z_q)) ** 2)
         return loss_recons + loss_vq + 1.0 * loss_commit
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree_util.tree_leaves_with_path(grads)
     norms = {jax.tree_util.keystr(k): float(jnp.linalg.norm(v)) for k, v in flat}
     assert norms["['codebook']"] > 0

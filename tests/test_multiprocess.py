@@ -22,6 +22,11 @@ _WORKER = textwrap.dedent(
     import os, sys
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("NSG_JAX_CACHE_DIR", "/tmp/nsg_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     coord = sys.argv[1]
     pid = int(sys.argv[2])
