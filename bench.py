@@ -77,7 +77,11 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
 
     log(f"[bench] jax backend={jax.default_backend()} devices={jax.devices()}")
     cfg = Config().parse(f"batch_size={BATCH}")
-    model = VQVAE(input_dim=1, dim=DIM, z_dim=Z_DIM)
+    # bf16 compute is the production configuration (+12% measured,
+    # PERF.md "Knob results"); convergence parity with f32 is pinned by
+    # tests/test_models.py::test_vqvae_bf16_training_parity. Params and
+    # the VQ distance argmin stay f32.
+    model = VQVAE(input_dim=1, dim=DIM, z_dim=Z_DIM, dtype=jnp.bfloat16)
     x = jnp.asarray(
         np.random.default_rng(0)
         .standard_normal((BATCH, MELS, FRAMES, 1))
