@@ -35,6 +35,11 @@ def set_vq_backend(backend: str) -> None:
     _VQ_BACKEND = backend
 
 
+# jit matters beyond speed: compiled, XLA fuses the argmin into the
+# matmul epilogue, so the (N, K) distance matrix never reaches HBM; the
+# eager expansion materializes it (7 GB at N=26880, K=65536 -> OOM).
+# Under an outer jit this inlines as a plain call.
+@jax.jit
 def _nearest_indices_xla(inputs_flat: jnp.ndarray, codebook: jnp.ndarray):
     codebook_sqr = jnp.sum(codebook**2, axis=1)  # (K,)
     inputs_sqr = jnp.sum(inputs_flat**2, axis=1, keepdims=True)  # (N, 1)
