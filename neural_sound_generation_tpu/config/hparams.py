@@ -211,6 +211,11 @@ class TrainConfig:
     save_optimizer_state: bool = True
     seed: int = 1
     log_interval: int = 10
+    # Flat fused Adam+EMA update (one fusion over ravel_pytree instead of
+    # one per leaf — measured win on TPU, PERF.md). Checkpoints are not
+    # interchangeable across values of this flag (optimizer-state layout
+    # differs). Disable for tensor-parallel param shardings.
+    fused_optimizer: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

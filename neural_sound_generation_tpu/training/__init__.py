@@ -5,6 +5,7 @@ from neural_sound_generation_tpu.training.losses import (  # noqa: F401
     codebook_perplexity,
 )
 from neural_sound_generation_tpu.training.train_state import (  # noqa: F401
+    FusedOptState,
     TrainState,
     create_train_state,
     make_lr_schedule,

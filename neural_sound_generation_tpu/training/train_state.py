@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
+from jax.flatten_util import ravel_pytree
 
 from neural_sound_generation_tpu.config import TrainConfig
 
@@ -48,6 +49,58 @@ def make_lr_schedule(cfg: TrainConfig):
     raise ValueError(f"unknown lr_schedule: {name!r}")
 
 
+class FusedOptState(flax.struct.PyTreeNode):
+    """Adam moments held as single flat f32 vectors.
+
+    The per-leaf optax update lowers to one VPU fusion per parameter leaf
+    (43 on the flagship VQ-VAE — 2.15 ms/step of the 9.3 ms step on a
+    v5e, each running far below HBM bandwidth). Flattening the update to
+    one vector turns Adam + global-norm clip + weight decay + parameter
+    EMA into two large fusions over contiguous memory (PERF.md "flat
+    fused optimizer"). Math is optax.adam-equivalent (bias-corrected,
+    eps outside the sqrt), with the make_optimizer chain order
+    (clip -> weight decay -> adam) preserved.
+
+    Best with replicated parameters (the data-parallel/trainer path,
+    where TrainState is always replicated). Under tensor-parallel param
+    shardings the flat vector forces an all-gather per step — pass
+    ``fused=False`` to ``create_train_state`` there.
+    """
+
+    count: jnp.ndarray
+    m: jnp.ndarray
+    v: jnp.ndarray
+    lr: Any = flax.struct.field(pytree_node=False, default=1e-3)
+    b1: float = flax.struct.field(pytree_node=False, default=0.9)
+    b2: float = flax.struct.field(pytree_node=False, default=0.999)
+    eps: float = flax.struct.field(pytree_node=False, default=1e-8)
+    clip: float = flax.struct.field(pytree_node=False, default=-1.0)
+    wd: float = flax.struct.field(pytree_node=False, default=0.0)
+    unravel: Any = flax.struct.field(pytree_node=False, default=None)
+
+
+def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptState:
+    flat, unravel = ravel_pytree(params)
+    zeros = jnp.zeros_like(flat, dtype=jnp.float32)
+    lr = (
+        make_lr_schedule(cfg)
+        if use_schedule
+        else float(cfg.initial_learning_rate)
+    )
+    return FusedOptState(
+        count=jnp.zeros((), jnp.int32),
+        m=zeros,
+        v=jnp.zeros_like(zeros),
+        lr=lr,
+        b1=float(cfg.adam_beta1),
+        b2=float(cfg.adam_beta2),
+        eps=float(cfg.adam_eps),
+        clip=float(cfg.clip_thresh or -1.0),
+        wd=float(cfg.weight_decay or 0.0),
+        unravel=unravel,
+    )
+
+
 class TrainState(flax.struct.PyTreeNode):
     """Functional train state (pure pytree; safe under pjit/donation)."""
 
@@ -63,6 +116,8 @@ class TrainState(flax.struct.PyTreeNode):
     codebook_ema: Optional[Any] = None
 
     def apply_gradients(self, grads, new_batch_stats=None):
+        if isinstance(self.opt_state, FusedOptState):
+            return self._apply_gradients_fused(grads, new_batch_stats)
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
@@ -81,11 +136,50 @@ class TrainState(flax.struct.PyTreeNode):
             ),
         )
 
+    def _apply_gradients_fused(self, grads, new_batch_stats=None):
+        s: FusedOptState = self.opt_state
+        flat_g, _ = ravel_pytree(grads)
+        flat_g = flat_g.astype(jnp.float32)
+        flat_p, _ = ravel_pytree(self.params)
+        if s.clip > 0:
+            gnorm = jnp.linalg.norm(flat_g)
+            flat_g = flat_g * jnp.minimum(1.0, s.clip / jnp.maximum(gnorm, 1e-12))
+        if s.wd > 0:
+            flat_g = flat_g + s.wd * flat_p
+        count = s.count + 1
+        m = s.b1 * s.m + (1.0 - s.b1) * flat_g
+        v = s.b2 * s.v + (1.0 - s.b2) * flat_g * flat_g
+        cf = count.astype(jnp.float32)
+        m_hat = m / (1.0 - s.b1**cf)
+        v_hat = v / (1.0 - s.b2**cf)
+        # optax evaluates schedules at the PRE-increment count
+        # (scale_by_schedule semantics); bias correction uses count_inc
+        lr = s.lr(s.count) if callable(s.lr) else s.lr
+        new_flat_p = flat_p - lr * m_hat / (jnp.sqrt(v_hat) + s.eps)
+        new_params = s.unravel(new_flat_p)
+        new_ema = self.ema_params  # flat f32 vector under the fused path
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = d * new_ema + (1.0 - d) * new_flat_p
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=s.replace(count=count, m=m, v=v),
+            ema_params=new_ema,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
     @property
     def eval_params(self):
         """EMA params when enabled, else live params (the reference's
         intended averaged-model evaluation, hparams.py:116-118)."""
-        return self.ema_params if self.ema_params is not None else self.params
+        if self.ema_params is None:
+            return self.params
+        if isinstance(self.opt_state, FusedOptState):
+            return self.opt_state.unravel(self.ema_params)
+        return self.ema_params
 
 
 def make_optimizer(cfg: TrainConfig, use_schedule: bool = False):
@@ -112,15 +206,28 @@ def create_train_state(
     cfg: TrainConfig,
     use_schedule: bool = False,
     ema_codebook: bool = False,
+    fused: Optional[bool] = None,
 ) -> TrainState:
+    """``fused`` selects the flat fused optimizer (FusedOptState); None
+    follows ``cfg.fused_optimizer``. Disable under tensor-parallel param
+    shardings (the flat moments would force a per-step all-gather)."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if fused is None:
+        fused = cfg.fused_optimizer
     tx = make_optimizer(cfg, use_schedule)
-    ema = (
-        jax.tree_util.tree_map(jnp.copy, params)
-        if cfg.exponential_moving_average
-        else None
-    )
+    if fused:
+        ema = (
+            ravel_pytree(params)[0].astype(jnp.float32)
+            if cfg.exponential_moving_average
+            else None
+        )
+    else:
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if cfg.exponential_moving_average
+            else None
+        )
     cb_ema = None
     if ema_codebook and "codebook" not in params:
         # only the single-codebook families support EMA updates; the
@@ -140,7 +247,11 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=(
+            _fused_opt_init(params, cfg, use_schedule)
+            if fused
+            else tx.init(params)
+        ),
         ema_params=ema,
         tx=tx,
         ema_decay=cfg.ema_decay,

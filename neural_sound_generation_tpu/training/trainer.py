@@ -288,8 +288,12 @@ def stack_batches(batches):
 
 
 def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+    # one reduce over the raveled vector, not one per leaf — and CSE
+    # merges the concatenate with the fused optimizer's own ravel
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(tree)
+    return jnp.linalg.norm(flat.astype(jnp.float32))
 
 
 def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
