@@ -140,6 +140,7 @@ def test_tp_sharding_rules_cover_both_codebooks(setup):
         assert shardings[name].spec == P("model", None)
 
 
+@pytest.mark.slow
 def test_train_cli_hiervqvae(tmp_path):
     from neural_sound_generation_tpu.cli import main as train_cli
     from tests.test_cli import _make_ljspeech

@@ -466,6 +466,7 @@ def test_gestures_absent_for_feature_only_replay(tmp_path):
         rep.close()
 
 
+@pytest.mark.slow
 def test_motion_cli_watch_gestures(capsys):
     from neural_sound_generation_tpu.cli import motion as motion_cli
 

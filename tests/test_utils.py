@@ -156,6 +156,7 @@ def test_spectrogram_dataset(tmp_path):
 # ---------------------------------------------------------------- prior CLI
 
 
+@pytest.mark.slow
 def test_prior_cli_train_and_sample(tmp_path):
     """Full prior pipeline: preprocess -> train VQ-VAE -> train PixelCNN
     prior on extracted codes -> ancestral-sample audio."""

@@ -168,6 +168,7 @@ def test_generate_categorical(rng):
     assert out.min() >= 0 and out.max() < 32
 
 
+@pytest.mark.slow
 def test_vocoder_cli_train_and_synthesize(tmp_path):
     """builder=wavenet end-to-end at the CLI surface: train on a tiny
     corpus, then synthesize from a stored mel shard."""
