@@ -44,9 +44,23 @@ _PEAK_BF16 = {
 }
 
 
-def _program_flops(run, state, super_batch, key, multi):
-    """FLOPs of ONE optimization step, from XLA's cost analysis of the
-    exact compiled multi-step program that the timed loop launches."""
+# HBM bandwidth per chip, bytes/s (public TPU spec sheets).
+_HBM_BW = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v5p": 2765e9,
+    "TPU v5": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
+
+
+def _program_costs(run, state, super_batch, key, multi):
+    """(FLOPs, bytes accessed) of ONE optimization step, from XLA's cost
+    analysis of the exact compiled multi-step program the timed loop
+    launches. Bytes are the cost model's logical buffer traffic — a lower
+    bound on real HBM traffic (recompute/converts add to it)."""
     try:
         lowered = run.lower(state, super_batch, key)
         ca = lowered.compile().cost_analysis()
@@ -54,11 +68,12 @@ def _program_flops(run, state, super_batch, key, multi):
             ca = ca[0]
         total = float(ca["flops"])
         if total <= 0:
-            return None
-        return total / multi
+            return None, None
+        b = float(ca.get("bytes accessed", 0.0)) or None
+        return total / multi, (b / multi if b else None)
     except Exception as e:
         log(f"[bench] cost analysis unavailable: {e!r}")
-        return None
+        return None, None
 
 
 def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
@@ -93,7 +108,9 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
 
-    flops_per_step = _program_flops(run, state, super_batch, key, multi)
+    flops_per_step, bytes_per_step = _program_costs(
+        run, state, super_batch, key, multi
+    )
     if flops_per_step:
         log(f"[bench] XLA cost analysis: {flops_per_step / 1e9:.2f} GF/step "
             f"({flops_per_step * multi / 1e9:.2f} GF per scan x{multi} launch)")
@@ -143,6 +160,20 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
             if perf["mfu_vs_bf16_peak"] > 1.0:
                 log("[bench] WARNING: implied MFU > 100% — measurement "
                     "artifact, do not trust this window")
+        bw = _HBM_BW.get(kind)
+        if bytes_per_step and peak and bw:
+            # roofline: the step can't run faster than the larger of its
+            # MXU time and its HBM-streaming time (cost-model bytes are a
+            # lower bound, so this utilization is an upper bound)
+            roofline_s = max(flops_per_step / peak, bytes_per_step / bw)
+            actual_s = 1.0 / sps
+            perf["bytes_per_step"] = round(bytes_per_step)
+            perf["roofline_ms"] = round(roofline_s * 1e3, 3)
+            perf["roofline_util"] = round(roofline_s / actual_s, 4)
+            log(f"[bench] roofline {roofline_s * 1e3:.2f} ms/step "
+                f"(bytes {bytes_per_step / 1e9:.3f} GB) vs actual "
+                f"{actual_s * 1e3:.2f} ms -> {roofline_s / actual_s:.1%} "
+                f"of cost-model speed-of-light")
     return sps, perf
 
 

@@ -69,6 +69,7 @@ class MelFrameLoader:
         batch_mode: str = "mel",  # mel | wave | raw
         drop_last: bool = True,
         latent_stride: int = 4,
+        use_native: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.cfg = cfg
@@ -85,6 +86,28 @@ class MelFrameLoader:
         self.latent_stride = latent_stride
         self.drop_last = drop_last
         self._epoch = 0
+        # native fast path: mmap'd shards + GIL-free batch assembly
+        # (data/native_loader.py); None = auto-detect, with silent
+        # fallback to the pure-Python collate when g++ is unavailable
+        self._native = None
+        if use_native is not False:
+            try:
+                self._native = self._open_native()
+            except Exception:
+                if use_native is True:
+                    raise
+                self._native = None
+
+    def _open_native(self):
+        from neural_sound_generation_tpu.data.native_loader import NativeCorpus
+
+        x = self.dataset.X
+        mel = self.dataset.Mel
+        if mel is None:
+            raise ValueError("native path needs paired mel shards")
+        audio_paths = [x.path(i) for i in range(len(x))]
+        mel_paths = [mel.path(i) for i in range(len(x))]
+        return NativeCorpus(audio_paths, mel_paths)
 
     def _indices(self):
         if self.shuffle:
@@ -142,20 +165,43 @@ class MelFrameLoader:
         prefetch: "queue.Queue" = queue.Queue(maxsize=self.cfg.data.prefetch_depth)
         stop = object()
 
+        def collate_native(batch_idx):
+            gs = (
+                [self.dataset.X.speaker_ids[i] for i in batch_idx]
+                if self.dataset.multi_speaker
+                else None
+            )
+            return self._native.collate(
+                batch_idx,
+                self.cfg.audio,
+                self.cfg.train.max_time_steps,
+                rng,
+                latent_stride=self.latent_stride,
+                frames_out=self._bucket_frames(batch_idx),
+                speaker_ids=gs,
+                # mel-mode training consumes only c (+ g): skip x/y fills
+                need_audio=self.batch_mode != "mel",
+            )
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in batches:
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out = collate_mel_batch(
-                            items,
-                            self.cfg.audio,
-                            self.cfg.train.max_time_steps,
-                            rng,
-                            latent_stride=self.latent_stride,
-                            frames_out=self._bucket_frames(batch_idx),
-                            one_hot=False,  # models embed ints; see collate
-                        )
+                        if self._native is not None:
+                            out = collate_native(batch_idx)
+                        else:
+                            items = list(
+                                pool.map(self.dataset.__getitem__, batch_idx)
+                            )
+                            out = collate_mel_batch(
+                                items,
+                                self.cfg.audio,
+                                self.cfg.train.max_time_steps,
+                                rng,
+                                latent_stride=self.latent_stride,
+                                frames_out=self._bucket_frames(batch_idx),
+                                one_hot=False,  # models embed ints; see collate
+                            )
                         if self.batch_mode == "mel":
                             out = as_model_batch(out)
                         elif self.batch_mode == "wave":
