@@ -57,23 +57,26 @@ _HBM_BW = {
 
 
 def _program_costs(run, state, super_batch, key, multi):
-    """(FLOPs, bytes accessed) of ONE optimization step, from XLA's cost
-    analysis of the exact compiled multi-step program the timed loop
-    launches. Bytes are the cost model's logical buffer traffic — a lower
-    bound on real HBM traffic (recompute/converts add to it)."""
+    """(FLOPs, bytes accessed, compiled) of ONE optimization step, from
+    XLA's cost analysis of the exact compiled multi-step program the
+    timed loop launches. The compiled executable is returned so the timed
+    loop runs it directly — compiling once, not once for analysis and
+    again on first call. Bytes are the cost model's logical buffer
+    traffic — a lower bound on real HBM traffic (recompute/converts add
+    to it)."""
     try:
-        lowered = run.lower(state, super_batch, key)
-        ca = lowered.compile().cost_analysis()
+        compiled = run.lower(state, super_batch, key).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         total = float(ca["flops"])
         if total <= 0:
-            return None, None
+            return None, None, compiled
         b = float(ca.get("bytes accessed", 0.0)) or None
-        return total / multi, (b / multi if b else None)
+        return total / multi, (b / multi if b else None), compiled
     except Exception as e:
         log(f"[bench] cost analysis unavailable: {e!r}")
-        return None, None
+        return None, None, None
 
 
 def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
@@ -108,9 +111,11 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
 
-    flops_per_step, bytes_per_step = _program_costs(
+    flops_per_step, bytes_per_step, compiled = _program_costs(
         run, state, super_batch, key, multi
     )
+    if compiled is not None:
+        run = compiled  # execute the analyzed executable — compile once
     if flops_per_step:
         log(f"[bench] XLA cost analysis: {flops_per_step / 1e9:.2f} GF/step "
             f"({flops_per_step * multi / 1e9:.2f} GF per scan x{multi} launch)")
