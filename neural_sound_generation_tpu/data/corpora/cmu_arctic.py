@@ -16,6 +16,7 @@ from typing import List
 
 from neural_sound_generation_tpu.config import AudioConfig
 from neural_sound_generation_tpu.data.corpora.engine import (
+    convention,
     UtteranceSpec,
     preprocess_utterances,
 )
@@ -55,8 +56,7 @@ def build_from_path(
     tqdm=lambda x, **kw: x,
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
-    # the reference's chain for this corpus is LWS-only (audio.py:112-127)
-    cfg = cfg or AudioConfig(sample_rate=16000, use_lws=True)
+    cfg = convention(cfg or AudioConfig(sample_rate=16000))
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
         specs, out_dir, cfg, name="cmu_arctic", num_workers=num_workers,

@@ -32,6 +32,19 @@ from neural_sound_generation_tpu.data.manifest import ManifestEntry
 from neural_sound_generation_tpu.ops import dsp
 
 
+def convention(cfg: AudioConfig) -> AudioConfig:
+    """The wavenet-variant DSP convention for cmu_arctic/jsut/librivox.
+
+    The reference binds these corpora to ``src/audio.py`` unconditionally:
+    LWS-mode STFT (audio.py:112-127) and NO preemphasis stage —
+    audio.py's ``melspectrogram`` (94-101) transforms the raw signal, and
+    the wavenet ``hparams.py`` defines no preemphasis key at all. (Only
+    the tacotron variant used by ljspeech preemphasizes,
+    audio_tacotron.py:70-72.) Applied over any caller/preset config so
+    the convention is corpus-bound exactly as in the reference."""
+    return dataclasses.replace(cfg, use_lws=True, preemphasize=False)
+
+
 @dataclasses.dataclass
 class UtteranceSpec:
     """One utterance to preprocess. ``wav_path`` is loaded lazily on a host

@@ -17,6 +17,7 @@ import numpy as np
 
 from neural_sound_generation_tpu.config import AudioConfig
 from neural_sound_generation_tpu.data.corpora.engine import (
+    convention,
     UtteranceSpec,
     preprocess_utterances,
 )
@@ -105,7 +106,7 @@ def build_from_path(
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
     # the reference's chain for this corpus is LWS-only (audio.py:112-127)
-    cfg = cfg or AudioConfig(sample_rate=24000, fmax=11000, use_lws=True)
+    cfg = convention(cfg or AudioConfig(sample_rate=24000, fmax=11000))
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
         specs, out_dir, cfg, name="jsut", num_workers=num_workers,

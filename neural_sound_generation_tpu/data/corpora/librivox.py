@@ -16,6 +16,7 @@ import numpy as np
 
 from neural_sound_generation_tpu.config import AudioConfig
 from neural_sound_generation_tpu.data.corpora.engine import (
+    convention,
     UtteranceSpec,
     preprocess_utterances,
 )
@@ -68,7 +69,7 @@ def build_from_path(
     **_legacy_kwargs,
 ) -> List[ManifestEntry]:
     # the reference's chain for this corpus is LWS-only (audio.py:112-127)
-    cfg = cfg or AudioConfig(use_lws=True)
+    cfg = convention(cfg or AudioConfig())
     specs = collect(in_dir, cfg)
     return preprocess_utterances(
         specs, out_dir, cfg, name="librivox", num_workers=num_workers,

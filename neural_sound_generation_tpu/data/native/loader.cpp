@@ -85,8 +85,21 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
     header_len = p[8] | (p[9] << 8);
     header_off = 10;
   } else {
+    if (st.st_size < 12) {
+      munmap(map, st.st_size);
+      *err = std::string("truncated v2 header: ") + path;
+      return false;
+    }
     header_len = p[8] | (p[9] << 8) | (size_t(p[10]) << 16) | (size_t(p[11]) << 24);
     header_off = 12;
+  }
+  // bound the header against the mapped size BEFORE touching it — a
+  // truncated/corrupt shard must surface as an error (and the Python
+  // fallback), not a SIGBUS past the last mapped page
+  if (header_len > size_t(st.st_size) - header_off) {
+    munmap(map, st.st_size);
+    *err = std::string("header overruns file: ") + path;
+    return false;
   }
   std::string header(reinterpret_cast<const char*>(p) + header_off, header_len);
 
@@ -150,6 +163,13 @@ struct Corpus {
   std::vector<NpyArray> audio;
   std::vector<NpyArray> mel;
   std::string last_error;
+
+  ~Corpus() {  // unmap everything on any exit path (incl. open failure)
+    for (auto& a : audio)
+      if (a.map) munmap(a.map, a.map_len);
+    for (auto& m : mel)
+      if (m.map) munmap(m.map, m.map_len);
+  }
 };
 
 int64_t clamp_nonneg(int64_t v) { return v < 0 ? 0 : v; }
@@ -204,13 +224,7 @@ void* nsg_corpus_open(const char** audio_paths, const char** mel_paths, int n) {
 }
 
 void nsg_corpus_close(void* handle) {
-  auto* c = static_cast<Corpus*>(handle);
-  if (!c) return;
-  for (auto& a : c->audio)
-    if (a.map) munmap(a.map, a.map_len);
-  for (auto& m : c->mel)
-    if (m.map) munmap(m.map, m.map_len);
-  delete c;
+  delete static_cast<Corpus*>(handle);  // ~Corpus unmaps
 }
 
 int nsg_corpus_len(void* handle) {

@@ -94,8 +94,11 @@ def native_available() -> bool:
 
 
 def _mulaw_quantize_zero(mu: int) -> int:
-    y = np.log1p(mu * 0.0) / np.log1p(mu)
-    return int((y + 1) / 2 * mu)
+    # the pad value is one of the parity-compared bytes — derive it from
+    # the same formula the Python collate uses, never a re-implementation
+    from neural_sound_generation_tpu.data.collate import _mulaw_quantize_np
+
+    return int(_mulaw_quantize_np(np.float64(0.0), mu))
 
 
 class NativeCorpus:

@@ -65,12 +65,98 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
-    state_dict = _fill_missing(
-        flax.serialization.to_state_dict(template), restored["state"]
-    )
+    template_sd = flax.serialization.to_state_dict(template)
+    restored_sd = _adapt_fused_layout(template_sd, restored["state"])
+    state_dict = _fill_missing(template_sd, restored_sd)
     # name-based graft onto the template structure
     state = flax.serialization.from_state_dict(template, state_dict)
     return state, restored.get("extra")
+
+
+def _find_adam_sd(opt_sd: dict) -> Optional[dict]:
+    """The ScaleByAdamState sub-dict ({'count','mu','nu'}) inside a
+    serialized optax chain, at any position."""
+    if "mu" in opt_sd and "nu" in opt_sd:
+        return opt_sd
+    for v in opt_sd.values():
+        if isinstance(v, dict):
+            found = _find_adam_sd(v)
+            if found is not None:
+                return found
+    return None
+
+
+def _adapt_fused_layout(template_sd, restored_sd):
+    """Convert optimizer/EMA state between the per-leaf optax layout and
+    the flat fused layout (TrainConfig.fused_optimizer) so checkpoints
+    written under either flag value resume under the other with Adam
+    moments and parameter-EMA intact.
+
+    Detection is structural: a fused opt_state serializes as
+    {'count','m','v'} flat vectors; the optax chain as indexed transform
+    states with a {'count','mu','nu'} Adam sub-dict. Moment trees ravel/
+    unravel in jax.tree_util order (sorted dict keys), matching
+    FusedOptState's own ravel of the params tree."""
+    if not isinstance(template_sd, dict) or not isinstance(restored_sd, dict):
+        return restored_sd
+    t_opt = template_sd.get("opt_state")
+    r_opt = restored_sd.get("opt_state")
+    if not isinstance(t_opt, dict) or not isinstance(r_opt, dict):
+        return restored_sd
+    t_fused = "m" in t_opt and "v" in t_opt
+    r_fused = "m" in r_opt and "v" in r_opt
+    if t_fused == r_fused:
+        return restored_sd
+
+    from jax.flatten_util import ravel_pytree
+
+    log = logging.getLogger("nsg.checkpoint")
+    out = dict(restored_sd)
+    if t_fused:  # legacy checkpoint -> fused template
+        adam = _find_adam_sd(r_opt)
+        if adam is not None:
+            out["opt_state"] = {
+                "count": adam["count"],
+                "m": np.asarray(ravel_pytree(adam["mu"])[0]),
+                "v": np.asarray(ravel_pytree(adam["nu"])[0]),
+            }
+            log.info("converted per-leaf optax checkpoint state to the "
+                     "fused flat layout (moments preserved)")
+        ema = restored_sd.get("ema_params")
+        if isinstance(ema, dict):
+            out["ema_params"] = np.asarray(
+                ravel_pytree(ema)[0], np.float32
+            )
+    else:  # fused checkpoint -> legacy optax template
+        adam_t = _find_adam_sd(t_opt)
+        if adam_t is not None and hasattr(r_opt.get("m"), "shape"):
+            _, unravel_mu = ravel_pytree(adam_t["mu"])
+            new_opt = _deep_copy_sd(t_opt)
+            adam_new = _find_adam_sd(new_opt)
+            adam_new["count"] = r_opt["count"]
+            adam_new["mu"] = flax.serialization.to_state_dict(
+                unravel_mu(r_opt["m"])
+            )
+            adam_new["nu"] = flax.serialization.to_state_dict(
+                unravel_mu(r_opt["v"])
+            )
+            out["opt_state"] = new_opt
+            log.info("converted fused checkpoint state to the per-leaf "
+                     "optax layout (moments preserved)")
+        ema = restored_sd.get("ema_params")
+        t_ema = template_sd.get("ema_params")
+        if hasattr(ema, "shape") and isinstance(t_ema, dict):
+            _, unravel_e = ravel_pytree(t_ema)
+            out["ema_params"] = flax.serialization.to_state_dict(
+                unravel_e(ema)
+            )
+    return out
+
+
+def _deep_copy_sd(sd):
+    if isinstance(sd, dict):
+        return {k: _deep_copy_sd(v) for k, v in sd.items()}
+    return sd
 
 
 def _fill_missing(template_sd, restored_sd, path=""):

@@ -326,3 +326,43 @@ def test_train_cli_bf16(tmp_path):
         str(tmp_path / "models" / "vqvae" / "checkpoint_ljspeech_8_16"), state
     )
     assert restored.params["codebook"].dtype == np.float32
+
+
+def test_wavenet_variant_corpora_force_audio_py_convention(tmp_path):
+    """cmu_arctic/jsut/librivox are bound to the reference's audio.py
+    chain: LWS STFT and NO preemphasis (audio.py:94-101 transforms the
+    raw signal; wavenet hparams.py has no preemphasis key). The corpus
+    adapter must force that convention over any caller config —
+    identical output whether the caller's cfg asks for preemphasis or
+    not."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.config import AudioConfig
+    from neural_sound_generation_tpu.data.corpora import cmu_arctic
+    from neural_sound_generation_tpu.data.corpora.engine import convention
+
+    base = AudioConfig(sample_rate=16000, preemphasize=True, use_lws=False)
+    conv = convention(base)
+    assert conv.use_lws is True
+    assert conv.preemphasize is False
+    assert conv.sample_rate == 16000  # other knobs untouched
+
+    in_dir = _make_cmu_arctic(tmp_path / "in", per_speaker=1)
+    out_a = tmp_path / "out_a"
+    out_b = tmp_path / "out_b"
+    cmu_arctic.build_from_path(
+        str(in_dir), str(out_a), num_workers=1,
+        cfg=dataclasses.replace(base, preemphasize=True),
+    )
+    cmu_arctic.build_from_path(
+        str(in_dir), str(out_b), num_workers=1,
+        cfg=dataclasses.replace(base, preemphasize=False),
+    )
+    mels_a = sorted(p for p in os.listdir(out_a) if "mel" in p)
+    mels_b = sorted(p for p in os.listdir(out_b) if "mel" in p)
+    assert mels_a and mels_a == mels_b
+    for name in mels_a:
+        np.testing.assert_array_equal(
+            np.load(os.path.join(out_a, name)),
+            np.load(os.path.join(out_b, name)),
+        )

@@ -211,3 +211,22 @@ def test_pipeline_uses_native_and_matches_python(tmp_path):
                 assert b[k] is None
             else:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_truncated_shard_errors_not_sigbus(tmp_path):
+    """A shard truncated inside the header region must surface as an
+    open error (-> Python fallback), never a SIGBUS in C++."""
+    ap, mp, _, _ = _write_corpus(tmp_path, n=2)
+    # corrupt: truncate the second audio shard to 9 bytes (inside magic+
+    # header length field)
+    with open(ap[1], "r+b") as f:
+        f.truncate(9)
+    with pytest.raises(OSError):
+        NativeCorpus(ap, mp)
+    # giant header_len: valid magic, v1, header_len far beyond file size
+    bogus = os.path.join(str(tmp_path), "bogus.npy")
+    with open(bogus, "wb") as f:
+        f.write(b"\x93NUMPY" + bytes([1, 0]) + (0xFFFF).to_bytes(2, "little"))
+        f.write(b"x" * 64)
+    with pytest.raises(OSError):
+        NativeCorpus([bogus], [mp[0]])

@@ -2,6 +2,7 @@
 LR schedules, checkpoint save/restore."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -522,5 +523,46 @@ def test_fused_optimizer_checkpoint_roundtrip(rng, tmp_path):
         np.asarray(restored.ema_params), np.asarray(state.ema_params), atol=0
     )
     # training continues from the restored fused state
+    restored, m = _run_steps(model, cfg, restored, batch, n=1)
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.parametrize("save_fused,load_fused", [(False, True), (True, False)])
+def test_checkpoint_cross_optimizer_layout_resume(rng, tmp_path, save_fused,
+                                                  load_fused):
+    """A checkpoint written under one fused_optimizer flag value resumes
+    under the other with Adam moments, EMA, and params intact — the
+    layout adapter (checkpoint._adapt_fused_layout) converts per-leaf
+    optax <-> flat fused state dicts."""
+    from jax.flatten_util import ravel_pytree
+
+    cfg = Config().parse("batch_size=4")
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, fused=save_fused)
+    state, _ = _run_steps(model, cfg, state, batch, n=3)
+
+    ckpt_dir = str(tmp_path / "xlayout")
+    checkpoint.save(ckpt_dir, state, step=3)
+    template = create_train_state(variables, cfg.train, fused=load_fused)
+    restored, _ = checkpoint.restore(ckpt_dir, template)
+
+    assert int(restored.step) == 3
+    _tree_allclose(restored.params, state.params, atol=0)
+    # moments survived the conversion (flat <-> per-leaf, same bytes)
+    if load_fused:
+        m_flat = np.asarray(restored.opt_state.m)
+        src_m = np.asarray(ravel_pytree(state.opt_state[0].mu)[0])
+    else:
+        m_flat = np.asarray(ravel_pytree(restored.opt_state[0].mu)[0])
+        src_m = np.asarray(state.opt_state.m)
+    np.testing.assert_allclose(m_flat, src_m, atol=0)
+    assert np.abs(m_flat).max() > 0  # not fresh zeros
+    # EMA survived
+    ema_r, _ = ravel_pytree(restored.eval_params)
+    ema_s, _ = ravel_pytree(state.eval_params)
+    np.testing.assert_allclose(np.asarray(ema_r), np.asarray(ema_s), atol=0)
+    # and training continues
     restored, m = _run_steps(model, cfg, restored, batch, n=1)
     assert np.isfinite(float(m["loss"]))
