@@ -122,7 +122,7 @@ class TrainState(flax.struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if new_ema is not None:
-            d = self.ema_decay
+            d = self._ema_decay_now()
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
             )
@@ -159,7 +159,7 @@ class TrainState(flax.struct.PyTreeNode):
         new_params = s.unravel(new_flat_p)
         new_ema = self.ema_params  # flat f32 vector under the fused path
         if new_ema is not None:
-            d = self.ema_decay
+            d = self._ema_decay_now()
             new_ema = d * new_ema + (1.0 - d) * new_flat_p
         return self.replace(
             step=self.step + 1,
@@ -170,6 +170,17 @@ class TrainState(flax.struct.PyTreeNode):
                 new_batch_stats if new_batch_stats is not None else self.batch_stats
             ),
         )
+
+    def _ema_decay_now(self):
+        """Warmup-ramped EMA decay: min(decay, (1+t)/(10+t)) — the
+        tf.train.ExponentialMovingAverage ``num_updates`` semantics the
+        reference's TF-1.12 stack defines for its ema_decay hparam
+        (hparams.py:118). A fixed 0.9999 leaves the shadow frozen at the
+        init weights for the first ~10k steps, which pairs stale params
+        with fresh BatchNorm stats at eval and makes short-run eval
+        diverge while training converges."""
+        t = (self.step + 1).astype(jnp.float32)
+        return jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
 
     @property
     def eval_params(self):

@@ -470,6 +470,20 @@ class Trainer:
             else {}
         )
         means = {k: v / max(count, 1) for k, v in pulled.items()}
+        if count == 0:
+            # a silent no-op epoch (batch_size or multi_steps x batch_size
+            # exceeds the dataset after drop_last) trains nothing while
+            # printing loss 0.0 — make the misconfiguration loud
+            self.log_fn(
+                f"WARNING: epoch {epoch} produced 0 training batches — "
+                f"batch_size ({self.cfg.train.batch_size})"
+                + (
+                    f" x multi_steps ({self.multi_steps})"
+                    if self._multi_step is not None
+                    else ""
+                )
+                + " likely exceeds the training split after drop_last"
+            )
         self.log_fn(
             f"====> Epoch: {epoch} Average loss: {means.get('loss', 0.0):.4f}"
         )

@@ -566,3 +566,33 @@ def test_checkpoint_cross_optimizer_layout_resume(rng, tmp_path, save_fused,
     # and training continues
     restored, m = _run_steps(model, cfg, restored, batch, n=1)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_trainer_warns_on_zero_batch_epoch(rng):
+    """batch_size larger than the dataset silently trains nothing in the
+    reference; the trainer must say so loudly."""
+    model, cfg, state, batch = _make_vqvae(rng)
+    logs = []
+    trainer = Trainer(model, cfg, state, log_fn=logs.append)
+    means = trainer.train_epoch([], jax.random.PRNGKey(0), epoch=1)
+    assert means == {}
+    assert any("0 training batches" in l for l in logs)
+
+
+def test_ema_warmup_tracks_early_training(rng):
+    """The warmup-ramped decay (tf.train.ExponentialMovingAverage
+    num_updates semantics) keeps the shadow near the LIVE params early in
+    training instead of frozen at init — short-run eval must not pair
+    init weights with updated BatchNorm stats."""
+    from jax.flatten_util import ravel_pytree
+
+    model, cfg, state, batch = _make_vqvae(rng)
+    init_flat = np.asarray(ravel_pytree(state.params)[0])
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(30):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    live = np.asarray(ravel_pytree(state.params)[0])
+    ema = np.asarray(ravel_pytree(state.eval_params)[0])
+    dist_live = np.linalg.norm(ema - live)
+    dist_init = np.linalg.norm(ema - init_flat)
+    assert dist_live < dist_init  # tracks training, lags slightly
