@@ -40,6 +40,11 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from neural_sound_generation_tpu.cli.main import build_config, make_model
     from neural_sound_generation_tpu.data import get_audio_data_loaders
     from neural_sound_generation_tpu.training import (

@@ -45,6 +45,11 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     cfg = AudioConfig(
         sample_rate=args.sample_rate,

@@ -233,6 +233,11 @@ def dump_reconstruction(args, cfg, recon, epoch):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     cfg = build_config(args)
     key = jax.random.PRNGKey(args.seed)

@@ -229,6 +229,11 @@ def cmd_generate(args):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     {
         "capture": cmd_capture,

@@ -81,6 +81,11 @@ def write_metadata(entries, out_dir, cfg: Config):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     cfg = Config()
     if args.preset:

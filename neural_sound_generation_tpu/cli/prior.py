@@ -248,6 +248,11 @@ def cmd_sample(args):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     {"train": cmd_train, "sample": cmd_sample}[args.cmd](args)
 

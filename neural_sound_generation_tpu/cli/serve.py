@@ -95,6 +95,32 @@ class InferenceService:
         self._reconstruct = reconstruct
         self._decode = decode
 
+        n_mels = cfg.audio.num_mels
+        win = self.frames
+        audio_cfg = cfg.audio
+
+        @jax.jit
+        def reconstruct_wav(samples):
+            # the whole /reconstruct round trip as ONE device program:
+            # mel analysis -> windowing -> VQ reconstruct -> stitch ->
+            # Griffin-Lim -> waveform. Through the tunnel each separate
+            # launch pays a host round-trip; fusing 3 launches into 1
+            # roughly halves end-to-end serving latency (PERF.md).
+            mel = dsp.melspectrogram(samples, audio_cfg)  # (n_mels, T')
+            n_win_pad = mel.shape[1] // win  # static per input length
+            mel = mel[:, : n_win_pad * win]
+            windows = mel.reshape(n_mels, n_win_pad, win)
+            windows = jnp.transpose(windows, (1, 0, 2))[..., None]
+            mels_out = reconstruct(windows)[..., 0]  # (n, n_mels, win)
+            full = jnp.transpose(mels_out, (1, 0, 2)).reshape(
+                n_mels, n_win_pad * win
+            )
+            return dsp.inv_mel_spectrogram(
+                full, audio_cfg, jax.random.PRNGKey(0)
+            )
+
+        self._reconstruct_wav = reconstruct_wav
+
     #: encoder time-axis downsampling (two stride-2 convs)
     STRIDE = 4
 
@@ -110,14 +136,7 @@ class InferenceService:
         from a single full-length encode (conv receptive fields are cut
         at window edges) — inherent to tiling with a fixed-shape model.
         """
-        from scipy.io import wavfile
-
-        sr, data = wavfile.read(io.BytesIO(wav_bytes))
-        if data.dtype == np.int16:
-            data = data.astype(np.float32) / 32768.0
-        data = np.asarray(data, np.float32)
-        if data.ndim == 2:
-            data = data.mean(axis=1)
+        data = self._decode_wav_bytes(wav_bytes)
         mel = np.asarray(self.dsp.melspectrogram(jnp.asarray(data), self.cfg.audio))
         t = mel.shape[1]
         n_win = max(1, -(-t // self.frames))
@@ -128,17 +147,31 @@ class InferenceService:
         windows = np.transpose(windows, (1, 0, 2))[..., None]
         return jnp.asarray(windows), t, n_win
 
+    @staticmethod
+    def _decode_wav_bytes(wav_bytes: bytes) -> np.ndarray:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        return data
+
+    def _encode_wav_bytes(self, wav_np: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        from scipy.io import wavfile
+
+        wav_np = wav_np * (32767 / max(0.01, float(np.abs(wav_np).max())))
+        wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
+        return buf.getvalue()
+
     def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
         wav = self.dsp.inv_mel_spectrogram(
             mel, self.cfg.audio, jax.random.PRNGKey(0)
         )
-        buf = io.BytesIO()
-        from scipy.io import wavfile
-
-        wav_np = np.asarray(wav)
-        wav_np = wav_np * (32767 / max(0.01, float(np.abs(wav_np).max())))
-        wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
-        return buf.getvalue()
+        return self._encode_wav_bytes(np.asarray(wav))
 
     @staticmethod
     def _stitch(codes, t, stride):
@@ -167,10 +200,23 @@ class InferenceService:
         return {"codes": stitched.tolist(), "shape": list(stitched.shape)}
 
     def reconstruct(self, wav_bytes: bytes) -> bytes:
-        windows, t, n_win = self._wav_to_mel(wav_bytes)
-        mels = np.asarray(self._reconstruct(windows))[:n_win, :, :, 0]
-        mel = np.concatenate(list(mels), axis=-1)[:, :t]
-        return self._mel_to_wav_bytes(jnp.asarray(mel))
+        """One fused device launch (see ``reconstruct_wav``): the input
+        is zero-padded to the serving-window grid on the host, the whole
+        analysis->VQ->synthesis chain runs on device, and the returned
+        waveform is trimmed to the input length. Griffin-Lim runs over
+        the padded tail too (silence), which can shift the tail samples
+        slightly vs a pre-trimmed inversion — inherent to fusing."""
+        data = self._decode_wav_bytes(wav_bytes)
+        hop = self.cfg.audio.effective_hop_size
+        t_est = len(data) // hop + 1
+        n_win = max(1, -(-t_est // self.frames))
+        n_pad = 1 << (n_win - 1).bit_length()
+        total = n_pad * self.frames * hop + self.cfg.audio.fft_size
+        padded = np.zeros(total, np.float32)
+        padded[: min(len(data), total)] = data[:total]
+        wav = np.asarray(self._reconstruct_wav(jnp.asarray(padded)))
+        wav = wav[: min(len(data), len(wav))]
+        return self._encode_wav_bytes(wav)
 
     def decode(self, payload: dict) -> bytes:
         if self.hier:
@@ -258,6 +304,20 @@ def build_service(args):
     from neural_sound_generation_tpu.training import checkpoint, create_train_state
 
     cfg = load_preset(args.preset, Config()) if args.preset else Config()
+    # serving production defaults: fast Griffin-Lim (momentum 0.99 at 30
+    # iterations matches 60 plain iterations in STFT-consistency error,
+    # PERF.md) — halves the dominant synthesis cost per request. Plain
+    # reference GL is `--gl-momentum 0 --gl-iters 60`.
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg,
+        audio=_dc.replace(
+            cfg.audio,
+            griffin_lim_iters=getattr(args, "gl_iters", 30),
+            griffin_lim_momentum=getattr(args, "gl_momentum", 0.99),
+        ),
+    )
     if getattr(args, "model", "vqvae") == "hiervqvae":
         if args.frames % 8:
             raise SystemExit(
@@ -291,10 +351,20 @@ def parse_args(argv=None):
                    help="serving mel window (default 84 flat / 80 hier)")
     p.add_argument("--model", default="vqvae",
                    choices=["vqvae", "hiervqvae"])
+    p.add_argument("--gl-iters", type=int, default=30,
+                   help="Griffin-Lim iterations (serving default 30 with "
+                        "momentum; reference setting: 60 with momentum 0)")
+    p.add_argument("--gl-momentum", type=float, default=0.99,
+                   help="fast Griffin-Lim momentum; 0 = plain reference GL")
     return p.parse_args(argv)
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     if args.frames is None:
         args.frames = 80 if args.model == "hiervqvae" else 84

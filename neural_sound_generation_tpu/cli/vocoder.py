@@ -199,6 +199,11 @@ def cmd_synthesize(args):
 
 
 def main(argv=None):
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     args = parse_args(argv)
     {"train": cmd_train, "synthesize": cmd_synthesize}[args.cmd](args)
 
