@@ -10,6 +10,9 @@ server exposing the batched on-device inference paths:
   POST /reconstruct  wav bytes -> reconstructed wav bytes
   POST /decode   {"codes": [[...]]} JSON -> wav bytes
                  (--model hiervqvae: {"codes_top": ..., "codes_bottom": ...})
+  POST /sample   {"n": 1, "label": 0, "seed": 0} -> wav bytes — ancestral
+                 sampling from a loaded PixelCNN prior (--prior-ckpt;
+                 hiervqvae needs --bottom-ckpt too)
   GET  /health   -> {"status": "ok", "backend": ...}
 
 Model compilation happens once at startup; each request runs jitted
@@ -120,6 +123,56 @@ class InferenceService:
             )
 
         self._reconstruct_wav = reconstruct_wav
+        self._prior = None  # set by attach_prior (serving /sample)
+
+    def attach_prior(self, prior, prior_vars, bottom=None, bottom_vars=None):
+        """Enable POST /sample: a trained PixelCNN prior over this
+        model's code grids (both priors for the hierarchical family)."""
+        if self.hier and (bottom is None or bottom_vars is None):
+            raise ValueError("hiervqvae sampling needs top AND bottom priors")
+        self._prior = (prior, prior_vars, bottom, bottom_vars)
+
+    def sample(self, payload: dict) -> bytes:
+        """Ancestral sampling as a service: prior samples code grids ->
+        decoder -> Griffin-Lim -> wav bytes (n samples concatenated in
+        time). The reference's generative chain, reachable over HTTP."""
+        if self._prior is None:
+            raise ValueError(
+                "no prior loaded on this server (start with --prior-ckpt)"
+            )
+        n = int(payload.get("n", 1))
+        if not 1 <= n <= 16:
+            raise ValueError(f"n must be in [1, 16], got {n}")
+        label = int(payload.get("label", 0))
+        seed = int(payload.get("seed", 0))
+        labels = jnp.full((n,), label, jnp.int32)
+        key = jax.random.PRNGKey(seed)
+        prior, pv, bottom, bv = self._prior
+        if self.hier:
+            from neural_sound_generation_tpu.inference import (
+                sample_hier_audio,
+            )
+
+            shape_top = (self.cfg.audio.num_mels // 8, self.frames // 8)
+            _, _, wavs = sample_hier_audio(
+                self.model, self.variables, prior, pv, bottom, bv,
+                labels, shape_top, self.cfg.audio, key,
+            )
+        else:
+            from neural_sound_generation_tpu.inference import (
+                sample_prior_audio,
+            )
+
+            code_shape = (
+                self.cfg.audio.num_mels // self.STRIDE,
+                self.frames // self.STRIDE,
+            )
+            _, wavs = sample_prior_audio(
+                self.model, self.variables, prior, pv, labels,
+                code_shape, self.cfg.audio, key,
+            )
+        wav = np.concatenate([np.asarray(w) for w in np.asarray(wavs)])
+        return self._encode_wav_bytes(wav)
 
     #: encoder time-axis downsampling (two stride-2 convs)
     STRIDE = 4
@@ -278,6 +331,9 @@ def make_handler(service: InferenceService):
                     self._send(
                         200, service.decode(json.loads(body)), "audio/wav"
                     )
+                elif self.path == "/sample":
+                    payload = json.loads(body) if body else {}
+                    self._send(200, service.sample(payload), "audio/wav")
                 else:
                     self._send(404, b'{"error": "not found"}')
             except self._CLIENT_ERRORS as e:
@@ -336,7 +392,42 @@ def build_service(args):
             "params": restored.params,
             "batch_stats": restored.batch_stats,
         }
-    return InferenceService(cfg, model, variables, args.frames)
+    service = InferenceService(cfg, model, variables, args.frames)
+    if getattr(args, "prior_ckpt", None):
+        from neural_sound_generation_tpu.models import GatedPixelCNN
+
+        hier = args.model == "hiervqvae"
+        if hier:
+            h, w = cfg.audio.num_mels // 8, args.frames // 8
+        else:
+            h, w = cfg.audio.num_mels // 4, args.frames // 4
+        lab0 = jnp.zeros((1,), jnp.int32)
+        top = GatedPixelCNN(
+            input_dim=args.z_dim, dim=args.prior_dim,
+            n_layers=args.prior_layers, n_classes=args.n_classes,
+        )
+        tv = top.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0
+        )
+        tv, _ = checkpoint.restore(args.prior_ckpt, tv)
+        bottom = bv = None
+        if hier:
+            if not args.bottom_ckpt:
+                raise SystemExit("--model hiervqvae /sample needs "
+                                 "--bottom-ckpt too")
+            bottom = GatedPixelCNN(
+                input_dim=args.z_dim, dim=args.prior_dim,
+                n_layers=args.prior_layers, n_classes=args.n_classes,
+                spatial_cond=True,
+            )
+            bv = bottom.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2 * h, 2 * w), jnp.int32), lab0,
+                jnp.zeros((1, 2 * h, 2 * w, args.dim)),
+            )
+            bv, _ = checkpoint.restore(args.bottom_ckpt, bv)
+        service.attach_prior(top, tv, bottom, bv)
+    return service
 
 
 def parse_args(argv=None):
@@ -356,6 +447,14 @@ def parse_args(argv=None):
                         "momentum; reference setting: 60 with momentum 0)")
     p.add_argument("--gl-momentum", type=float, default=0.99,
                    help="fast Griffin-Lim momentum; 0 = plain reference GL")
+    p.add_argument("--prior-ckpt", default=None,
+                   help="PixelCNN prior checkpoint dir: enables POST "
+                        "/sample (top prior for --model hiervqvae)")
+    p.add_argument("--bottom-ckpt", default=None,
+                   help="bottom prior checkpoint (hiervqvae /sample)")
+    p.add_argument("--prior-dim", type=int, default=64)
+    p.add_argument("--prior-layers", type=int, default=15)
+    p.add_argument("--n-classes", type=int, default=10)
     return p.parse_args(argv)
 
 

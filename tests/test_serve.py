@@ -3,6 +3,7 @@
 import io
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -254,3 +255,63 @@ def test_hier_service_rejects_unaligned_window():
     )
     with pytest.raises(ValueError, match="multiple of 8"):
         InferenceService(Config(), model, variables, frames=20)
+
+
+def test_sample_endpoint_without_prior_is_client_error(server):
+    """POST /sample on a server started without --prior-ckpt -> 400."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/sample", b"{}",
+              {"Content-Type": "application/json"})
+    assert ei.value.code == 400
+    assert b"prior" in ei.value.read()
+
+
+@pytest.fixture(scope="module")
+def sample_server():
+    """Server with a (fresh-init) PixelCNN prior attached: /sample runs
+    the full ancestral chain prior -> decoder -> Griffin-Lim."""
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE, GatedPixelCNN
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    service = InferenceService(cfg, model, variables, frames=16)
+    prior = GatedPixelCNN(input_dim=16, dim=8, n_layers=2, n_classes=4)
+    pv = prior.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 20, 4), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    service.attach_prior(prior, pv)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_sample_endpoint_returns_wav(sample_server):
+    from scipy.io import wavfile
+
+    body = json.dumps({"n": 2, "label": 1, "seed": 3}).encode()
+    with _post(sample_server + "/sample", body,
+               {"Content-Type": "application/json"}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    sr, wav = wavfile.read(io.BytesIO(data))
+    assert sr == 22050
+    assert wav.ndim == 1 and len(wav) > 1000
+    assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_sample_endpoint_rejects_bad_n(sample_server):
+    body = json.dumps({"n": 99}).encode()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(sample_server + "/sample", body,
+              {"Content-Type": "application/json"})
+    assert ei.value.code == 400
