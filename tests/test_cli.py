@@ -366,3 +366,17 @@ def test_wavenet_variant_corpora_force_audio_py_convention(tmp_path):
             np.load(os.path.join(out_a, name)),
             np.load(os.path.join(out_b, name)),
         )
+
+
+def test_jsut_librivox_share_audio_py_convention():
+    """jsut/librivox apply the same forced convention as cmu_arctic
+    (engine.convention): LWS on, preemphasis off, regardless of input."""
+    from neural_sound_generation_tpu.config import AudioConfig
+    from neural_sound_generation_tpu.data.corpora import jsut, librivox
+    from neural_sound_generation_tpu.data.corpora.engine import convention
+
+    for mod in (jsut, librivox):
+        src = open(mod.__file__).read()
+        assert "convention(" in src  # wired, not just imported
+    c = convention(AudioConfig(sample_rate=24000, preemphasize=True))
+    assert c.use_lws and not c.preemphasize and c.sample_rate == 24000

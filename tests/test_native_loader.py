@@ -230,3 +230,58 @@ def test_truncated_shard_errors_not_sigbus(tmp_path):
         f.write(b"x" * 64)
     with pytest.raises(OSError):
         NativeCorpus([bogus], [mp[0]])
+
+
+def test_pipeline_native_multispeaker_and_buckets(tmp_path):
+    """Native loader through MelFrameLoader with speaker ids and bucketed
+    frame counts matches the Python path batch-for-batch."""
+    from neural_sound_generation_tpu.data.manifest import (
+        ManifestEntry,
+        write_manifest,
+    )
+    from neural_sound_generation_tpu.data.pipeline import (
+        AudioDataset,
+        MelFrameLoader,
+    )
+    from neural_sound_generation_tpu.data.sources import NpyDataSource
+
+    ap, mp, _, _ = _write_corpus(tmp_path, n=8)
+    entries = [
+        ManifestEntry(
+            os.path.basename(a), os.path.basename(m),
+            int(np.load(a).shape[0]), "t", speaker_id=i % 3,
+        )
+        for i, (a, m) in enumerate(zip(ap, mp))
+    ]
+    write_manifest(str(tmp_path), entries)
+
+    cfg = Config().parse_json({
+        "hop_size": HOP, "num_mels": N_MELS, "max_time_steps": 16 * HOP,
+    })
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, bucket_boundaries=(8, 16))
+    )
+
+    def loaders(use_native):
+        x = NpyDataSource(str(tmp_path), 0, test_size=0.125)
+        mel = NpyDataSource(str(tmp_path), 1, test_size=0.125)
+        ds = AudioDataset(x, mel)
+        return MelFrameLoader(
+            ds, cfg, batch_size=2, seed=5, use_native=use_native,
+            num_workers=1,
+        )
+
+    nb = list(iter(loaders(True)))
+    pb = list(iter(loaders(False)))
+    assert len(nb) == len(pb) > 0
+    saw_g = False
+    for a, b in zip(nb, pb):
+        for k in a:
+            if a[k] is None:
+                assert b[k] is None
+            else:
+                np.testing.assert_array_equal(a[k], b[k])
+        if a.get("g") is not None:
+            saw_g = True
+    assert saw_g  # speaker ids flowed through the native path
