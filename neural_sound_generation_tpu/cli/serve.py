@@ -140,10 +140,18 @@ class InferenceService:
             raise ValueError(
                 "no prior loaded on this server (start with --prior-ckpt)"
             )
+        if not isinstance(payload, dict):
+            raise ValueError("payload must be a JSON object")
         n = int(payload.get("n", 1))
         if not 1 <= n <= 16:
             raise ValueError(f"n must be in [1, 16], got {n}")
         label = int(payload.get("label", 0))
+        n_classes = int(self._prior[0].n_classes)
+        if not 0 <= label < n_classes:
+            # out-of-range labels would be silently clamped by the gather
+            raise ValueError(
+                f"label must be in [0, {n_classes}), got {label}"
+            )
         seed = int(payload.get("seed", 0))
         labels = jnp.full((n,), label, jnp.int32)
         key = jax.random.PRNGKey(seed)
@@ -200,17 +208,11 @@ class InferenceService:
         windows = np.transpose(windows, (1, 0, 2))[..., None]
         return jnp.asarray(windows), t, n_win
 
-    @staticmethod
-    def _decode_wav_bytes(wav_bytes: bytes) -> np.ndarray:
-        from scipy.io import wavfile
-
-        sr, data = wavfile.read(io.BytesIO(wav_bytes))
-        if data.dtype == np.int16:
-            data = data.astype(np.float32) / 32768.0
-        data = np.asarray(data, np.float32)
-        if data.ndim == 2:
-            data = data.mean(axis=1)
-        return data
+    def _decode_wav_bytes(self, wav_bytes: bytes) -> np.ndarray:
+        # full load_wav semantics: int16/int32/uint8/float scaling, mono
+        # mixdown, AND resampling to the server's rate — a 16 kHz or
+        # 32-bit upload must be analyzed correctly, not silently mangled
+        return self.dsp.load_wav_bytes(wav_bytes, self.cfg.audio.sample_rate)
 
     def _encode_wav_bytes(self, wav_np: np.ndarray) -> bytes:
         buf = io.BytesIO()

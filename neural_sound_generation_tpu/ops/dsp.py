@@ -550,13 +550,11 @@ def save_wav(wav: np.ndarray, path: str, sample_rate: int) -> None:
     wavfile.write(path, sample_rate, wav.astype(np.int16))
 
 
-def load_wav(path: str, sample_rate: int) -> np.ndarray:
-    """Read a WAV as float32 in [-1, 1]; resamples with polyphase filtering
-    if the file rate differs (librosa.core.load semantics, scipy backend)."""
-    from scipy.io import wavfile
+def _decode_pcm(file_sr: int, data: np.ndarray, sample_rate: int) -> np.ndarray:
+    """PCM array (any WAV dtype) -> mono float32 in [-1, 1] at
+    ``sample_rate`` (polyphase resample when the file rate differs)."""
     from scipy.signal import resample_poly
 
-    file_sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -571,3 +569,23 @@ def load_wav(path: str, sample_rate: int) -> np.ndarray:
         g = np.gcd(int(file_sr), int(sample_rate))
         data = resample_poly(data, sample_rate // g, file_sr // g).astype(np.float32)
     return data
+
+
+def load_wav(path: str, sample_rate: int) -> np.ndarray:
+    """Read a WAV as float32 in [-1, 1]; resamples with polyphase filtering
+    if the file rate differs (librosa.core.load semantics, scipy backend)."""
+    from scipy.io import wavfile
+
+    file_sr, data = wavfile.read(path)
+    return _decode_pcm(file_sr, data, sample_rate)
+
+
+def load_wav_bytes(wav_bytes: bytes, sample_rate: int) -> np.ndarray:
+    """RIFF bytes -> mono float32 in [-1, 1] at ``sample_rate`` — the
+    in-memory twin of ``load_wav`` (same dtype scaling and resampling)."""
+    import io
+
+    from scipy.io import wavfile
+
+    file_sr, data = wavfile.read(io.BytesIO(wav_bytes))
+    return _decode_pcm(file_sr, data, sample_rate)

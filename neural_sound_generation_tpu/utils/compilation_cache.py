@@ -12,12 +12,20 @@ from __future__ import annotations
 import os
 
 
+def default_cache_dir() -> str:
+    # per-user default: a world-shared /tmp path would be unwritable for
+    # the second user to come along (first creator owns it) and lets any
+    # local user seed cache entries other users would deserialize
+    return os.environ.get(
+        "NSG_JAX_CACHE_DIR", f"/tmp/nsg_jax_cache-uid{os.getuid()}"
+    )
+
+
 def enable_persistent_cache() -> None:
     import jax
 
-    cache_dir = os.environ.get("NSG_JAX_CACHE_DIR", "/tmp/nsg_jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", default_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # older jax without the knobs: compile uncached

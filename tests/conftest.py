@@ -22,12 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by XLA compiles of
 # programs whose HLO is identical run over run (measured 17s -> 9s on the
-# slowest model test once warm). Cold first runs are unchanged.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("NSG_JAX_CACHE_DIR", "/tmp/nsg_jax_cache"),
+# slowest model test once warm). Cold first runs are unchanged. Same
+# helper (and per-user default path) as the CLI entry points.
+from neural_sound_generation_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_persistent_cache,
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -368,15 +368,31 @@ def test_wavenet_variant_corpora_force_audio_py_convention(tmp_path):
         )
 
 
-def test_jsut_librivox_share_audio_py_convention():
-    """jsut/librivox apply the same forced convention as cmu_arctic
-    (engine.convention): LWS on, preemphasis off, regardless of input."""
+def test_jsut_librivox_share_audio_py_convention(tmp_path, monkeypatch):
+    """jsut/librivox FORCE the audio.py convention (LWS on, preemphasis
+    off) over whatever cfg the caller passes — verified by capturing the
+    cfg each adapter actually hands to the preprocessing engine."""
+    import dataclasses
+
     from neural_sound_generation_tpu.config import AudioConfig
     from neural_sound_generation_tpu.data.corpora import jsut, librivox
-    from neural_sound_generation_tpu.data.corpora.engine import convention
 
+    caller_cfg = AudioConfig(
+        sample_rate=24000, preemphasize=True, use_lws=False
+    )
     for mod in (jsut, librivox):
-        src = open(mod.__file__).read()
-        assert "convention(" in src  # wired, not just imported
-    c = convention(AudioConfig(sample_rate=24000, preemphasize=True))
-    assert c.use_lws and not c.preemphasize and c.sample_rate == 24000
+        seen = {}
+
+        def capture(specs, out_dir, cfg, **kw):
+            seen["cfg"] = cfg
+            return []
+
+        monkeypatch.setattr(mod, "preprocess_utterances", capture)
+        in_dir = tmp_path / mod.__name__.rsplit(".", 1)[-1]
+        in_dir.mkdir()  # empty corpus: collect() yields no specs
+        mod.build_from_path(str(in_dir), str(tmp_path / "out"),
+                            num_workers=1, cfg=caller_cfg)
+        got = seen["cfg"]
+        assert got.use_lws is True, mod.__name__
+        assert got.preemphasize is False, mod.__name__
+        assert got.sample_rate == 24000  # caller knobs otherwise kept

@@ -315,3 +315,25 @@ def test_sample_endpoint_rejects_bad_n(sample_server):
         _post(sample_server + "/sample", body,
               {"Content-Type": "application/json"})
     assert ei.value.code == 400
+
+
+def test_reconstruct_accepts_int32_and_resamples(server):
+    """Non-16-bit PCM and wrong-rate uploads are decoded correctly: a
+    32-bit 16 kHz file is scaled to [-1, 1] and resampled to the server
+    rate instead of being silently mangled (load_wav semantics)."""
+    from scipy.io import wavfile
+
+    sr_in = 16000
+    t = np.arange(int(sr_in * 0.3)) / sr_in
+    wav32 = (0.5 * np.sin(2 * np.pi * 330 * t) * 2147483647).astype(np.int32)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr_in, wav32)
+    with _post(server + "/reconstruct", buf.getvalue(),
+               {"Content-Type": "audio/wav"}) as r:
+        data = r.read()
+    sr_out, wav = wavfile.read(io.BytesIO(data))
+    assert sr_out == 22050
+    # correct scaling/resampling: output length tracks the 0.3 s input
+    # at the server rate (not the raw sample count at the wrong rate)
+    assert abs(len(wav) - int(22050 * 0.3)) < 2048
+    assert np.isfinite(wav.astype(np.float64)).all()
