@@ -105,4 +105,37 @@ main(['sample','--hier',
       '--output-dir','$WORK/hier_samples','--dim','8','--z-dim','16',
       '--prior-dim','8','--prior-layers','2','--code-shape','10','2',
       '--num-samples','1'])" | tail -1
-echo "SMOKE OK (incl. hier)"
+echo "== 9/9 HTTP serving (reconstruct + /sample over a live server)"
+PY "
+import io, json, threading, urllib.request
+import numpy as np
+from http.server import ThreadingHTTPServer
+from scipy.io import wavfile
+from neural_sound_generation_tpu.cli.serve import (
+    build_service, make_handler, parse_args,
+)
+args = parse_args([
+    '--ckpt-dir', '$WORK/models/vqvae/checkpoint_ljspeech_8_16',
+    '--dim', '8', '--z-dim', '16', '--frames', '28',
+    '--prior-ckpt', '$WORK/prior', '--prior-dim', '8', '--prior-layers', '2',
+])
+service = build_service(args)
+httpd = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(service))
+threading.Thread(target=httpd.serve_forever, daemon=True).start()
+base = f'http://127.0.0.1:{httpd.server_address[1]}'
+t = np.arange(int(22050 * 0.3)) / 22050
+buf = io.BytesIO()
+wavfile.write(buf, 22050, (0.4 * np.sin(2*np.pi*220*t) * 32767).astype(np.int16))
+def post(path, data, ctype):
+    req = urllib.request.Request(base + path, data=data,
+                                 headers={'Content-Type': ctype})
+    return urllib.request.urlopen(req, timeout=120).read()
+rec = post('/reconstruct', buf.getvalue(), 'audio/wav')
+smp = post('/sample', json.dumps({'n': 1, 'label': 0}).encode(),
+           'application/json')
+for name, blob in (('reconstruct', rec), ('sample', smp)):
+    sr, wav = wavfile.read(io.BytesIO(blob))
+    assert sr == 22050 and len(wav) > 500, name
+httpd.shutdown()
+print('serve round-trip ok (reconstruct + sample)')" | tail -1
+echo "SMOKE OK (incl. hier + serve)"
