@@ -264,6 +264,11 @@ def bench_torch_cpu(steps=3, warmup=1):
 
 
 def main():
+    from neural_sound_generation_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     tpu_sps, perf = bench_tpu()
     try:
         ref_sps = bench_torch_cpu()
