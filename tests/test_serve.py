@@ -337,3 +337,17 @@ def test_reconstruct_accepts_int32_and_resamples(server):
     # at the server rate (not the raw sample count at the wrong rate)
     assert abs(len(wav) - int(22050 * 0.3)) < 2048
     assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_hier_reconstruct_fused_path(hier_server):
+    """/reconstruct for the hierarchical family exercises the fused
+    single-launch program (mel -> two-level VQ -> GL) end-to-end."""
+    from scipy.io import wavfile
+
+    with _post(hier_server + "/reconstruct", _wav_bytes(seconds=0.4),
+               {"Content-Type": "audio/wav"}) as r:
+        data = r.read()
+    sr, wav = wavfile.read(io.BytesIO(data))
+    assert sr == 22050
+    assert abs(len(wav) - int(22050 * 0.4)) < 2048
+    assert np.isfinite(wav.astype(np.float64)).all()
