@@ -79,8 +79,26 @@ class FusedOptState(flax.struct.PyTreeNode):
     unravel: Any = flax.struct.field(pytree_node=False, default=None)
 
 
+def _is_deleted(leaf) -> bool:
+    try:
+        return isinstance(leaf, jax.Array) and leaf.is_deleted()
+    except Exception:
+        return False
+
+
+def _zeros_like_tree(params):
+    """Same shapes/dtypes, fresh zero buffers — safe to build even when
+    ``params`` leaves were donated (creation never reads the values)."""
+    return jax.tree_util.tree_map(
+        lambda p: jnp.zeros(jnp.shape(p), jnp.result_type(p)), params
+    )
+
+
 def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptState:
-    flat, unravel = ravel_pytree(params)
+    # build unravel + moments from a zeros tree: metadata only, so a
+    # TrainState template can be created from donated variables (the
+    # in-process checkpoint-restore pattern after donated training)
+    flat, unravel = ravel_pytree(_zeros_like_tree(params))
     zeros = jnp.zeros_like(flat, dtype=jnp.float32)
     lr = (
         make_lr_schedule(cfg)
@@ -227,15 +245,22 @@ def create_train_state(
     if fused is None:
         fused = cfg.fused_optimizer
     tx = make_optimizer(cfg, use_schedule)
+    # donated-variables templates (in-process restore after donated
+    # training): initialize EMA from zeros instead of reading deleted
+    # buffers — a restore overwrites the value anyway
+    params_live = not any(
+        _is_deleted(leaf) for leaf in jax.tree_util.tree_leaves(params)
+    )
+    ema_src = params if params_live else _zeros_like_tree(params)
     if fused:
         ema = (
-            ravel_pytree(params)[0].astype(jnp.float32)
+            ravel_pytree(ema_src)[0].astype(jnp.float32)
             if cfg.exponential_moving_average
             else None
         )
     else:
         ema = (
-            jax.tree_util.tree_map(jnp.copy, params)
+            jax.tree_util.tree_map(jnp.copy, ema_src)
             if cfg.exponential_moving_average
             else None
         )
@@ -245,7 +270,7 @@ def create_train_state(
         # hierarchical model trains codebook_top/_bottom by gradient
         ema_codebook = False
     if ema_codebook:
-        cb = params["codebook"]
+        cb = ema_src["codebook"]  # == params["codebook"] when live
         # cluster sizes start at 1 (not 0): embed_sum/cluster == codebook
         # at init, and early updates never divide by a near-zero count.
         # Shapes generalize to residual VQ: (Q, K, D) codebooks get (Q, K)

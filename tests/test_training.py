@@ -596,3 +596,30 @@ def test_ema_warmup_tracks_early_training(rng):
     dist_live = np.linalg.norm(ema - live)
     dist_init = np.linalg.norm(ema - init_flat)
     assert dist_live < dist_init  # tracks training, lags slightly
+
+
+def test_template_from_donated_variables_resumes(rng, tmp_path):
+    """In-process resume after DONATED training: building a fresh
+    TrainState template from the original (now-donated) variables must
+    not read deleted buffers, and the restored state must step."""
+    from neural_sound_generation_tpu.training.trainer import (
+        make_multistep_train,
+    )
+
+    cfg = Config().parse("batch_size=4")
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train)
+    run = make_multistep_train(model, cfg, 2, donate=True)
+    sb = {"x": jnp.tile(batch["x"][None], (2, 1, 1, 1, 1))}
+    for _ in range(2):
+        state, m = run(state, sb, jax.random.PRNGKey(0))
+
+    ckpt_dir = str(tmp_path / "donated")
+    checkpoint.save(ckpt_dir, state, step=int(state.step))
+    # variables' buffers are donated now; template creation must survive
+    template = create_train_state(variables, cfg.train)
+    restored, _ = checkpoint.restore(ckpt_dir, template)
+    restored, m = run(restored, sb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(m["loss"])[-1]))
