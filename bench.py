@@ -56,30 +56,44 @@ _HBM_BW = {
 }
 
 
-def _program_costs(run, state, super_batch, key, multi):
-    """(FLOPs, bytes accessed, compiled) of ONE optimization step, from
-    XLA's cost analysis of the exact compiled multi-step program the
-    timed loop launches. The compiled executable is returned so the timed
-    loop runs it directly — compiling once, not once for analysis and
-    again on first call. Bytes are the cost model's logical buffer
-    traffic — a lower bound on real HBM traffic (recompute/converts add
-    to it)."""
+def _compile_timed(run, state, super_batch, key):
+    """Compile the timed multi-step program once and return the
+    executable (the jit call would otherwise recompile the same HLO —
+    minutes through the tunnel)."""
     try:
-        compiled = run.lower(state, super_batch, key).compile()
-        ca = compiled.cost_analysis()
+        return run.lower(state, super_batch, key).compile()
+    except Exception as e:
+        log(f"[bench] ahead-of-time compile unavailable: {e!r}")
+        return None
+
+
+def _single_step_costs(model, cfg, state, batch, key):
+    """(FLOPs, bytes accessed) of ONE optimization step from the cost
+    analysis of a SINGLE-STEP program.
+
+    Deliberately NOT taken from the scan program: XLA's cost model counts
+    a while-loop body ONCE regardless of trip count (verified: scan x4 /
+    x32 / x64 all report the identical launch total), so total/multi
+    under-counts by the scan length. The single-step program's FLOPs
+    match a hand count (one conv checked to within 10%); its bytes are
+    the PRE-fusion logical traffic — an upper bound on real HBM bytes."""
+    from neural_sound_generation_tpu.training.trainer import make_train_step
+
+    try:
+        step = make_train_step(model, cfg, donate=False)
+        ca = step.lower(state, batch, key).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         total = float(ca["flops"])
         if total <= 0:
-            return None, None, compiled
-        b = float(ca.get("bytes accessed", 0.0)) or None
-        return total / multi, (b / multi if b else None), compiled
+            return None, None
+        return total, float(ca.get("bytes accessed", 0.0)) or None
     except Exception as e:
         log(f"[bench] cost analysis unavailable: {e!r}")
-        return None, None, None
+        return None, None
 
 
-def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
+def bench_tpu(steps=320, warmup=64, rounds=3, multi=64):
     # The TPU is reached through a tunnel with occasional latency spikes;
     # measure several blocked windows of dependent steps and report the
     # median rate. Training runs ``multi`` optimization steps per device
@@ -107,18 +121,23 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
     )
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     state = create_train_state(variables, cfg.train)
-    run = make_multistep_train(model, cfg, multi, donate=False)
+    # donate=True is the production configuration (trainer donates);
+    # scan x64 measured best (465 steps/s sustained in the 100k soak
+    # vs 373 at x32 without donation, PERF.md)
+    run = make_multistep_train(model, cfg, multi, donate=True)
     super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
 
-    flops_per_step, bytes_per_step, compiled = _program_costs(
-        run, state, super_batch, key, multi
+    flops_per_step, bytes_per_step = _single_step_costs(
+        model, cfg, state, {"x": x}, key
     )
+    compiled = _compile_timed(run, state, super_batch, key)
     if compiled is not None:
-        run = compiled  # execute the analyzed executable — compile once
+        run = compiled
     if flops_per_step:
-        log(f"[bench] XLA cost analysis: {flops_per_step / 1e9:.2f} GF/step "
-            f"({flops_per_step * multi / 1e9:.2f} GF per scan x{multi} launch)")
+        log(f"[bench] XLA cost analysis (single-step program): "
+            f"{flops_per_step / 1e9:.2f} GF/step, "
+            f"{(bytes_per_step or 0) / 1e9:.3f} GB/step (pre-fusion bound)")
 
     launches = max(1, steps // multi)
     for _ in range(max(1, warmup // multi)):
@@ -165,20 +184,19 @@ def bench_tpu(steps=320, warmup=32, rounds=3, multi=32):
             if perf["mfu_vs_bf16_peak"] > 1.0:
                 log("[bench] WARNING: implied MFU > 100% — measurement "
                     "artifact, do not trust this window")
-        bw = _HBM_BW.get(kind)
-        if bytes_per_step and peak and bw:
-            # roofline: the step can't run faster than the larger of its
-            # MXU time and its HBM-streaming time (cost-model bytes are a
-            # lower bound, so this utilization is an upper bound)
-            roofline_s = max(flops_per_step / peak, bytes_per_step / bw)
+        if peak:
+            # MXU roofline: the step cannot beat flops/peak. (The cost
+            # model's bytes are PRE-fusion logical traffic — they imply
+            # >100% HBM utilization at the measured rate, so they bound
+            # nothing useful; reported as info only.)
+            roofline_s = flops_per_step / peak
             actual_s = 1.0 / sps
-            perf["bytes_per_step"] = round(bytes_per_step)
-            perf["roofline_ms"] = round(roofline_s * 1e3, 3)
-            perf["roofline_util"] = round(roofline_s / actual_s, 4)
-            log(f"[bench] roofline {roofline_s * 1e3:.2f} ms/step "
-                f"(bytes {bytes_per_step / 1e9:.3f} GB) vs actual "
-                f"{actual_s * 1e3:.2f} ms -> {roofline_s / actual_s:.1%} "
-                f"of cost-model speed-of-light")
+            if bytes_per_step:
+                perf["bytes_per_step_prefusion"] = round(bytes_per_step)
+            perf["mxu_roofline_ms"] = round(roofline_s * 1e3, 3)
+            log(f"[bench] MXU roofline {roofline_s * 1e3:.2f} ms/step vs "
+                f"actual {actual_s * 1e3:.2f} ms -> {roofline_s / actual_s:.1%} "
+                f"of compute speed-of-light (== MFU)")
     return sps, perf
 
 
