@@ -44,18 +44,6 @@ _PEAK_BF16 = {
 }
 
 
-# HBM bandwidth per chip, bytes/s (public TPU spec sheets).
-_HBM_BW = {
-    "TPU v5 lite": 819e9,
-    "TPU v5e": 819e9,
-    "TPU v4": 1228e9,
-    "TPU v5p": 2765e9,
-    "TPU v5": 2765e9,
-    "TPU v6 lite": 1640e9,
-    "TPU v6e": 1640e9,
-}
-
-
 def _compile_timed(run, state, super_batch, key):
     """Compile the timed multi-step program once and return the
     executable (the jit call would otherwise recompile the same HLO —
@@ -121,9 +109,8 @@ def bench_tpu(steps=320, warmup=64, rounds=3, multi=64):
     )
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     state = create_train_state(variables, cfg.train)
-    # donate=True is the production configuration (trainer donates);
-    # scan x64 measured best (465 steps/s sustained in the 100k soak
-    # vs 373 at x32 without donation, PERF.md)
+    # donate=True + scan x64 is the production configuration (the
+    # trainer donates); x32/x64 measure the same in this methodology
     run = make_multistep_train(model, cfg, multi, donate=True)
     super_batch = {"x": jnp.tile(x[None], (multi, 1, 1, 1, 1))}
     key = jax.random.PRNGKey(0)
