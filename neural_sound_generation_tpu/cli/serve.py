@@ -365,17 +365,33 @@ def build_service(args):
     # serving production defaults: fast Griffin-Lim (momentum 0.99 at 30
     # iterations matches 60 plain iterations in STFT-consistency error,
     # PERF.md) — halves the dominant synthesis cost per request. Plain
-    # reference GL is `--gl-momentum 0 --gl-iters 60`.
+    # reference GL is `--gl-momentum 0 --gl-iters 60`. Explicit flags win;
+    # a --preset's GL settings are honored when the flags are not passed;
+    # only the no-preset default picks the fast setting.
     import dataclasses as _dc
 
-    cfg = _dc.replace(
-        cfg,
-        audio=_dc.replace(
-            cfg.audio,
-            griffin_lim_iters=getattr(args, "gl_iters", 30),
-            griffin_lim_momentum=getattr(args, "gl_momentum", 0.99),
-        ),
-    )
+    gl_iters = getattr(args, "gl_iters", None)
+    gl_momentum = getattr(args, "gl_momentum", None)
+    if not args.preset:
+        gl_iters = 30 if gl_iters is None else gl_iters
+        gl_momentum = 0.99 if gl_momentum is None else gl_momentum
+    if gl_iters is not None or gl_momentum is not None:
+        cfg = _dc.replace(
+            cfg,
+            audio=_dc.replace(
+                cfg.audio,
+                **(
+                    {"griffin_lim_iters": gl_iters}
+                    if gl_iters is not None
+                    else {}
+                ),
+                **(
+                    {"griffin_lim_momentum": gl_momentum}
+                    if gl_momentum is not None
+                    else {}
+                ),
+            ),
+        )
     if getattr(args, "model", "vqvae") == "hiervqvae":
         if args.frames % 8:
             raise SystemExit(
@@ -444,11 +460,14 @@ def parse_args(argv=None):
                    help="serving mel window (default 84 flat / 80 hier)")
     p.add_argument("--model", default="vqvae",
                    choices=["vqvae", "hiervqvae"])
-    p.add_argument("--gl-iters", type=int, default=30,
-                   help="Griffin-Lim iterations (serving default 30 with "
-                        "momentum; reference setting: 60 with momentum 0)")
-    p.add_argument("--gl-momentum", type=float, default=0.99,
-                   help="fast Griffin-Lim momentum; 0 = plain reference GL")
+    p.add_argument("--gl-iters", type=int, default=None,
+                   help="Griffin-Lim iterations (default: the --preset "
+                        "value, or the fast serving setting 30 with "
+                        "momentum when no preset is given; reference "
+                        "setting: 60 with momentum 0)")
+    p.add_argument("--gl-momentum", type=float, default=None,
+                   help="fast Griffin-Lim momentum; 0 = plain reference "
+                        "GL (default: preset value, or 0.99 w/o preset)")
     p.add_argument("--prior-ckpt", default=None,
                    help="PixelCNN prior checkpoint dir: enables POST "
                         "/sample (top prior for --model hiervqvae)")

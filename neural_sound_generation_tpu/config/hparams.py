@@ -205,6 +205,11 @@ class TrainConfig:
     max_time_steps: int | None = 8000
     exponential_moving_average: bool = True
     ema_decay: float = 0.9999
+    # Opt-in deviation from the reference's fixed-decay EMA
+    # (src/dataloader.py:246-257: averaged = decay*averaged + (1-decay)*x):
+    # tf.train.ExponentialMovingAverage-style warmup min(decay, (1+t)/(10+t)),
+    # which keeps short runs from evaluating near-init shadow weights.
+    ema_warmup: bool = False
     checkpoint_interval: int = 10000
     train_eval_interval: int = 10000
     test_eval_epoch_interval: int = 5

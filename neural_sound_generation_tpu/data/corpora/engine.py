@@ -197,12 +197,17 @@ def _preprocess_chunk(
         ]
 
     #    silence handling for mulaw-quantize inputs (ljspeech.py:40-49):
-    #    quantize first, trim against the reference's hard-coded midpoint
+    #    quantize first, trim against the mu-law midpoint. The reference
+    #    hard-codes 127 but only ever runs 256 channels; the midpoint is
+    #    derived here ((Q-1)//2 == 127 at Q=256, parity preserved) so the
+    #    65536-channel mulaw-quantize config actually trims instead of
+    #    degenerating to |q-127|>thr ~ everywhere (a silent no-op trim).
     if cfg.is_mulaw_quantize:
+        midpoint = (cfg.quantize_channels - 1) // 2
         trimmed = []
         for wav in wavs:
             q = np.asarray(dsp.mulaw_quantize(jnp.asarray(wav), cfg.quantize_channels))
-            loud = np.abs(q.astype(np.int64) - 127) > cfg.silence_threshold
+            loud = np.abs(q.astype(np.int64) - midpoint) > cfg.silence_threshold
             nz = np.flatnonzero(loud)
             if len(nz):
                 wav = wav[nz[0] : nz[-1] + 1]

@@ -149,8 +149,15 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
   out->map = map;
   out->map_len = st.st_size;
   out->data = reinterpret_cast<const char*>(p) + header_off + header_len;
-  size_t need = out->elem_size() * size_t(out->rows()) * size_t(out->cols());
-  if (header_off + header_len + need > size_t(st.st_size)) {
+  // overflow-safe size math: a corrupt/malicious header with huge dims
+  // must surface as "truncated", not wrap the multiplication and pass
+  size_t rows_cols = 0, need = 0, end = 0;
+  bool bogus = out->rows() < 0 || out->cols() < 0 ||
+               __builtin_mul_overflow(size_t(out->rows()),
+                                      size_t(out->cols()), &rows_cols) ||
+               __builtin_mul_overflow(out->elem_size(), rows_cols, &need) ||
+               __builtin_add_overflow(header_off + header_len, need, &end);
+  if (bogus || end > size_t(st.st_size)) {
     munmap(map, st.st_size);
     out->map = nullptr;
     *err = std::string("truncated npy: ") + path;

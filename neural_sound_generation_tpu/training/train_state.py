@@ -129,6 +129,7 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Optional[Any]
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
+    ema_warmup: bool = flax.struct.field(pytree_node=False, default=False)
     # EMA-codebook auxiliary statistics (VQ-VAE v2 style updates,
     # ModelConfig.ema_codebook): {"cluster": (K,), "embed_sum": (K, D)}
     codebook_ema: Optional[Any] = None
@@ -190,13 +191,16 @@ class TrainState(flax.struct.PyTreeNode):
         )
 
     def _ema_decay_now(self):
-        """Warmup-ramped EMA decay: min(decay, (1+t)/(10+t)) — the
-        tf.train.ExponentialMovingAverage ``num_updates`` semantics the
-        reference's TF-1.12 stack defines for its ema_decay hparam
-        (hparams.py:118). A fixed 0.9999 leaves the shadow frozen at the
-        init weights for the first ~10k steps, which pairs stale params
-        with fresh BatchNorm stats at eval and makes short-run eval
-        diverge while training converges."""
+        """EMA decay for this step. Default: the reference's fixed decay
+        (src/dataloader.py:246-257, ``averaged = decay*averaged +
+        (1-decay)*x`` with ema_decay=0.9999, hparams.py:118). With
+        ``TrainConfig.ema_warmup`` (a deliberate deviation, off by
+        default): tf.train.ExponentialMovingAverage ``num_updates``-style
+        ramp min(decay, (1+t)/(10+t)), which keeps the shadow from
+        staying frozen at the init weights for the first ~10k steps of
+        short runs."""
+        if not self.ema_warmup:
+            return self.ema_decay
         t = (self.step + 1).astype(jnp.float32)
         return jnp.minimum(self.ema_decay, (1.0 + t) / (10.0 + t))
 
@@ -291,5 +295,6 @@ def create_train_state(
         ema_params=ema,
         tx=tx,
         ema_decay=cfg.ema_decay,
+        ema_warmup=cfg.ema_warmup,
         codebook_ema=cb_ema,
     )

@@ -458,7 +458,9 @@ class Trainer:
             if sums is None:
                 sums = dict(metrics)
             else:
-                sums = {k: sums[k] + v for k, v in metrics.items()}
+                # seed late-appearing keys at 0 (a step can emit a metric
+                # absent from the first batch); stays device-side
+                sums = {k: sums.get(k, 0.0) + v for k, v in metrics.items()}
             if checkpoint_cb and interval:
                 # host-side step counter mirrors state.step (one increment
                 # per optimization step) without a device round-trip
@@ -513,7 +515,9 @@ class Trainer:
             if sums is None:
                 sums = dict(metrics)
             else:
-                sums = {k: sums[k] + v for k, v in metrics.items()}
+                # seed late-appearing keys at 0 (a step can emit a metric
+                # absent from the first batch); stays device-side
+                sums = {k: sums.get(k, 0.0) + v for k, v in metrics.items()}
         pulled = (
             {k: float(v) for k, v in jax.device_get(sums).items()}
             if sums

@@ -304,6 +304,35 @@ def test_preprocess_mulaw_quantize_65536_no_overflow(tmp_path):
     assert np.abs(requant.astype(np.int64) - audio.astype(np.int64)).max() <= 1
 
 
+def test_preprocess_mulaw_quantize_65536_trims_silence(tmp_path):
+    """Regression (round-2 verdict): the trim midpoint must be derived as
+    (quantize_channels - 1) // 2, not hard-coded 127. At 65536 channels
+    silence quantizes to ~32768, so |q - 127| > thr was true everywhere
+    and the trim silently became a no-op — padded-silence utterances kept
+    their full length."""
+    sr = 22050
+    wav_dir = tmp_path / "in" / "wavs"
+    wav_dir.mkdir(parents=True)
+    t = np.arange(int(sr * 0.3)) / sr
+    voiced = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    silence = np.zeros(int(sr * 0.25), np.float32)
+    wav = np.concatenate([silence, voiced, silence])
+    dsp.save_wav(wav, str(wav_dir / "LJ-0000.wav"), sr)
+    (tmp_path / "in" / "metadata.csv").write_text(
+        "LJ-0000|raw|normalized", encoding="utf-8"
+    )
+    out_dir = tmp_path / "out"
+    cfg = AudioConfig(input_type="mulaw-quantize", quantize_channels=65536)
+    entries = ljspeech.build_from_path(str(tmp_path / "in"), str(out_dir), cfg=cfg)
+    audio = np.load(out_dir / entries[0].audio_path)
+    # trimmed output covers the ~0.3 s voiced span (+ frame-alignment
+    # pads), NOT the 0.8 s padded signal a no-op trim would keep
+    assert len(audio) < int(0.5 * sr), (
+        f"trim was a no-op: kept {len(audio)} of {len(wav)} samples"
+    )
+    assert len(audio) >= len(voiced)
+
+
 def test_preprocess_mel_matches_single_utterance(tmp_path):
     """Batched bucket processing must produce the same mel as the direct
     single-utterance transform."""

@@ -351,3 +351,33 @@ def test_hier_reconstruct_fused_path(hier_server):
     assert sr == 22050
     assert abs(len(wav) - int(22050 * 0.4)) < 2048
     assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_build_service_honors_preset_griffin_lim(tmp_path):
+    """Round-2 advisor fix: --preset Griffin-Lim settings must survive
+    when --gl-iters/--gl-momentum are not passed (the flags used to
+    always clobber them with 30/0.99); explicit flags still win; the
+    fast serving default applies only without a preset."""
+    import json as _json
+
+    from neural_sound_generation_tpu.cli.serve import build_service, parse_args
+
+    preset = tmp_path / "p.json"
+    preset.write_text(_json.dumps(
+        {"griffin_lim_iters": 7, "griffin_lim_momentum": 0.5}
+    ))
+    base = ["--dim", "8", "--z-dim", "16", "--frames", "16"]
+
+    svc = build_service(parse_args(base + ["--preset", str(preset)]))
+    assert svc.cfg.audio.griffin_lim_iters == 7
+    assert svc.cfg.audio.griffin_lim_momentum == 0.5
+
+    svc = build_service(parse_args(
+        base + ["--preset", str(preset), "--gl-iters", "3"]
+    ))
+    assert svc.cfg.audio.griffin_lim_iters == 3
+    assert svc.cfg.audio.griffin_lim_momentum == 0.5  # preset survives
+
+    svc = build_service(parse_args(base))  # no preset: fast serving default
+    assert svc.cfg.audio.griffin_lim_iters == 30
+    assert svc.cfg.audio.griffin_lim_momentum == 0.99

@@ -579,14 +579,43 @@ def test_trainer_warns_on_zero_batch_epoch(rng):
     assert any("0 training batches" in l for l in logs)
 
 
-def test_ema_warmup_tracks_early_training(rng):
-    """The warmup-ramped decay (tf.train.ExponentialMovingAverage
-    num_updates semantics) keeps the shadow near the LIVE params early in
-    training instead of frozen at init — short-run eval must not pair
-    init weights with updated BatchNorm stats."""
+def test_ema_fixed_decay_is_default(rng):
+    """Reference parity (src/dataloader.py:246-257): EMA decay is a FIXED
+    0.9999 by default — after a handful of steps the shadow must still sit
+    essentially at the init weights (1 - 0.9999^30 ~ 0.3% moved), not ramp
+    toward the live params."""
     from jax.flatten_util import ravel_pytree
 
     model, cfg, state, batch = _make_vqvae(rng)
+    assert not state.ema_warmup
+    init_flat = np.asarray(ravel_pytree(state.params)[0])
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(30):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    live = np.asarray(ravel_pytree(state.params)[0])
+    ema = np.asarray(ravel_pytree(state.eval_params)[0])
+    # shadow moved at most a tiny fraction of the live params' travel
+    assert np.linalg.norm(ema - init_flat) < 0.05 * np.linalg.norm(
+        live - init_flat
+    )
+
+
+def test_ema_warmup_tracks_early_training(rng):
+    """The OPT-IN warmup-ramped decay (TrainConfig.ema_warmup;
+    tf.train.ExponentialMovingAverage num_updates semantics) keeps the
+    shadow near the LIVE params early in training instead of frozen at
+    init — short-run eval must not pair init weights with updated
+    BatchNorm stats."""
+    import dataclasses
+
+    from jax.flatten_util import ravel_pytree
+
+    cfg = Config().parse("batch_size=4")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_warmup=True)
+    )
+    model, cfg, state, batch = _make_vqvae(rng, cfg=cfg)
+    assert state.ema_warmup
     init_flat = np.asarray(ravel_pytree(state.params)[0])
     step = make_train_step(model, cfg, donate=False)
     for i in range(30):
