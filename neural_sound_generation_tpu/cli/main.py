@@ -264,8 +264,13 @@ def main(argv=None):
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
     )
+    # tensor parallelism (--mesh-model N > 1) needs per-leaf optimizer
+    # moments so they can mirror the 'model'-axis param shardings; the
+    # flat fused optimizer is the pure-dp fast path (train_state.py)
+    tensor_parallel = args.mesh_model > 1
     state = create_train_state(
-        variables, cfg.train, ema_codebook=cfg.model.ema_codebook
+        variables, cfg.train, ema_codebook=cfg.model.ema_codebook,
+        fused=False if tensor_parallel else None,
     )
 
     n_dev = len(jax.devices())
@@ -275,7 +280,13 @@ def main(argv=None):
     elif n_dev > 1 and args.batch_size % n_dev == 0:
         mesh = make_mesh(n_model=args.mesh_model)
     if mesh is not None:
-        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices")
+        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
+              + (" (tensor parallel)" if tensor_parallel else ""))
+    elif tensor_parallel:
+        raise SystemExit(
+            f"--mesh-model {args.mesh_model} needs a device mesh: pass "
+            f"--mesh-data too, or run with >= {args.mesh_model} devices"
+        )
 
     ckpt_dir = _checkpoint_dir(args)
     start_epoch = 1
@@ -290,7 +301,8 @@ def main(argv=None):
     )
     os.makedirs(os.path.dirname(metrics_path), exist_ok=True)
     trainer = Trainer(model, cfg, state, mesh=mesh, metrics_path=metrics_path,
-                      multi_steps=args.multi_steps)
+                      multi_steps=args.multi_steps,
+                      tensor_parallel=tensor_parallel)
     print(model)
 
     last_epoch = start_epoch - 1

@@ -15,4 +15,8 @@ from neural_sound_generation_tpu.training.trainer import (  # noqa: F401
     make_train_step,
     make_eval_step,
 )
+from neural_sound_generation_tpu.training.sharding import (  # noqa: F401
+    shard_train_state,
+    train_state_shardings,
+)
 from neural_sound_generation_tpu.training import checkpoint  # noqa: F401

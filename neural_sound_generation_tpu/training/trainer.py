@@ -125,10 +125,14 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     remat: bool = False,
+    state_shardings=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """One jitted optimization step. With ``mesh``, the batch is expected
     sharded over 'data' and the state replicated; XLA inserts the gradient
-    all-reduce.
+    all-reduce. ``state_shardings`` (a TrainState-shaped sharding tree,
+    ``training.sharding.train_state_shardings``) overrides the replicated
+    state layout — the tensor-parallel path: parameters stay resident in
+    their 'model'-axis shards across steps instead of being re-gathered.
 
     ``remat`` wraps the forward in ``jax.checkpoint`` — activations are
     recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
@@ -224,16 +228,18 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=donate_argnums)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    state_sh = state_shardings if state_shardings is not None else rep
     return jax.jit(
         train_step,
-        in_shardings=(rep, data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, data, rep),
+        out_shardings=(state_sh, rep),
         donate_argnums=donate_argnums,
     )
 
 
 def make_multistep_train(
-    model, cfg: Config, n_inner: int, donate: bool = True, mesh=None
+    model, cfg: Config, n_inner: int, donate: bool = True, mesh=None,
+    state_shardings=None,
 ):
     """N optimization steps inside ONE jitted program via ``lax.scan``.
 
@@ -267,10 +273,11 @@ def make_multistep_train(
 
     rep = replicated_sharding(mesh)
     scan_data = NamedSharding(mesh, P(None, "data"))
+    state_sh = state_shardings if state_shardings is not None else rep
     return jax.jit(
         multi,
-        in_shardings=(rep, scan_data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, scan_data, rep),
+        out_shardings=(state_sh, rep),
         donate_argnums=donate_argnums,
     )
 
@@ -296,7 +303,8 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return jnp.linalg.norm(flat.astype(jnp.float32))
 
 
-def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
+def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True,
+                   state_shardings=None):
     """Eval forward: returns reconstruction + per-batch metrics
     (the reference test_vqvae/test_vae accumulation, src/test.py:73-106)."""
 
@@ -351,7 +359,10 @@ def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True):
         return jax.jit(eval_step)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=(rep, rep))
+    state_sh = state_shardings if state_shardings is not None else rep
+    return jax.jit(
+        eval_step, in_shardings=(state_sh, data), out_shardings=(rep, rep)
+    )
 
 
 class Trainer:
@@ -371,6 +382,7 @@ class Trainer:
         log_fn: Optional[Callable[[str], None]] = print,
         metrics_path: Optional[str] = None,
         multi_steps: int = 1,
+        tensor_parallel: bool = False,
     ):
         self.model = model
         self.cfg = cfg
@@ -383,13 +395,43 @@ class Trainer:
         # multi_steps > 1: scan N optimization steps per device launch
         # (amortizes the dispatch floor; see make_multistep_train)
         self.multi_steps = max(1, multi_steps)
-        self._train_step = make_train_step(model, cfg, mesh)
+        # tensor parallelism: shard codebook rows + conv output channels
+        # over the mesh's 'model' axis (parallel/mesh._TP_RULES) and keep
+        # the state resident in that layout across steps
+        state_sh = None
+        self.tensor_parallel = bool(
+            tensor_parallel
+            and mesh is not None
+            and mesh.shape.get("model", 1) > 1
+        )
+        if self.tensor_parallel:
+            from neural_sound_generation_tpu.training.sharding import (
+                shard_train_state,
+                train_state_shardings,
+            )
+            from neural_sound_generation_tpu.training.train_state import (
+                FusedOptState,
+            )
+
+            if isinstance(state.opt_state, FusedOptState):
+                raise ValueError(
+                    "tensor parallelism requires per-leaf optimizer "
+                    "moments: build the state with "
+                    "create_train_state(..., fused=False)"
+                )
+            self.state = shard_train_state(state, mesh, tensor_parallel=True)
+            state_sh = train_state_shardings(state, mesh, tensor_parallel=True)
+        self._train_step = make_train_step(
+            model, cfg, mesh, state_shardings=state_sh
+        )
         self._multi_step = (
-            make_multistep_train(model, cfg, self.multi_steps, mesh=mesh)
+            make_multistep_train(
+                model, cfg, self.multi_steps, mesh=mesh, state_shardings=state_sh
+            )
             if self.multi_steps > 1
             else None
         )
-        self._eval_step = make_eval_step(model, cfg, mesh)
+        self._eval_step = make_eval_step(model, cfg, mesh, state_shardings=state_sh)
 
     def _write_metrics(self, record: Dict):
         if not self.metrics_path:

@@ -8,6 +8,8 @@ import struct
 import numpy as np
 import pytest
 
+import jax
+
 from neural_sound_generation_tpu.cli import main as train_cli
 from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
 from neural_sound_generation_tpu.data.images import load_mnist
@@ -396,3 +398,47 @@ def test_jsut_librivox_share_audio_py_convention(tmp_path, monkeypatch):
         assert got.use_lws is True, mod.__name__
         assert got.preemphasize is False, mod.__name__
         assert got.sample_rate == 24000  # caller knobs otherwise kept
+
+
+def test_train_cli_mesh_model_engages_tensor_parallel(tmp_path, monkeypatch):
+    """Round-3 verdict item #1: ``--mesh-model 2`` on the production train
+    CLI must actually shard the state over the 'model' axis (it used to
+    silently just halve data parallelism). Captures the Trainer the CLI
+    builds and inspects its live state."""
+    import neural_sound_generation_tpu.cli.main as main_mod
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+
+    captured = {}
+    real_trainer = main_mod.Trainer
+
+    def capturing_trainer(*a, **kw):
+        t = real_trainer(*a, **kw)
+        captured["trainer"] = t
+        return t
+
+    monkeypatch.setattr(main_mod, "Trainer", capturing_trainer)
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "4", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16",
+        "--max-batches-per-epoch", "2",
+        "--mesh-data", "4", "--mesh-model", "2",
+    ])
+    trainer = captured["trainer"]
+    assert trainer.tensor_parallel
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    # codebook rows sharded over 'model' on the LIVE post-training state
+    assert "model" in trainer.state.params["codebook"].sharding.spec
+    # per-leaf moments mirror it (CLI auto-selected fused=False under TP)
+    assert "model" in trainer.state.opt_state[0].mu["codebook"].sharding.spec
+    kernels = [
+        l for l in jax.tree_util.tree_leaves(trainer.state.params["encoder"])
+        if getattr(l, "ndim", 0) == 4
+    ]
+    assert any("model" in k.sharding.spec for k in kernels)
