@@ -18,7 +18,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def parse_args(argv=None):
@@ -39,6 +38,12 @@ def parse_args(argv=None):
     tr.add_argument("--lr", type=float, default=3e-4)
     tr.add_argument("--max-batches-per-epoch", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--mesh-data", type=int, default=None)
+    tr.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel shards for the prior (layer "
+                         "kernels + embeddings over the 'model' axis)")
+    tr.add_argument("--multi-steps", type=int, default=1,
+                    help="optimization steps per device launch (lax.scan)")
     tr.add_argument("--hier", action="store_true",
                     help="VQ-VAE checkpoint is a two-level hiervqvae")
     tr.add_argument("--hier-level", choices=["top", "bottom"], default="top",
@@ -131,27 +136,46 @@ def cmd_train(args):
     )
     init_args = (codes0, labels0) + ((cond0,) if bottom_level else ())
     pvars = prior.init(jax.random.PRNGKey(args.seed), *init_args)
-    tx = optax.adam(args.lr)
-    opt_state = tx.init(pvars)
 
-    @jax.jit
-    def train_step(pvars, opt_state, codes, labels, cond):
-        def loss_fn(pv):
-            if bottom_level:
-                logits = prior.apply(pv, codes, labels, cond)
-            else:
-                logits = prior.apply(pv, codes, labels)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)
-            return jnp.mean(nll)
+    # the prior is the longest training stage of a real VQ-VAE pipeline —
+    # it runs on the same mesh-aware Trainer as the autoencoder
+    # (dp batch sharding; --mesh-model N tensor-shards layer kernels and
+    # embeddings, with per-leaf moments auto-selected like cli/main.py)
+    import dataclasses
 
-        loss, grads = jax.value_and_grad(loss_fn)(pvars)
-        updates, opt_state = tx.update(grads, opt_state, pvars)
-        return optax.apply_updates(pvars, updates), opt_state, loss
+    from neural_sound_generation_tpu.parallel import make_mesh
+    from neural_sound_generation_tpu.training import Trainer, create_train_state
 
-    step = 0
-    for epoch in range(1, args.epochs + 1):
-        losses = []
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, initial_learning_rate=args.lr, batch_size=args.batch_size
+        ),
+    )
+    tensor_parallel = args.mesh_model > 1
+    state = create_train_state(
+        pvars, cfg.train, fused=False if tensor_parallel else None
+    )
+    n_dev = len(jax.devices())
+    mesh = None
+    if args.mesh_data:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+    elif n_dev > 1 and args.batch_size % n_dev == 0:
+        mesh = make_mesh(n_model=args.mesh_model)
+    if mesh is not None:
+        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
+              + (" (tensor parallel)" if tensor_parallel else ""))
+    elif tensor_parallel:
+        raise SystemExit(
+            f"--mesh-model {args.mesh_model} needs a device mesh: pass "
+            f"--mesh-data too, or run with >= {args.mesh_model} devices"
+        )
+    trainer = Trainer(
+        prior, cfg, state, mesh=mesh, tensor_parallel=tensor_parallel,
+        log_fn=None, multi_steps=args.multi_steps,
+    )
+
+    def epoch_batches():
         for i, batch in enumerate(loaders["train"]):
             if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
                 break
@@ -159,14 +183,30 @@ def cmd_train(args):
             labels = jnp.asarray(
                 batch.get("g", np.zeros(codes.shape[0], np.int32)), jnp.int32
             )
-            pvars, opt_state, loss = train_step(
-                pvars, opt_state, codes, labels, cond
-            )
-            losses.append(float(loss))
-            step += 1
-        print(f"prior epoch {epoch}: nll/code {np.mean(losses):.4f} "
-              f"(ppl {np.exp(np.mean(losses)):.1f} of {args.z_dim})")
-        checkpoint.save(args.ckpt_dir, pvars, step=step, extra={"epoch": epoch})
+            out = {"codes": codes, "labels": labels}
+            if bottom_level:
+                out["cond"] = cond
+            yield out
+
+    def save_ckpt(state, step):
+        # artifact stays the {"params": ...} variables layout the sample
+        # CLI and cli/serve.py --prior-ckpt restore into
+        checkpoint.save(
+            args.ckpt_dir,
+            {"params": jax.device_get(state.params)},
+            step=int(step),
+            extra={"epoch": epoch},
+        )
+
+    for epoch in range(1, args.epochs + 1):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        means = trainer.train_epoch(
+            epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt
+        )
+        nll = means.get("loss", float("nan"))
+        print(f"prior epoch {epoch}: nll/code {nll:.4f} "
+              f"(ppl {np.exp(nll):.1f} of {args.z_dim})")
+        save_ckpt(trainer.state, int(np.asarray(jax.device_get(trainer.state.step))))
     print(f"prior saved to {args.ckpt_dir}")
 
 

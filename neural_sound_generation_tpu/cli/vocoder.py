@@ -16,7 +16,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def parse_args(argv=None):
@@ -35,6 +34,12 @@ def parse_args(argv=None):
     tr.add_argument("--max-batches-per-epoch", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--resume", action="store_true")
+    tr.add_argument("--mesh-data", type=int, default=None)
+    tr.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel shards for the vocoder (res/"
+                         "skip/cond conv channels over the 'model' axis)")
+    tr.add_argument("--multi-steps", type=int, default=1,
+                    help="optimization steps per device launch (lax.scan)")
 
     sy = sub.add_parser("synthesize")
     sy.add_argument("--ckpt-dir", required=True)
@@ -85,12 +90,15 @@ def _load_cfg(args):
 
 
 def cmd_train(args):
+    import dataclasses
+
     from neural_sound_generation_tpu.data import get_audio_data_loaders
     from neural_sound_generation_tpu.models import WaveNet
-    from neural_sound_generation_tpu.training import checkpoint
-    from neural_sound_generation_tpu.training.losses import (
-        discretized_mix_logistic_loss,
-        masked_cross_entropy,
+    from neural_sound_generation_tpu.parallel import make_mesh
+    from neural_sound_generation_tpu.training import (
+        Trainer,
+        checkpoint,
+        create_train_state,
     )
 
     cfg = _load_cfg(args)
@@ -105,48 +113,76 @@ def cmd_train(args):
     g = _batch_speakers(sample)
     x = WaveNet.shift_inputs(targets, scalar)
     variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
-    tx = optax.adam(cfg.train.initial_learning_rate)
-    opt_state = tx.init(variables)
-    step_count = 0
+    start_step = 0
 
     if args.resume and checkpoint.latest_step(args.ckpt_dir) is not None:
         variables, _ = checkpoint.restore(args.ckpt_dir, variables)
-        step_count = checkpoint.latest_step(args.ckpt_dir)
-        print(f"resumed from step {step_count}")
+        start_step = checkpoint.latest_step(args.ckpt_dir)
+        print(f"resumed from step {start_step}")
 
-    @jax.jit
-    def train_step(variables, opt_state, targets, c, g, lengths):
-        x = WaveNet.shift_inputs(targets, scalar)
+    # the vocoder trains on the same mesh-aware Trainer as the other
+    # families (dp batch sharding, --mesh-model N tensor parallelism,
+    # multi-step scan, checkpoint-interval callback) instead of an
+    # ad-hoc single-device loop
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size)
+    )
+    tensor_parallel = args.mesh_model > 1
+    state = create_train_state(
+        variables, cfg.train, fused=False if tensor_parallel else None
+    )
+    n_dev = len(jax.devices())
+    mesh = None
+    if args.mesh_data:
+        mesh = make_mesh(args.mesh_data, args.mesh_model)
+    elif n_dev > 1 and args.batch_size % n_dev == 0:
+        mesh = make_mesh(n_model=args.mesh_model)
+    if mesh is not None:
+        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
+              + (" (tensor parallel)" if tensor_parallel else ""))
+    elif tensor_parallel:
+        raise SystemExit(
+            f"--mesh-model {args.mesh_model} needs a device mesh: pass "
+            f"--mesh-data too, or run with >= {args.mesh_model} devices"
+        )
+    trainer = Trainer(
+        model, cfg, state, mesh=mesh, tensor_parallel=tensor_parallel,
+        log_fn=None, multi_steps=args.multi_steps,
+    )
 
-        def loss_fn(v):
-            y = model.apply(v, x, c, g)
-            if scalar:
-                return discretized_mix_logistic_loss(
-                    y, targets, num_classes=cfg.audio.quantize_channels,
-                    log_scale_min=cfg.arch.log_scale_min, lengths=lengths,
-                )
-            return masked_cross_entropy(y, targets, lengths)
-
-        loss, grads = jax.value_and_grad(loss_fn)(variables)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss
-
-    for epoch in range(1, args.epochs + 1):
-        losses = []
+    def epoch_batches():
         for i, batch in enumerate(loaders["train"]):
             if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
                 break
             targets, c = _batch_to_wavenet(batch, cfg)
             g = _batch_speakers(batch)
-            lengths = jnp.asarray(batch["input_lengths"])
-            variables, opt_state, loss = train_step(
-                variables, opt_state, targets, c, g, lengths
-            )
-            losses.append(float(loss))
-            step_count += 1
-        print(f"wavenet epoch {epoch}: loss {np.mean(losses):.4f}")
+            out = {
+                "y": targets,
+                "c": c,
+                "input_lengths": jnp.asarray(batch["input_lengths"]),
+            }
+            if g is not None:
+                out["g"] = g
+            yield out
+
+    def save_ckpt(state, step):
+        # artifact stays the {"params": ...} variables layout the
+        # synthesize CLI (and serve --vocoder-ckpt) restore into
         checkpoint.save(
-            args.ckpt_dir, variables, step=step_count, extra={"epoch": epoch}
+            args.ckpt_dir,
+            {"params": jax.device_get(state.params)},
+            step=start_step + int(step),
+            extra={"epoch": epoch},
+        )
+
+    for epoch in range(1, args.epochs + 1):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        means = trainer.train_epoch(
+            epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt
+        )
+        print(f"wavenet epoch {epoch}: loss {means.get('loss', float('nan')):.4f}")
+        save_ckpt(
+            trainer.state, int(np.asarray(jax.device_get(trainer.state.step)))
         )
 
 

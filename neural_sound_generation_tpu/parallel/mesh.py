@@ -65,6 +65,20 @@ _TP_RULES = (
         ),
         -1,
     ),
+    # GatedPixelCNN prior: masked vert/horiz kernels are raw params
+    # (HWIO), the 1x1 stacks + output head are nn.Conv kernels, and the
+    # class/code embeddings shard their feature axis — all -1 (the gate
+    # split over a sharded 2*dim axis compiles the same way the WaveNet
+    # gates do)
+    (
+        re.compile(
+            r"\['layer_\d+'\]\['(vert|horiz)_kernel'\]$|"
+            r"\['(vert_to_horiz|horiz_resid|spatial_cond"
+            r"|out_hidden|out_logits)'\]\['kernel'\]$|"
+            r"\['(embedding|class_cond_embedding)'\]\['embedding'\]$"
+        ),
+        -1,
+    ),
 )
 
 

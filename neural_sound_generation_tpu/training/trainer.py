@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 
 from neural_sound_generation_tpu.config import Config
-from neural_sound_generation_tpu.models import VAE, VQVAE, HierVQVAE, WaveVQVAE
+from neural_sound_generation_tpu.models import (
+    VAE,
+    VQVAE,
+    GatedPixelCNN,
+    HierVQVAE,
+    WaveNet,
+    WaveVQVAE,
+)
 from neural_sound_generation_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
@@ -28,6 +35,7 @@ from neural_sound_generation_tpu.parallel.mesh import (
 )
 from neural_sound_generation_tpu.training.losses import (
     codebook_perplexity,
+    discretized_mix_logistic_loss,
     elbo_mse,
     hier_vqvae_loss,
     masked_cross_entropy,
@@ -119,6 +127,54 @@ def _hier_vqvae_loss_fn(model: HierVQVAE, beta: float):
     return loss_fn
 
 
+def _pixelcnn_loss_fn(model: GatedPixelCNN):
+    """Prior NLL over code grids. Batch: {"codes": (B, H, W) int,
+    "labels": (B,) int[, "cond": (B, H, W, C) for the spatially
+    conditioned bottom prior]}. The reference ships the GatedPixelCNN
+    with no training loop at all (src/models.py:285-341, SURVEY §8)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        args = (batch["codes"], batch["labels"])
+        if model.spatial_cond:
+            args = args + (batch["cond"],)
+        logits = model.apply({"params": params}, *args)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, batch["codes"][..., None], axis=-1)
+        loss = jnp.mean(nll)
+        metrics = {"loss": loss, "nll_per_code": loss}
+        return loss, (metrics, batch_stats, None)
+
+    return loss_fn
+
+
+def _wavenet_loss_fn(model: WaveNet, cfg: Config):
+    """Mel-conditioned vocoder: teacher-forced MoL loss for scalar input,
+    masked CE for mulaw-quantize (the reference's configured loss surface,
+    src/hparams.py:18-21, 52-84). Batch: {"y": targets, "c": mel
+    (B, T', n_mels)[, "g": (B,) speakers, "input_lengths": (B,)]}."""
+    scalar = model.scalar_input
+
+    def loss_fn(params, batch_stats, batch, rng):
+        targets = batch["y"]
+        x = WaveNet.shift_inputs(targets, scalar)
+        y_hat = model.apply(
+            {"params": params}, x, batch.get("c"), batch.get("g")
+        )
+        lengths = batch.get("input_lengths")
+        if scalar:
+            loss = discretized_mix_logistic_loss(
+                y_hat, targets,
+                num_classes=cfg.audio.quantize_channels,
+                log_scale_min=cfg.arch.log_scale_min,
+                lengths=lengths,
+            )
+        else:
+            loss = masked_cross_entropy(y_hat, targets, lengths)
+        return loss, ({"loss": loss}, batch_stats, None)
+
+    return loss_fn
+
+
 def make_train_step(
     model,
     cfg: Config,
@@ -145,6 +201,10 @@ def make_train_step(
         loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VAE):
         loss_fn = _vae_loss_fn(model)
+    elif isinstance(model, GatedPixelCNN):
+        loss_fn = _pixelcnn_loss_fn(model)
+    elif isinstance(model, WaveNet):
+        loss_fn = _wavenet_loss_fn(model, cfg)
     else:
         raise TypeError(f"unsupported model: {type(model)}")
     if remat:
@@ -351,6 +411,33 @@ def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True,
             )
             metrics["perplexity"] = codebook_perplexity(indices, model.z_dim)
             return x_tilde, metrics
+        if isinstance(model, GatedPixelCNN):
+            args = (batch["codes"], batch["labels"])
+            if model.spatial_cond:
+                args = args + (batch["cond"],)
+            logits = model.apply({"params": params}, *args)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = jnp.mean(
+                -jnp.take_along_axis(logp, batch["codes"][..., None], axis=-1)
+            )
+            return logits, {"loss": nll, "nll_per_code": nll}
+        if isinstance(model, WaveNet):
+            targets = batch["y"]
+            x = WaveNet.shift_inputs(targets, model.scalar_input)
+            y_hat = model.apply(
+                {"params": params}, x, batch.get("c"), batch.get("g")
+            )
+            lengths = batch.get("input_lengths")
+            if model.scalar_input:
+                loss = discretized_mix_logistic_loss(
+                    y_hat, targets,
+                    num_classes=cfg.audio.quantize_channels,
+                    log_scale_min=cfg.arch.log_scale_min,
+                    lengths=lengths,
+                )
+            else:
+                loss = masked_cross_entropy(y_hat, targets, lengths)
+            return y_hat, {"loss": loss}
         x_tilde, kl = model.apply(variables, batch["x"], train=False)
         total = elbo_mse(x_tilde, batch["x"], kl)
         return x_tilde, {"loss": total, "kl": kl}
