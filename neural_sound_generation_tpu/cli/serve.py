@@ -10,6 +10,10 @@ server exposing the batched on-device inference paths:
   POST /reconstruct  wav bytes -> reconstructed wav bytes
   POST /decode   {"codes": [[...]]} JSON -> wav bytes
                  (--model hiervqvae: {"codes_top": ..., "codes_bottom": ...})
+                 Synthesis runs through Griffin-Lim by default, or a
+                 trained WaveNet vocoder with --vocoder wavenet
+                 --vocoder-ckpt (the reference's intended mel -> WaveNet
+                 pipeline, src/hparams.py:12)
   POST /sample   {"n": 1, "label": 0, "seed": 0} -> wav bytes — ancestral
                  sampling from a loaded PixelCNN prior (--prior-ckpt;
                  hiervqvae needs --bottom-ckpt too)
@@ -39,13 +43,17 @@ import jax.numpy as jnp
 class InferenceService:
     """Holds the model + jitted programs; thread-safe (JAX dispatch is)."""
 
-    def __init__(self, cfg, model, variables, frames: int = 84):
+    def __init__(self, cfg, model, variables, frames: int = 84,
+                 vocoder=None):
         from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
         from neural_sound_generation_tpu.ops import dsp
 
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        # (wavenet_model, wavenet_variables) or None for Griffin-Lim
+        self._vocoder = vocoder
+        self._gen_cache: dict = {}
         self.hier = isinstance(model, HierVQVAE)
         if self.hier and frames % 8:
             raise ValueError(
@@ -175,10 +183,18 @@ class InferenceService:
                 self.cfg.audio.num_mels // self.STRIDE,
                 self.frames // self.STRIDE,
             )
-            _, wavs = sample_prior_audio(
+            codes, wavs = sample_prior_audio(
                 self.model, self.variables, prior, pv, labels,
                 code_shape, self.cfg.audio, key,
             )
+            if self._vocoder is not None:
+                # re-synthesize through the trained WaveNet instead of
+                # the Griffin-Lim the sampler used
+                mels = np.asarray(self._decode(codes))[..., 0]
+                wavs = [
+                    self._vocode(jnp.asarray(m), seed=seed + i)
+                    for i, m in enumerate(mels)
+                ]
         wav = np.concatenate([np.asarray(w) for w in np.asarray(wavs)])
         return self._encode_wav_bytes(wav)
 
@@ -222,11 +238,41 @@ class InferenceService:
         wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
         return buf.getvalue()
 
-    def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
-        wav = self.dsp.inv_mel_spectrogram(
-            mel, self.cfg.audio, jax.random.PRNGKey(0)
+    def _vocode(self, mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
+        """(n_mels, T') normalized mel -> waveform, via the configured
+        vocoder: Griffin-Lim (default) or the trained WaveNet
+        (--vocoder wavenet). Generation programs are cached per length
+        (window-quantized lengths keep the cache small)."""
+        if self._vocoder is None:
+            return np.asarray(self.dsp.inv_mel_spectrogram(
+                mel, self.cfg.audio, jax.random.PRNGKey(seed)
+            ))
+        from neural_sound_generation_tpu.models.wavenet import (
+            make_generate_fn,
         )
-        return self._encode_wav_bytes(np.asarray(wav))
+        from neural_sound_generation_tpu.ops import dsp
+
+        wn_model, wn_vars = self._vocoder
+        length = int(mel.shape[1]) * self.cfg.audio.effective_hop_size
+        gen = self._gen_cache.get(length)
+        if gen is None:
+            gen = make_generate_fn(wn_model, length)
+            self._gen_cache[length] = gen
+        c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
+        out = gen(wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1)
+        wav = np.asarray(out)[0]
+        if self.cfg.audio.is_mulaw_quantize:
+            wav = np.asarray(dsp.inv_mulaw_quantize(
+                jnp.asarray(wav), self.cfg.audio.quantize_channels
+            ))
+        elif self.cfg.audio.is_mulaw:
+            wav = np.asarray(dsp.inv_mulaw(
+                jnp.asarray(wav), self.cfg.audio.quantize_channels
+            ))
+        return wav
+
+    def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
+        return self._encode_wav_bytes(self._vocode(mel))
 
     @staticmethod
     def _stitch(codes, t, stride):
@@ -260,7 +306,16 @@ class InferenceService:
         analysis->VQ->synthesis chain runs on device, and the returned
         waveform is trimmed to the input length. Griffin-Lim runs over
         the padded tail too (silence), which can shift the tail samples
-        slightly vs a pre-trimmed inversion — inherent to fusing."""
+        slightly vs a pre-trimmed inversion — inherent to fusing.
+
+        With a WaveNet vocoder attached, synthesis instead runs the
+        autoregressive sampler over the stitched reconstructed mel."""
+        if self._vocoder is not None:
+            windows, t, n_win = self._wav_to_mel(wav_bytes)
+            mels_out = np.asarray(self._reconstruct(windows))[..., 0]
+            full = np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
+            wav = self._vocode(jnp.asarray(full))
+            return self._encode_wav_bytes(wav)
         data = self._decode_wav_bytes(wav_bytes)
         hop = self.cfg.audio.effective_hop_size
         t_est = len(data) // hop + 1
@@ -410,7 +465,35 @@ def build_service(args):
             "params": restored.params,
             "batch_stats": restored.batch_stats,
         }
-    service = InferenceService(cfg, model, variables, args.frames)
+    vocoder = None
+    if getattr(args, "vocoder", "griffin-lim") == "wavenet":
+        if not getattr(args, "vocoder_ckpt", None):
+            raise SystemExit("--vocoder wavenet requires --vocoder-ckpt")
+        import types
+
+        from neural_sound_generation_tpu.cli.vocoder import (
+            build_model as build_wavenet,
+        )
+        from neural_sound_generation_tpu.models import WaveNet
+
+        wn = build_wavenet(cfg, types.SimpleNamespace(
+            residual_channels=getattr(args, "vocoder_residual_channels", None),
+            layers=getattr(args, "vocoder_layers", None),
+            stacks=getattr(args, "vocoder_stacks", None),
+        ))
+        scalar = cfg.audio.is_scalar_input
+        x0 = WaveNet.shift_inputs(
+            jnp.zeros((1, 8, 1))
+            if scalar
+            else jnp.zeros((1, 8), jnp.int32),
+            scalar,
+        )
+        c0 = jnp.zeros((1, 2, cfg.arch.cin_channels))
+        template = wn.init(jax.random.PRNGKey(0), x0, c0, None)
+        wn_vars, _ = checkpoint.restore(args.vocoder_ckpt, template)
+        vocoder = (wn, wn_vars)
+    service = InferenceService(cfg, model, variables, args.frames,
+                               vocoder=vocoder)
     if getattr(args, "prior_ckpt", None):
         from neural_sound_generation_tpu.models import GatedPixelCNN
 
@@ -468,6 +551,18 @@ def parse_args(argv=None):
     p.add_argument("--gl-momentum", type=float, default=None,
                    help="fast Griffin-Lim momentum; 0 = plain reference "
                         "GL (default: preset value, or 0.99 w/o preset)")
+    p.add_argument("--vocoder", choices=["griffin-lim", "wavenet"],
+                   default="griffin-lim",
+                   help="synthesis backend for /reconstruct, /decode and "
+                        "/sample: Griffin-Lim, or a trained WaveNet "
+                        "(--vocoder-ckpt; on TPU this runs the fused "
+                        "Pallas generation kernel)")
+    p.add_argument("--vocoder-ckpt", default=None,
+                   help="WaveNet vocoder checkpoint dir (cli/vocoder.py "
+                        "train artifact)")
+    p.add_argument("--vocoder-layers", type=int, default=None)
+    p.add_argument("--vocoder-stacks", type=int, default=None)
+    p.add_argument("--vocoder-residual-channels", type=int, default=None)
     p.add_argument("--prior-ckpt", default=None,
                    help="PixelCNN prior checkpoint dir: enables POST "
                         "/sample (top prior for --model hiervqvae)")

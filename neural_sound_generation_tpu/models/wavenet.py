@@ -186,52 +186,113 @@ class WaveNet(nn.Module):
         return jnp.pad(targets[:, :-1], ((0, 0), (1, 0)))
 
 
-def _step_core(model: WaveNet, params, receptive):
-    """Single-timestep network evaluation with rolling dilation buffers.
+def _stack_step_params(model: WaveNet, params, dtype=None):
+    """Stack the per-layer 1x1/tap weights into (L, ...) tensors so the
+    generation scan body runs a few BATCHED matmuls instead of ~6 small
+    ones per layer (~150 tiny ops per sample at layers=24 — the
+    dispatch/latency floor that kept single-stream generation below
+    realtime; round-2 verdict item #3). Stacking happens once per
+    generate call, outside the scan."""
+    import jax.numpy as jnp
 
-    Returns step(h_in, buffers, c_t, g_emb) -> (logits, new_buffers) where
-    h_in is the embedded current input (B, R)."""
+    L = model.layers
+    K = model.kernel_size
+
+    def stack(fmt, leaf="kernel"):
+        return jnp.stack([params[fmt.format(i)][leaf] for i in range(L)])
+
+    dil = stack("dilated_{}")          # (L, K, R, G)
+    s = {
+        "w_cur": dil[:, K - 1],        # (L, R, G)
+        "w_tap": jnp.moveaxis(dil[:, : K - 1], 1, 0),  # (K-1, L, R, G)
+        "b_dil": stack("dilated_{}", "bias"),          # (L, G)
+        "w_skip": stack("skip_{}")[:, 0],              # (L, G/2, S)
+        "b_skip": stack("skip_{}", "bias"),            # (L, S)
+        "w_res": stack("res_{}")[:, 0],                # (L, G/2, R)
+        "b_res": stack("res_{}", "bias"),              # (L, R)
+    }
+    if model.cin_channels > 0 and "cond_0" in params:
+        s["w_cond"] = stack("cond_{}")[:, 0]           # (L, C, G)
+    if model.gin_channels > 0 and "g_0" in params:
+        s["w_g"] = stack("g_{}")[:, 0]                 # (L, gin, G)
+    if dtype is not None:
+        s = {k: v.astype(dtype) for k, v in s.items()}
+    return s
+
+
+def _step_core(model: WaveNet, params, dilations, dtype=None):
+    """Single-timestep network evaluation with a fused rolling buffer.
+
+    Returns step(h_in, buf, c_t, g_emb) -> (logits, new_buf) where h_in
+    is the embedded current input (B, R) and buf is ONE (L, B, rmax, R)
+    ring of past layer inputs (rmax = the largest dilation span).
+
+    Per step: the K-1 dilated taps for ALL layers come out of the ring
+    with one gather per tap + one einsum; conditioning biases are one
+    einsum; the skip reduction is one einsum over the collected gated
+    activations. Only the residual chain (h -> layer i -> h) stays
+    sequential — it is data-dependent by construction."""
     import jax
     import jax.numpy as jnp
 
     K = model.kernel_size
-
-    def conv_w(name):
-        return params[name]["kernel"], params[name].get("bias")
+    L = model.layers
+    stacked = _stack_step_params(model, params, dtype)
+    rmax = (K - 1) * max(dilations) if K > 1 else 1
+    # tap_idx[j, l]: ring position of tap j for layer l (static)
+    tap_idx = jnp.asarray(
+        [[rmax - d * (K - 1 - j) for d in dilations] for j in range(K - 1)],
+        jnp.int32,
+    )
 
     def dense(name, x):
-        w, b = conv_w(name)
-        y = jnp.einsum("bc,kco->bo", x, w) if w.ndim == 3 else x @ w
+        w = params[name]["kernel"]
+        b = params[name].get("bias")
+        y = x @ w[0] if w.ndim == 3 else x @ w
         return y + b if b is not None else y
 
-    def step(h, buffers, c_t, g_emb):
-        skips = 0.0
-        new_buffers = []
-        for i in range(model.layers):
-            buf = buffers[i]  # (B, receptive_i, R)
-            w, b = conv_w(f"dilated_{i}")  # (K, R, gate)
-            d = max(receptive[i] // (K - 1), 1)
-            z = h @ w[K - 1]
-            for j in range(K - 1):
-                tap = buf[:, buf.shape[1] - d * (K - 1 - j), :]
-                z = z + tap @ w[j]
-            z = z + b
-            if c_t is not None:
-                wc, _ = conv_w(f"cond_{i}")
-                z = z + c_t @ wc[0]
-            if g_emb is not None:
-                wg, _ = conv_w(f"g_{i}")
-                z = z + g_emb @ wg[0]
+    def step(h, buf, c_t, g_emb):
+        if dtype is not None:
+            h = h.astype(dtype)
+        # ---- batched-over-layers part (no cross-layer dependence) ----
+        # taps: (K-1, L, B, R) gathered from the ring at static offsets
+        if K > 1:
+            taps = jnp.take_along_axis(
+                buf[None], tap_idx[:, :, None, None, None], axis=3
+            )[:, :, :, 0, :]
+            pre = jnp.einsum("jlbr,jlrg->lbg", taps, stacked["w_tap"])
+        else:
+            pre = 0.0
+        pre = pre + stacked["b_dil"][:, None, :]
+        if c_t is not None:
+            pre = pre + jnp.einsum(
+                "bc,lcg->lbg", c_t.astype(h.dtype), stacked["w_cond"]
+            )
+        if g_emb is not None:
+            pre = pre + jnp.einsum(
+                "bc,lcg->lbg", g_emb.astype(h.dtype), stacked["w_g"]
+            )
+        # ---- sequential residual chain (2 matmuls per layer) ----
+        h_ins = []
+        gateds = []
+        for i in range(L):
+            h_ins.append(h)
+            z = h @ stacked["w_cur"][i] + pre[i]
             a_, b_ = jnp.split(z, 2, axis=-1)
             gated = jnp.tanh(a_) * jax.nn.sigmoid(b_)
-            skips = skips + dense(f"skip_{i}", gated)
-            new_h = h + dense(f"res_{i}", gated)
-            buf = jnp.concatenate([buf[:, 1:, :], h[:, None, :]], axis=1)
-            new_buffers.append(buf)
-            h = new_h
-        out = jax.nn.relu(skips)
+            gateds.append(gated)
+            h = h + gated @ stacked["w_res"][i] + stacked["b_res"][i]
+        # ---- batched epilogue: one skip einsum, shift the ring once ----
+        skips = (
+            jnp.einsum("lbg,lgs->bs", jnp.stack(gateds), stacked["w_skip"])
+            + stacked["b_skip"].sum(0)
+        )
+        new_buf = jnp.concatenate(
+            [buf[:, :, 1:, :], jnp.stack(h_ins)[:, :, None, :]], axis=2
+        )
+        out = jax.nn.relu(skips.astype(jnp.float32))
         out = jax.nn.relu(dense("post1", out))
-        return dense("post2", out), tuple(new_buffers)
+        return dense("post2", out), new_buf
 
     return step
 
@@ -246,12 +307,15 @@ def _embed_one(model: WaveNet, params, x_t):
     return emb @ w[0] + b
 
 
-def _init_buffers(model: WaveNet, receptive, batch_size: int):
+def _init_buffers(model: WaveNet, dilations, batch_size: int, dtype=None):
+    """One fused (L, B, rmax, R) ring of past layer inputs."""
     import jax.numpy as jnp
 
-    return tuple(
-        jnp.zeros((batch_size, max(r, 1), model.residual_channels))
-        for r in receptive
+    K = model.kernel_size
+    rmax = (K - 1) * max(dilations) if K > 1 else 1
+    return jnp.zeros(
+        (model.layers, batch_size, rmax, model.residual_channels),
+        dtype or jnp.float32,
     )
 
 
@@ -277,77 +341,142 @@ def incremental_forward(model: WaveNet, variables, x, c=None, g=None):
     import jax
     import jax.numpy as jnp
 
-    receptive = [
-        (model.kernel_size - 1) * d
-        for d in _dilations(model.layers, model.stacks)
-    ]
+    dilations = _dilations(model.layers, model.stacks)
     params = variables["params"]
-    step_core = _step_core(model, params, receptive)
+    step_core = _step_core(model, params, dilations)
     c_up = _upsample_cond(model, variables, c)
     g_emb = _embed_speaker(model, variables, g)
     batch = x.shape[0]
 
     def step(carry, t):
-        buffers = carry
+        buf = carry
         x_t = x[:, t] if model.scalar_input else x[:, t]
         h = _embed_one(model, params, x_t)
         c_t = c_up[:, t, :] if c_up is not None else None
-        logits, buffers = step_core(h, buffers, c_t, g_emb)
-        return buffers, logits
+        logits, buf = step_core(h, buf, c_t, g_emb)
+        return buf, logits
 
     _, logits = jax.lax.scan(
-        step, _init_buffers(model, receptive, batch), jnp.arange(x.shape[1])
+        step, _init_buffers(model, dilations, batch), jnp.arange(x.shape[1])
     )
     return jnp.transpose(logits, (1, 0, 2))  # (B, T, out)
 
 
-def make_generate_fn(model: WaveNet, length: int):
+def make_generate_fn(model: WaveNet, length: int, dtype=None,
+                     use_pallas: Optional[bool] = None):
     """Build a jitted ancestral sampler: generate(variables, c, g, key,
     batch_size) -> (B, length) samples (floats for scalar output via MoL
-    sampling; ints for categorical)."""
+    sampling; ints for categorical).
+
+    On TPU, mel-conditioned single-stream MoL generation dispatches to
+    the fused Pallas kernel (ops/pallas/wavenet_gen.py: whole loop in
+    one kernel, weights VMEM-resident) when the shapes qualify —
+    ``use_pallas=False`` forces the XLA scan path, ``True`` requires it.
+    Everything else (batch > 1, speaker conditioning, categorical
+    output, CPU) uses the scan path.
+
+    ``dtype=jnp.bfloat16`` runs the scan path's per-step matmuls
+    (stacked weights + residual state + ring buffer) in bf16 — roughly
+    halves the weight-bytes each sample must stream from HBM; the
+    MoL/softmax head and the sampling itself stay f32."""
     import jax
     import jax.numpy as jnp
 
-    from neural_sound_generation_tpu.training.losses import (
-        sample_from_discretized_mix_logistic,
-    )
-
-    receptive = [
-        (model.kernel_size - 1) * d
-        for d in _dilations(model.layers, model.stacks)
-    ]
+    dilations = _dilations(model.layers, model.stacks)
+    log_scale_min = -32.23619130191664  # losses.py MoL floor
 
     def generate(variables, c, g, key, batch_size=1):
         params = variables["params"]
-        step_core = _step_core(model, params, receptive)
+        step_core = _step_core(model, params, dilations, dtype=dtype)
         c_up = _upsample_cond(model, variables, c)
         g_emb = _embed_speaker(model, variables, g)
 
-        def step(carry, t):
-            prev, buffers, key = carry
+        # ALL sampling noise precomputed as one batched draw: a serial
+        # jax.random.split chain inside the scan costs ~8us/step of
+        # threefry latency on TPU (measured; PERF.md) — more than the
+        # whole 24-layer residual chain
+        k1, k2 = jax.random.split(key)
+        if model.scalar_input:
+            n_mix = model.out_channels // 3
+            gumbel = jax.random.gumbel(k1, (length, batch_size, n_mix))
+            unif = jax.random.uniform(
+                k2, (length, batch_size), minval=1e-5, maxval=1.0 - 1e-5
+            )
+        else:
+            gumbel = jax.random.gumbel(
+                k1, (length, batch_size, model.out_channels)
+            )
+            unif = jnp.zeros((length, batch_size))
+
+        def step(carry, xs):
+            prev, buf = carry
+            t, gum_t, u_t = xs
             h = _embed_one(model, params, prev)
             c_t = c_up[:, t, :] if c_up is not None else None
-            logits, buffers = step_core(h, buffers, c_t, g_emb)
-            key, sub = jax.random.split(key)
+            logits, buf = step_core(h, buf, c_t, g_emb)
             if model.scalar_input:
-                sample = sample_from_discretized_mix_logistic(logits, sub)
-                nxt = sample[:, None]
-                out = sample
+                # MoL sampling with pre-drawn noise (gumbel-max mixture
+                # choice + inverse-CDF logistic)
+                logit_probs, means, log_scales = jnp.split(logits, 3, -1)
+                comp = jnp.argmax(logit_probs + gum_t, axis=-1)
+                mean = jnp.take_along_axis(means, comp[..., None], -1)[..., 0]
+                log_scale = jnp.maximum(
+                    jnp.take_along_axis(log_scales, comp[..., None], -1)[..., 0],
+                    log_scale_min,
+                )
+                x = mean + jnp.exp(log_scale) * (
+                    jnp.log(u_t) - jnp.log1p(-u_t)
+                )
+                out = jnp.clip(x, -1.0, 1.0)
+                nxt = out[:, None]
             else:
-                out = jax.random.categorical(sub, logits, axis=-1)
+                out = jnp.argmax(logits + gum_t, axis=-1)
                 nxt = out
-            return (nxt, buffers, key), out
+            return (nxt, buf), out
 
         init = (
             jnp.zeros((batch_size, 1))
             if model.scalar_input
             else jnp.zeros((batch_size,), jnp.int32)
         )
-        (_, _, _), samples = jax.lax.scan(
+        (_, _), samples = jax.lax.scan(
             step,
-            (init, _init_buffers(model, receptive, batch_size), key),
-            jnp.arange(length),
+            (init, _init_buffers(model, dilations, batch_size, dtype)),
+            (jnp.arange(length), gumbel, unif),
         )
         return samples.T if samples.ndim == 2 else jnp.swapaxes(samples, 0, 1)
 
-    return jax.jit(generate, static_argnames=("batch_size",))
+    scan_fn = jax.jit(generate, static_argnames=("batch_size",))
+
+    from neural_sound_generation_tpu.ops.pallas.wavenet_gen import (
+        pallas_generate,
+        pallas_generate_supported,
+    )
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and pallas_generate_supported(model, 1)
+        )
+    if not use_pallas:
+        return scan_fn
+    assert pallas_generate_supported(model, 1), (
+        "use_pallas=True but the model shapes don't qualify "
+        "(see ops/pallas/wavenet_gen.pallas_generate_supported)"
+    )
+
+    def pallas_path(variables, c, key):
+        c_up = _upsample_cond(model, variables, c)[0]
+        seed = jax.random.randint(
+            key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        return pallas_generate(model, variables, c_up, seed, length)[None]
+
+    pallas_jit = jax.jit(pallas_path)
+
+    def dispatch(variables, c, g, key, batch_size=1):
+        if batch_size == 1 and g is None and c is not None:
+            return pallas_jit(variables, c, key)
+        return scan_fn(variables, c, g, key, batch_size=batch_size)
+
+    return dispatch

@@ -381,3 +381,68 @@ def test_build_service_honors_preset_griffin_lim(tmp_path):
     svc = build_service(parse_args(base))  # no preset: fast serving default
     assert svc.cfg.audio.griffin_lim_iters == 30
     assert svc.cfg.audio.griffin_lim_momentum == 0.99
+
+
+@pytest.fixture(scope="module")
+def wavenet_server():
+    """Server with a (tiny, untrained) WaveNet vocoder attached:
+    /reconstruct, /decode and /sample synthesize through the
+    autoregressive sampler instead of Griffin-Lim (round-3 verdict
+    item #4)."""
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE, WaveNet
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    wn = WaveNet(out_channels=30, layers=2, stacks=1, residual_channels=8,
+                 gate_channels=8, skip_out_channels=8, cin_channels=80,
+                 upsample_scales=(16, 16), scalar_input=True)
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 80))
+    wn_vars = wn.init(jax.random.PRNGKey(1), x0, c0, None)
+    service = InferenceService(cfg, model, variables, frames=16,
+                               vocoder=(wn, wn_vars))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_wavenet_vocoder_reconstruct_roundtrip(wavenet_server):
+    """mel -> VQ -> WaveNet synthesis over live HTTP: output is a valid
+    wav whose length tracks the input's mel frame count x hop."""
+    import io as _io
+
+    from scipy.io import wavfile
+
+    with _post(wavenet_server + "/reconstruct", _wav_bytes(seconds=0.15),
+               {"Content-Type": "audio/wav"}) as r:
+        data = r.read()
+    sr, wav = wavfile.read(_io.BytesIO(data))
+    assert sr == 22050
+    t_frames = int(22050 * 0.15) // 256 + 1
+    assert abs(len(wav) - t_frames * 256) <= 256
+    assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_wavenet_vocoder_decode_endpoint(wavenet_server):
+    import io as _io
+
+    from scipy.io import wavfile
+
+    codes = np.zeros((20, 4), np.int32).tolist()  # (80/4, 16/4) grid
+    body = json.dumps({"codes": codes}).encode()
+    with _post(wavenet_server + "/decode", body,
+               {"Content-Type": "application/json"}) as r:
+        data = r.read()
+    sr, wav = wavfile.read(_io.BytesIO(data))
+    assert sr == 22050
+    assert len(wav) == 16 * 256  # 16 mel frames x hop through the sampler
+    assert np.isfinite(wav.astype(np.float64)).all()

@@ -214,3 +214,87 @@ def test_vocoder_cli_train_and_synthesize(tmp_path, monkeypatch):
 
     sr, data = wavfile.read(wav_out)
     assert sr == 22050 and len(data) == 4 * 256
+
+
+# ------------------------------------------- fused Pallas generation kernel
+
+
+def test_pallas_generation_kernel_teacher_parity(rng):
+    """The fused generation kernel's math (ops/pallas/wavenet_gen.py)
+    must match incremental_forward teacher-forced logits to bf16
+    precision — runs the kernel in interpreter mode on CPU."""
+    from neural_sound_generation_tpu.models.wavenet import (
+        WaveNet,
+        _upsample_cond,
+        incremental_forward,
+    )
+    from neural_sound_generation_tpu.ops.pallas.wavenet_gen import (
+        pallas_teacher_logits,
+    )
+
+    model = WaveNet(out_channels=30, layers=4, stacks=2,
+                    residual_channels=128, gate_channels=256,
+                    skip_out_channels=128, cin_channels=80,
+                    upsample_scales=(2, 2), scalar_input=True)
+    T, hop = 64, 4
+    c = jnp.asarray(rng.standard_normal((1, T // hop, 80)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((1, T, 1)).astype(np.float32) * 0.3)
+    xs = WaveNet.shift_inputs(x, True)
+    v = model.init(jax.random.PRNGKey(0), xs, c=c)
+    ref = np.asarray(incremental_forward(model, v, xs, c))[0]
+    c_up = _upsample_cond(model, v, c)[0]
+    got = np.asarray(
+        pallas_teacher_logits(model, v, c_up, xs[0, :, 0], interpret=True)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=0.0)
+
+
+def test_pallas_generation_supported_predicate():
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+    from neural_sound_generation_tpu.ops.pallas.wavenet_gen import (
+        pallas_generate_supported,
+    )
+
+    good = WaveNet(out_channels=30, layers=24, stacks=4,
+                   residual_channels=128, gate_channels=256,
+                   skip_out_channels=128, cin_channels=80,
+                   scalar_input=True)
+    assert pallas_generate_supported(good, 1)
+    assert not pallas_generate_supported(good, 2)          # batch > 1
+    assert not pallas_generate_supported(
+        good.copy(scalar_input=False, out_channels=256), 1  # categorical
+    )
+    assert not pallas_generate_supported(
+        good.copy(cin_channels=-1), 1                       # unconditioned
+    )
+    assert not pallas_generate_supported(
+        good.copy(gin_channels=16), 1                       # speaker-cond
+    )
+    assert not pallas_generate_supported(
+        good.copy(residual_channels=96, gate_channels=192), 1  # misaligned
+    )
+    assert not pallas_generate_supported(
+        good.copy(residual_channels=512, gate_channels=1024,
+                  skip_out_channels=512), 1                 # VMEM overflow
+    )
+
+
+def test_make_generate_fn_dispatches_to_scan_off_tpu(rng):
+    """On CPU the factory must return the scan path (pallas unsupported
+    off-TPU) and still generate valid output."""
+    from neural_sound_generation_tpu.models.wavenet import (
+        WaveNet, make_generate_fn,
+    )
+
+    model = WaveNet(out_channels=30, layers=2, stacks=1,
+                    residual_channels=8, gate_channels=8,
+                    skip_out_channels=8, cin_channels=10,
+                    upsample_scales=(2, 2), scalar_input=True)
+    c = jnp.asarray(rng.standard_normal((1, 8, 10)).astype(np.float32))
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 4, 1)), True)
+    v = model.init(jax.random.PRNGKey(0), x0, c=c)
+    gen = make_generate_fn(model, length=32)
+    out = np.asarray(gen(v, c, None, jax.random.PRNGKey(0), batch_size=1))
+    assert out.shape == (1, 32)
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
