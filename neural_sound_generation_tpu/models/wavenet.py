@@ -454,9 +454,13 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
     )
 
     if use_pallas is None:
+        # the kernel holds the conditioning (length, 128-lane-padded,
+        # bf16) in VMEM alongside ~7 MB of weights — cap the resident
+        # length; longer utterances use the scan path
         use_pallas = (
             jax.default_backend() == "tpu"
             and pallas_generate_supported(model, 1)
+            and length * 256 <= 6 * 1024 * 1024
         )
     if not use_pallas:
         return scan_fn

@@ -153,11 +153,11 @@ def _build_kernel(model, dilations, length, teacher: bool):
         if teacher:
             (w_in, b_dil, w_sr, b_res, b_skip,
              w_post1, b_post1, w_post2, b_post2, w_first, b_first,
-             w_cdot, c_up, seed, x_in, out_ref, ring) = refs
+             w_cdot, c_up, seed, x_in, out_ref, ring, cond_ref) = refs
         else:
             (w_in, b_dil, w_sr, b_res, b_skip,
              w_post1, b_post1, w_post2, b_post2, w_first, b_first,
-             w_cdot, c_up, seed, out_ref, ring) = refs
+             w_cdot, c_up, seed, out_ref, ring, cond_ref) = refs
         if not teacher:  # PRNG only needed for sampling (and the seed
             # primitive has no CPU-interpret lowering for parity tests)
             pltpu.prng_seed(seed[0])
@@ -202,7 +202,12 @@ def _build_kernel(model, dilations, length, teacher: bool):
             # circular indexing was ~25% slower than this single rotate.)
             ring[:] = pltpu.roll(ring[:], RD - 1, 1)
             c_row = read_row(c_up, t, 16).astype(jnp.bfloat16)  # (1, C)
-            cond = jnp.dot(
+            # park the (1, L*G) conditioning row in VMEM scratch and
+            # read 2-vreg slices per layer — holding it live as ~48
+            # vector registers across the whole layer loop forces heavy
+            # spilling (measured: the full kernel ran ~10x slower than
+            # the bare chain micro-benchmark before this)
+            cond_ref[0:1, :] = jnp.dot(
                 c_row, w_cdot[:], preferred_element_type=jnp.float32
             )  # (1, L*G)
             skips = jnp.zeros((1, S_out), jnp.float32)
@@ -222,7 +227,7 @@ def _build_kernel(model, dilations, length, teacher: bool):
                     row, w_in[layer], preferred_element_type=jnp.float32
                 )
                 z = z + b_dil[layer : layer + 1, :]
-                z = z + cond[:, layer * G : (layer + 1) * G]
+                z = z + cond_ref[0:1, layer * G : (layer + 1) * G]
                 gated = jnp.tanh(z[:, :G2]) * jax.nn.sigmoid(z[:, G2:])
                 gb = gated.astype(jnp.bfloat16)
                 # fused output matmul: gated @ [w_skip | w_res]
@@ -339,7 +344,10 @@ def _call(model, variables, c_up, seed, length, x_teacher=None,
             pltpu.VMEM(
                 (model.layers, rmax + 1, model.residual_channels),
                 jnp.float32,  # rotate is 32-bit-only on Mosaic
-            )
+            ),
+            pltpu.VMEM(
+                (8, model.layers * model.gate_channels), jnp.float32
+            ),  # per-step conditioning row (see kernel comment)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
