@@ -248,19 +248,30 @@ class InferenceService:
                 mel, self.cfg.audio, jax.random.PRNGKey(seed)
             ))
         from neural_sound_generation_tpu.models.wavenet import (
-            make_generate_fn,
+            make_chunked_generate_fn,
         )
         from neural_sound_generation_tpu.ops import dsp
 
         wn_model, wn_vars = self._vocoder
-        length = int(mel.shape[1]) * self.cfg.audio.effective_hop_size
-        gen = self._gen_cache.get(length)
-        if gen is None:
-            gen = make_generate_fn(wn_model, length)
-            self._gen_cache[length] = gen
+        stream = self._gen_cache.get("stream")
+        if stream is None:
+            # streaming sampler: ONE compiled chunk program serves every
+            # request length (the monolithic sampler compiles per
+            # length — ~30 s each through a cold cache). bf16 sampling
+            # matmuls: 1.8x realtime single-stream on v5e (f32 is 0.8x —
+            # below realtime); the MoL head and sampling stay f32
+            # (PERF.md "single-stream generation").
+            _, _, stream = make_chunked_generate_fn(
+                wn_model, chunk=4096, dtype=jnp.bfloat16
+            )
+            self._gen_cache["stream"] = stream
         c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
-        out = gen(wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1)
-        wav = np.asarray(out)[0]
+        wav = np.concatenate(
+            [np.asarray(blk) for blk in stream(
+                wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1
+            )],
+            axis=1,
+        )[0]
         if self.cfg.audio.is_mulaw_quantize:
             wav = np.asarray(dsp.inv_mulaw_quantize(
                 jnp.asarray(wav), self.cfg.audio.quantize_channels

@@ -51,6 +51,12 @@ def parse_args(argv=None):
     sy.add_argument("--residual-channels", type=int, default=None)
     sy.add_argument("--max-frames", type=int, default=40)
     sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--gen-precision", choices=["bf16", "f32"],
+                    default="bf16",
+                    help="matmul dtype for the sampling scan; bf16 is the "
+                    "production default (1.8x realtime single-stream on "
+                    "v5e vs 0.8x for f32, PERF.md), f32 for bit-level "
+                    "parity with teacher-forced evaluation")
     return p.parse_args(argv)
 
 
@@ -221,7 +227,10 @@ def cmd_synthesize(args):
     template = model.init(jax.random.PRNGKey(0), x0, c, None)
     variables, _ = checkpoint.restore(args.ckpt_dir, template)
 
-    gen = make_generate_fn(model, length)
+    gen = make_generate_fn(
+        model, length,
+        dtype=jnp.bfloat16 if args.gen_precision == "bf16" else None,
+    )
     out = gen(variables, c, None, jax.random.PRNGKey(args.seed), batch_size=1)
     wav = np.asarray(out)[0]
     if cfg.audio.is_mulaw_quantize:

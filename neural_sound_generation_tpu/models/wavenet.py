@@ -363,17 +363,23 @@ def incremental_forward(model: WaveNet, variables, x, c=None, g=None):
 
 
 def make_generate_fn(model: WaveNet, length: int, dtype=None,
-                     use_pallas: Optional[bool] = None):
+                     use_pallas: Optional[bool] = None,
+                     unroll: Optional[int] = None):
     """Build a jitted ancestral sampler: generate(variables, c, g, key,
     batch_size) -> (B, length) samples (floats for scalar output via MoL
     sampling; ints for categorical).
 
-    On TPU, mel-conditioned single-stream MoL generation dispatches to
-    the fused Pallas kernel (ops/pallas/wavenet_gen.py: whole loop in
-    one kernel, weights VMEM-resident) when the shapes qualify —
-    ``use_pallas=False`` forces the XLA scan path, ``True`` requires it.
-    Everything else (batch > 1, speaker conditioning, categorical
-    output, CPU) uses the scan path.
+    The production path is the XLA ``lax.scan`` sampler with a batched
+    step body (one stacked tap einsum + per-layer residual matmuls) and
+    ``unroll`` steps per scan iteration — unrolling amortizes the
+    loop-carried bookkeeping XLA emits around each step, the dominant
+    cost at batch 1 (measured on v5e; PERF.md "single-stream
+    generation").
+
+    ``use_pallas=True`` opts into the fused whole-loop Pallas kernel
+    (ops/pallas/wavenet_gen.py) for qualifying shapes (batch-1
+    mel-conditioned MoL). Measured slower than the unrolled scan on v5e
+    — see that module's docstring — so it is no longer auto-selected.
 
     ``dtype=jnp.bfloat16`` runs the scan path's per-step matmuls
     (stacked weights + residual state + ring buffer) in bf16 — roughly
@@ -384,6 +390,12 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
 
     dilations = _dilations(model.layers, model.stacks)
     log_scale_min = -32.23619130191664  # losses.py MoL floor
+    if unroll is None:
+        # bf16 sweep on v5e at 16384 samples (PERF.md "single-stream
+        # generation"): unroll 1/4/8/16/32/64/128 -> 0.79/0.97/1.31/
+        # 1.60/1.79/1.84/0.71x realtime; 64 costs a 321 s compile for
+        # +3%, 128 falls off a scheduling cliff. 32 is the knee.
+        unroll = 32
 
     def generate(variables, c, g, key, batch_size=1):
         params = variables["params"]
@@ -443,6 +455,7 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
             step,
             (init, _init_buffers(model, dilations, batch_size, dtype)),
             (jnp.arange(length), gumbel, unif),
+            unroll=unroll,
         )
         return samples.T if samples.ndim == 2 else jnp.swapaxes(samples, 0, 1)
 
@@ -454,14 +467,10 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
     )
 
     if use_pallas is None:
-        # the kernel holds the conditioning (length, 128-lane-padded,
-        # bf16) in VMEM alongside ~7 MB of weights — cap the resident
-        # length; longer utterances use the scan path
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and pallas_generate_supported(model, 1)
-            and length * 256 <= 6 * 1024 * 1024
-        )
+        # the unrolled scan beats every variant of the fused kernel on
+        # v5e (~46 us/step vs 70-95; PERF.md "single-stream
+        # generation"), so the kernel is opt-in only
+        use_pallas = False
     if not use_pallas:
         return scan_fn
     assert pallas_generate_supported(model, 1), (
@@ -484,3 +493,140 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
         return scan_fn(variables, c, g, key, batch_size=batch_size)
 
     return dispatch
+
+
+def make_chunked_generate_fn(model: WaveNet, chunk: int, dtype=None,
+                             unroll: Optional[int] = None):
+    """Streaming ancestral sampler: ONE compiled program per
+    (chunk, batch) shape serves utterances of ANY length.
+
+    The monolithic sampler (``make_generate_fn``) compiles a program per
+    output length — ~30 s per new length through a cold cache at the
+    production unroll. This factory instead carries the generation state
+    (previous sample + the fused dilation ring) across fixed-size chunk
+    calls, so a server synthesizes arbitrary-length and even unbounded
+    (live) streams with a single compile, emitting audio incrementally
+    with ``chunk / sample_rate`` seconds of latency per piece.
+
+    Returns ``(init_state, step_chunk, stream)``:
+
+    * ``init_state(batch_size)`` -> opaque carry.
+    * ``step_chunk(variables, state, c_up_chunk, gum, unif, g_emb,
+      batch_size)`` -> ``(state, samples)`` — jitted; ``c_up_chunk`` is
+      the (B, chunk, C) slice of the *upsampled* conditioning, ``gum``/
+      ``unif`` the pre-drawn noise for these steps (shapes as drawn by
+      ``draw_noise``).
+    * ``stream(variables, c, g, key, batch_size)`` — generator yielding
+      (B, chunk) sample blocks until the mel-determined length is
+      covered (final block trimmed). Bit-identical to
+      ``make_generate_fn(model, length, dtype, use_pallas=False,
+      unroll=unroll)`` with the same key: the noise is drawn once for
+      the full length exactly as the monolithic path draws it
+      (tests/test_wavenet.py chunked-parity).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dilations = _dilations(model.layers, model.stacks)
+    log_scale_min = -32.23619130191664  # losses.py MoL floor
+    if unroll is None:
+        unroll = 32 if chunk % 32 == 0 else 1
+
+    def init_state(batch_size: int = 1):
+        prev = (
+            jnp.zeros((batch_size, 1))
+            if model.scalar_input
+            else jnp.zeros((batch_size,), jnp.int32)
+        )
+        return prev, _init_buffers(model, dilations, batch_size, dtype)
+
+    def _step_chunk(variables, state, c_chunk, gum, unif, g_emb):
+        params = variables["params"]
+        step_core = _step_core(model, params, dilations, dtype=dtype)
+
+        def step(carry, xs):
+            prev, buf = carry
+            c_t, gum_t, u_t = xs
+            h = _embed_one(model, params, prev)
+            logits, buf = step_core(
+                h, buf, c_t if model.cin_channels > 0 else None, g_emb
+            )
+            if model.scalar_input:
+                logit_probs, means, log_scales = jnp.split(logits, 3, -1)
+                comp = jnp.argmax(logit_probs + gum_t, axis=-1)
+                mean = jnp.take_along_axis(means, comp[..., None], -1)[..., 0]
+                log_scale = jnp.maximum(
+                    jnp.take_along_axis(log_scales, comp[..., None], -1)[..., 0],
+                    log_scale_min,
+                )
+                x = mean + jnp.exp(log_scale) * (
+                    jnp.log(u_t) - jnp.log1p(-u_t)
+                )
+                out = jnp.clip(x, -1.0, 1.0)
+                nxt = out[:, None]
+            else:
+                out = jnp.argmax(logits + gum_t, axis=-1)
+                nxt = out
+            return (nxt, buf), out
+
+        # (B, chunk, C) -> scan-major (chunk, B, C); zeros placeholder
+        # when unconditioned keeps the signature static
+        xs_c = (
+            jnp.swapaxes(c_chunk, 0, 1)
+            if model.cin_channels > 0
+            else jnp.zeros((chunk, 1, 1))
+        )
+        state, samples = jax.lax.scan(
+            step, state, (xs_c, gum, unif), unroll=unroll
+        )
+        out = (
+            samples.T if samples.ndim == 2 else jnp.swapaxes(samples, 0, 1)
+        )
+        return state, out
+
+    step_chunk = jax.jit(_step_chunk)
+
+    def draw_noise(key, length: int, batch_size: int = 1):
+        """Exactly the monolithic sampler's noise layout (scan-major)."""
+        k1, k2 = jax.random.split(key)
+        if model.scalar_input:
+            n_mix = model.out_channels // 3
+            gum = jax.random.gumbel(k1, (length, batch_size, n_mix))
+            unif = jax.random.uniform(
+                k2, (length, batch_size), minval=1e-5, maxval=1.0 - 1e-5
+            )
+        else:
+            gum = jax.random.gumbel(
+                k1, (length, batch_size, model.out_channels)
+            )
+            unif = jnp.zeros((length, batch_size))
+        return gum, unif
+
+    def stream(variables, c, g, key, batch_size: int = 1):
+        c_up = _upsample_cond(model, variables, c)  # (B, T, C) or None
+        g_emb = _embed_speaker(model, variables, g)
+        if c_up is None:
+            raise ValueError(
+                "stream() needs local conditioning to bound the length; "
+                "drive step_chunk directly for unconditioned streams"
+            )
+        length = int(c_up.shape[1])
+        gum, unif = draw_noise(key, length, batch_size)
+        n_chunks = -(-length // chunk)
+        pad = n_chunks * chunk - length
+        if pad:
+            c_up = jnp.pad(c_up, ((0, 0), (0, pad), (0, 0)))
+            gum = jnp.pad(gum, ((0, pad),) + ((0, 0),) * (gum.ndim - 1))
+            # padded uniforms must stay inside (0, 1): log(u), log1p(-u)
+            unif = jnp.pad(unif, ((0, pad), (0, 0)), constant_values=0.5)
+        state = init_state(batch_size)
+        done = 0
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            state, out = step_chunk(
+                variables, state, c_up[:, sl], gum[sl], unif[sl], g_emb
+            )
+            yield out[:, : min(chunk, length - done)]
+            done += chunk
+
+    return init_state, step_chunk, stream

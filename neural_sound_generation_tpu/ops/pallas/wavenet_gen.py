@@ -1,10 +1,17 @@
 """Fused WaveNet autoregressive-generation kernel (single stream).
 
-The XLA ``lax.scan`` sampler (models/wavenet.make_generate_fn) is
-per-step **op-latency bound** at batch 1: every timestep re-streams the
-stacked layer weights from HBM and pays dispatch latency for ~50 small
-ops, flooring out near 17k samples/s on a v5e — under 1x realtime at
-22.05 kHz (the reference's configured sample rate, src/hparams.py:27).
+STATUS — opt-in experiment, NOT the production path. Measured on a
+v5e: this kernel lands at 70-95 us/step across every data-movement
+strategy tried (single-rotate ring, group-masked circular indexing,
+plane-indexed ring with one read per unique dilation offset, cached
+conditioning blocks), while the unrolled XLA scan sampler
+(models/wavenet.make_generate_fn, unroll=8) does the same step in
+~46 us — the batch-1 residual chain is latency-bound on single-sublane
+VMEM accesses (~0.5 us each) that Mosaic cannot hoist, whereas XLA's
+scan pipelines them across unrolled steps. The kernel is kept for its
+teacher-forced parity harness and as the measured record of the
+experiment; ``make_generate_fn(use_pallas=True)`` still dispatches
+here for qualifying shapes.
 
 This kernel runs the ENTIRE generation loop inside one ``pallas_call``:
 

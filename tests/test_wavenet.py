@@ -157,6 +157,35 @@ def test_generate_runs_and_is_deterministic(rng):
     assert not np.array_equal(a, c)
 
 
+def test_chunked_stream_matches_monolithic(rng):
+    """The streaming sampler (make_chunked_generate_fn) must emit
+    bit-identical samples to the one-shot sampler for the same key —
+    including a final partial chunk (length 40 = 16 + 16 + 8)."""
+    from neural_sound_generation_tpu.models.wavenet import (
+        make_chunked_generate_fn,
+    )
+
+    model = WaveNet(**{**TINY, "cin_channels": 6,
+                       "upsample_scales": (2, 2)})
+    frames = 10
+    length = frames * 4  # 40: not a multiple of the chunk
+    c = jnp.asarray(rng.standard_normal((2, frames, 6)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 16, 1)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, c=c)
+
+    mono = make_generate_fn(model, length, use_pallas=False, unroll=1)
+    want = np.asarray(mono(v, c, None, jax.random.PRNGKey(7), batch_size=2))
+
+    _, _, stream = make_chunked_generate_fn(model, chunk=16, unroll=1)
+    chunks = [
+        np.asarray(blk)
+        for blk in stream(v, c, None, jax.random.PRNGKey(7), batch_size=2)
+    ]
+    got = np.concatenate(chunks, axis=1)
+    assert chunks[-1].shape == (2, 8)  # trimmed final chunk
+    np.testing.assert_array_equal(got, want)
+
+
 def test_generate_categorical(rng):
     model = WaveNet(**{**TINY, "scalar_input": False, "out_channels": 32,
                        "quantize_channels": 32})
