@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import io
+import itertools
 import json
 import logging
 import sys
@@ -238,15 +239,19 @@ class InferenceService:
         wavfile.write(buf, self.cfg.audio.sample_rate, wav_np.astype(np.int16))
         return buf.getvalue()
 
-    def _vocode(self, mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
-        """(n_mels, T') normalized mel -> waveform, via the configured
-        vocoder: Griffin-Lim (default) or the trained WaveNet
-        (--vocoder wavenet). Generation programs are cached per length
-        (window-quantized lengths keep the cache small)."""
-        if self._vocoder is None:
-            return np.asarray(self.dsp.inv_mel_spectrogram(
-                mel, self.cfg.audio, jax.random.PRNGKey(seed)
-            ))
+    def _vocode_stream(self, mel: jnp.ndarray, seed: int = 0):
+        """(n_mels, T') normalized mel -> generator of waveform chunks
+        from the WaveNet streaming sampler (requires --vocoder wavenet).
+
+        ONE compiled chunk program serves every request length (the
+        monolithic sampler compiles per length — ~30 s each through a
+        cold cache), and callers can forward audio downstream while
+        later chunks are still being generated. bf16 sampling matmuls:
+        1.8x realtime single-stream on v5e (f32 is 0.8x — below
+        realtime); the MoL head and sampling stay f32 (PERF.md
+        "single-stream generation"). The inverse mu-law maps are
+        memoryless, so per-chunk application equals whole-utterance
+        application."""
         from neural_sound_generation_tpu.models.wavenet import (
             make_chunked_generate_fn,
         )
@@ -255,32 +260,34 @@ class InferenceService:
         wn_model, wn_vars = self._vocoder
         stream = self._gen_cache.get("stream")
         if stream is None:
-            # streaming sampler: ONE compiled chunk program serves every
-            # request length (the monolithic sampler compiles per
-            # length — ~30 s each through a cold cache). bf16 sampling
-            # matmuls: 1.8x realtime single-stream on v5e (f32 is 0.8x —
-            # below realtime); the MoL head and sampling stay f32
-            # (PERF.md "single-stream generation").
             _, _, stream = make_chunked_generate_fn(
                 wn_model, chunk=4096, dtype=jnp.bfloat16
             )
             self._gen_cache["stream"] = stream
         c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
-        wav = np.concatenate(
-            [np.asarray(blk) for blk in stream(
-                wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1
-            )],
-            axis=1,
-        )[0]
-        if self.cfg.audio.is_mulaw_quantize:
-            wav = np.asarray(dsp.inv_mulaw_quantize(
-                jnp.asarray(wav), self.cfg.audio.quantize_channels
+        for blk in stream(
+            wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1
+        ):
+            chunk = blk[0]
+            if self.cfg.audio.is_mulaw_quantize:
+                chunk = dsp.inv_mulaw_quantize(
+                    chunk, self.cfg.audio.quantize_channels
+                )
+            elif self.cfg.audio.is_mulaw:
+                chunk = dsp.inv_mulaw(
+                    chunk, self.cfg.audio.quantize_channels
+                )
+            yield np.asarray(chunk)
+
+    def _vocode(self, mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
+        """(n_mels, T') normalized mel -> waveform, via the configured
+        vocoder: Griffin-Lim (default) or the trained WaveNet
+        (--vocoder wavenet)."""
+        if self._vocoder is None:
+            return np.asarray(self.dsp.inv_mel_spectrogram(
+                mel, self.cfg.audio, jax.random.PRNGKey(seed)
             ))
-        elif self.cfg.audio.is_mulaw:
-            wav = np.asarray(dsp.inv_mulaw(
-                jnp.asarray(wav), self.cfg.audio.quantize_channels
-            ))
-        return wav
+        return np.concatenate(list(self._vocode_stream(mel, seed)))
 
     def _mel_to_wav_bytes(self, mel: jnp.ndarray) -> bytes:
         return self._encode_wav_bytes(self._vocode(mel))
@@ -339,6 +346,28 @@ class InferenceService:
         wav = wav[: min(len(data), len(wav))]
         return self._encode_wav_bytes(wav)
 
+    def reconstruct_stream(self, wav_bytes: bytes):
+        """Streaming /reconstruct: yields raw s16le PCM pieces as the
+        WaveNet vocoder emits them (one 4096-sample chunk at a time) —
+        a client can start playback after the first ~0.19 s of audio
+        instead of waiting for the whole utterance. Requires
+        --vocoder wavenet.
+
+        PCM scaling is fixed (x in [-1, 1] -> x * 32767) rather than
+        the peak normalization /reconstruct applies — streaming cannot
+        know the future peak."""
+        if self._vocoder is None:
+            raise ValueError(
+                "streaming reconstruct requires --vocoder wavenet"
+            )
+        windows, t, n_win = self._wav_to_mel(wav_bytes)
+        mels_out = np.asarray(self._reconstruct(windows))[..., 0]
+        full = np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
+        for chunk in self._vocode_stream(jnp.asarray(full)):
+            yield (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
+                "<i2"
+            ).tobytes()
+
     def decode(self, payload: dict) -> bytes:
         if self.hier:
             idx_t = jnp.asarray(
@@ -363,8 +392,31 @@ class InferenceService:
 
 def make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for chunked transfer encoding on /reconstruct_stream;
+        # every fixed response still sets Content-Length, so keep-alive
+        # connections stay well-framed
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):
             pass
+
+        def _send_chunked(self, pieces, ctype, headers=()):
+            """Stream an iterable of byte pieces with chunked framing.
+            The iterable is created by the CALLER before headers go out,
+            so validation errors still produce a clean 400; failures
+            mid-stream can only drop the connection."""
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Transfer-Encoding", "chunked")
+            for k, v in headers:
+                self.send_header(k, v)
+            self.end_headers()
+            for piece in pieces:
+                if piece:
+                    self.wfile.write(
+                        f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+                    )
+            self.wfile.write(b"0\r\n\r\n")
 
         def _send(self, code, body: bytes, ctype="application/json"):
             self.send_response(code)
@@ -395,6 +447,20 @@ def make_handler(service: InferenceService):
                     self._send(200, json.dumps(service.encode(body)).encode())
                 elif self.path == "/reconstruct":
                     self._send(200, service.reconstruct(body), "audio/wav")
+                elif self.path == "/reconstruct_stream":
+                    gen = service.reconstruct_stream(body)
+                    # pull the first piece BEFORE sending headers:
+                    # validation/analysis errors still get a clean 400
+                    first = next(gen, b"")
+                    self._send_chunked(
+                        itertools.chain([first], gen),
+                        "application/octet-stream",
+                        headers=(
+                            ("X-Sample-Rate",
+                             str(service.cfg.audio.sample_rate)),
+                            ("X-PCM-Format", "s16le"),
+                        ),
+                    )
                 elif self.path == "/decode":
                     self._send(
                         200, service.decode(json.loads(body)), "audio/wav"

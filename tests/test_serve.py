@@ -432,6 +432,55 @@ def test_wavenet_vocoder_reconstruct_roundtrip(wavenet_server):
     assert np.isfinite(wav.astype(np.float64)).all()
 
 
+def test_wavenet_vocoder_reconstruct_stream(wavenet_server):
+    """/reconstruct_stream emits chunked s16le PCM whose waveform
+    matches /reconstruct (same seed) up to the peak normalization the
+    non-streaming path applies."""
+    import io as _io
+    import urllib.request
+
+    from scipy.io import wavfile
+
+    body = _wav_bytes(seconds=0.15)
+    req = urllib.request.Request(
+        wavenet_server + "/reconstruct_stream", data=body,
+        headers={"Content-Type": "audio/wav"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["X-Sample-Rate"] == "22050"
+        assert r.headers["X-PCM-Format"] == "s16le"
+        assert r.headers.get("Content-Length") is None  # streamed
+        pcm = r.read()  # urllib reassembles the chunked body
+    streamed = np.frombuffer(pcm, "<i2").astype(np.float64) / 32767.0
+
+    with _post(wavenet_server + "/reconstruct", body,
+               {"Content-Type": "audio/wav"}) as r:
+        sr, wav = wavfile.read(_io.BytesIO(r.read()))
+    whole = wav.astype(np.float64)
+
+    assert len(streamed) == len(whole)
+    assert np.isfinite(streamed).all()
+    # undo each path's scaling (peak-norm vs fixed): compare shapes
+    denom_s = max(np.abs(streamed).max(), 1e-9)
+    denom_w = max(np.abs(whole).max(), 1e-9)
+    np.testing.assert_allclose(
+        streamed / denom_s, whole / denom_w, atol=2e-3
+    )
+
+
+def test_reconstruct_stream_without_vocoder_is_400(server):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        server + "/reconstruct_stream", data=_wav_bytes(seconds=0.05),
+        headers={"Content-Type": "audio/wav"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
 def test_wavenet_vocoder_decode_endpoint(wavenet_server):
     import io as _io
 
