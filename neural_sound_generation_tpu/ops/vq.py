@@ -110,29 +110,81 @@ def _vq_st_fwd(inputs, codebook):
     return (codes, indices_flat), (indices_flat, codebook.shape[0])
 
 
+# One-hot beyond this many bytes would dominate HBM; fall back to the
+# scatter lowering (e.g. quantize_channels-scale codebooks: N=26880 x
+# K=65536 would be a 7 GB one-hot).
+_ONEHOT_GRAD_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _sum_rows_by_code(rows_flat, indices_flat, num_codes):
+    """sum of ``rows_flat[i]`` into row ``indices_flat[i]`` of a
+    (num_codes, D) result — the codebook-gradient / cluster-sum pattern.
+
+    TPU-native lowering: a (N, K) one-hot times (N, D) matmul on the MXU
+    at HIGHEST precision (f32-exact accumulation; matches segment_sum to
+    float-sum reordering, ~1e-4 at flagship scale). XLA lowers
+    ``segment_sum`` / the ``take`` VJP to scatter here, which costs the
+    flagship train step 0.17 ms more per step — one-hot matmul measures
+    +6.6% whole-step throughput (PERF.md round-3 attribution). Large
+    (N x K) one-hots fall back to segment_sum."""
+    n = rows_flat.shape[0]
+    if n * num_codes * 4 > _ONEHOT_GRAD_MAX_BYTES:
+        return jax.ops.segment_sum(
+            rows_flat, indices_flat, num_segments=num_codes
+        )
+    onehot = (
+        indices_flat[:, None] == jnp.arange(num_codes)[None, :]
+    ).astype(rows_flat.dtype)
+    return jnp.dot(
+        onehot.T,
+        rows_flat,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _vq_st_bwd(residuals, cotangents):
     indices_flat, num_codes = residuals
     grad_codes, _ = cotangents  # cotangent on int indices is float0 — ignored
     # Straight-through: encoder receives the upstream grad unchanged.
     grad_inputs = grad_codes
-    # Codebook: scatter-add of upstream grads by selected index
-    # (reference index_add_, vector_quantization.py:60-61).
+    # Codebook: upstream grads summed into the selected rows (reference
+    # index_add_, vector_quantization.py:60-61) via the MXU one-hot path.
     embedding_size = grad_codes.shape[-1]
     grad_flat = jnp.reshape(grad_codes, (-1, embedding_size))
-    grad_codebook = jax.ops.segment_sum(
-        grad_flat, indices_flat, num_segments=num_codes
-    )
+    grad_codebook = _sum_rows_by_code(grad_flat, indices_flat, num_codes)
     return grad_inputs, grad_codebook
 
 
 vq_st.defvjp(_vq_st_fwd, _vq_st_bwd)
 
 
+@jax.custom_vjp
 def codebook_lookup(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable embedding lookup: grads flow to the codebook via
-    scatter-add (the reference's second ``index_select`` against the
-    non-detached weight, models.py:137-141)."""
+    """Differentiable embedding lookup: grads flow to the codebook with
+    scatter-add SEMANTICS (the reference's second ``index_select``
+    against the non-detached weight, models.py:137-141), lowered as the
+    one-hot MXU matmul (``_sum_rows_by_code``) instead of the scatter
+    XLA emits for the plain ``take`` VJP."""
     return jnp.take(codebook, indices, axis=0)
+
+
+def _codebook_lookup_fwd(codebook, indices):
+    return jnp.take(codebook, indices, axis=0), (indices, codebook.shape[0])
+
+
+def _codebook_lookup_bwd(residuals, cotangent):
+    indices, num_codes = residuals
+    embedding_size = cotangent.shape[-1]
+    grad = _sum_rows_by_code(
+        jnp.reshape(cotangent, (-1, embedding_size)),
+        jnp.reshape(indices, (-1,)),
+        num_codes,
+    )
+    return grad, None
+
+
+codebook_lookup.defvjp(_codebook_lookup_fwd, _codebook_lookup_bwd)
 
 
 def codebook_ema_update(
@@ -152,12 +204,18 @@ def codebook_ema_update(
     batch reductions and compile to ICI all-reduces automatically.
     """
     num_codes = codebook.shape[0]
-    one_hot_counts = jax.ops.segment_sum(
-        jnp.ones((indices_flat.shape[0],), jnp.float32),
+    # counts + per-code sums in ONE one-hot matmul: [1 | x] summed by code
+    both = _sum_rows_by_code(
+        jnp.concatenate(
+            [jnp.ones((inputs_flat.shape[0], 1), inputs_flat.dtype),
+             inputs_flat],
+            axis=1,
+        ),
         indices_flat,
-        num_segments=num_codes,
+        num_codes,
     )
-    embed_sums = jax.ops.segment_sum(inputs_flat, indices_flat, num_segments=num_codes)
+    one_hot_counts = both[:, 0]
+    embed_sums = both[:, 1:]
 
     new_cluster = decay * cluster_size_ema + (1 - decay) * one_hot_counts
     new_embed_sum = decay * embed_sum_ema + (1 - decay) * embed_sums
@@ -196,7 +254,7 @@ def residual_vq(inputs: jnp.ndarray, codebooks: jnp.ndarray):
     indices = []
     for q in range(num_q):
         idx = _nearest_indices(residual, jax.lax.stop_gradient(codebooks[q]))
-        codes = jnp.take(codebooks[q], idx, axis=0)  # grads -> codebook q
+        codes = codebook_lookup(codebooks[q], idx)  # grads -> codebook q
         total = total + codes
         residual = residual - jax.lax.stop_gradient(codes)
         indices.append(idx)

@@ -129,6 +129,35 @@ def test_codebook_lookup_grad(rng):
     np.testing.assert_allclose(g, expected)
 
 
+def test_codebook_grad_fallback_matches_onehot(rng, monkeypatch):
+    """The large-codebook segment_sum fallback of _sum_rows_by_code must
+    produce the same codebook gradient as the one-hot MXU path (forcing
+    it via a tiny byte threshold)."""
+    import importlib
+
+    # NOT ``import ...ops.vq as m``: ops/__init__ re-exports the ``vq``
+    # FUNCTION under the same name, and py3.12 resolves the alias via
+    # getattr on the package — returning the function, not the module
+    vq_module = importlib.import_module(
+        "neural_sound_generation_tpu.ops.vq"
+    )
+
+    x, cb = _data(rng)
+    w = rng.standard_normal(x.shape).astype(np.float32)
+
+    def loss(cb_):
+        codes, idx = vq_st(jnp.asarray(x), cb_)
+        return jnp.sum(
+            (codes + codebook_lookup(cb_, idx).reshape(codes.shape))
+            * jnp.asarray(w)
+        )
+
+    g_onehot = np.asarray(jax.grad(loss)(jnp.asarray(cb)))
+    monkeypatch.setattr(vq_module, "_ONEHOT_GRAD_MAX_BYTES", 0)
+    g_fallback = np.asarray(jax.grad(loss)(jnp.asarray(cb)))
+    np.testing.assert_allclose(g_onehot, g_fallback, atol=1e-5)
+
+
 def test_ema_update_moves_codebook_toward_assigned_inputs(rng):
     k, d = 8, 4
     cb = rng.standard_normal((k, d)).astype(np.float32)
