@@ -524,16 +524,21 @@ def build_service(args):
                 ),
             ),
         )
-    if getattr(args, "model", "vqvae") == "hiervqvae":
-        if args.frames % 8:
+    hier = getattr(args, "model", "vqvae") == "hiervqvae"
+    # the documented --frames default (84 flat / 80 hier) — was only in
+    # the help text before; an unset --frames crashed on jnp.zeros(None)
+    frames = args.frames if args.frames is not None else (80 if hier else 84)
+    args.frames = frames
+    if hier:
+        if frames % 8:
             raise SystemExit(
                 f"--frames must be a multiple of 8 for hiervqvae "
-                f"(got {args.frames}); try {args.frames - args.frames % 8}"
+                f"(got {frames}); try {frames - frames % 8}"
             )
         model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
     else:
         model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
-    sample = jnp.zeros((1, cfg.audio.num_mels, args.frames, 1))
+    sample = jnp.zeros((1, cfg.audio.num_mels, frames, 1))
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)

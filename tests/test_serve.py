@@ -383,6 +383,21 @@ def test_build_service_honors_preset_griffin_lim(tmp_path):
     assert svc.cfg.audio.griffin_lim_momentum == 0.99
 
 
+def test_build_service_default_frames():
+    """An unset --frames must fall back to the documented defaults
+    (84 flat / 80 hier) instead of crashing on jnp.zeros(None)
+    (round-3 capstone regression)."""
+    from neural_sound_generation_tpu.cli.serve import build_service, parse_args
+
+    svc = build_service(parse_args(["--dim", "8", "--z-dim", "16"]))
+    assert svc.frames == 84
+
+    svc = build_service(parse_args(
+        ["--model", "hiervqvae", "--dim", "8", "--z-dim", "16"]
+    ))
+    assert svc.frames == 80
+
+
 @pytest.fixture(scope="module")
 def wavenet_server():
     """Server with a (tiny, untrained) WaveNet vocoder attached:
