@@ -81,6 +81,9 @@ def main(argv=None):
     )
     state = create_train_state(variables, cfg.train)
     state, extra = checkpoint.restore(args.ckpt_dir, state)
+    # commit restored numpy leaves to device once, or every eval batch
+    # re-uploads the weights through the TPU tunnel
+    state = jax.device_put(state)
     print(f"loaded checkpoint step={int(np.asarray(state.step))} extra={extra}")
 
     trainer = Trainer(model, cfg, state, log_fn=print)

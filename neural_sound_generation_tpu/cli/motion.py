@@ -202,9 +202,9 @@ def cmd_generate(args):
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)
         restored, _ = checkpoint.restore(args.ckpt_dir, state)
-        variables = {
+        variables = jax.device_put({
             "params": restored.params, "batch_stats": restored.batch_stats,
-        }
+        })
 
     gen = MotionDrivenGenerator(model, variables, projector, cfg.audio, latent_hw)
     ctrl = replay_controller(args.input_csv)

@@ -82,10 +82,12 @@ def _load_vqvae(args, sample_x):
     variables = model.init(jax.random.PRNGKey(0), sample_x, train=False)
     state = create_train_state(variables, Config().train)
     restored, _ = checkpoint.restore(args.vqvae_ckpt, state)
-    return model, {
+    # commit to device once: uncommitted numpy leaves re-upload through
+    # the TPU tunnel on every jit call (see cli/serve.py build_service)
+    return model, jax.device_put({
         "params": restored.params,
         "batch_stats": restored.batch_stats,
-    }
+    })
 
 
 def cmd_train(args):
@@ -249,6 +251,7 @@ def cmd_sample(args):
         )
         tv, _ = ckpt_mod.restore(args.prior_ckpt, tv)
         bv, _ = ckpt_mod.restore(args.bottom_ckpt, bv)
+        tv, bv = jax.device_put((tv, bv))
         labels = jnp.full((args.num_samples,), args.label, jnp.int32)
         _, _, wavs = sample_hier_audio(
             model, vq_vars, top, tv, bottom, bv, labels, (h, w),
@@ -273,6 +276,7 @@ def cmd_sample(args):
     codes0 = jnp.zeros((1, h, w), jnp.int32)
     template = prior.init(jax.random.PRNGKey(0), codes0, jnp.zeros((1,), jnp.int32))
     pvars, _ = checkpoint.restore(args.prior_ckpt, template)
+    pvars = jax.device_put(pvars)
 
     labels = jnp.full((args.num_samples,), args.label, jnp.int32)
     key = jax.random.PRNGKey(args.seed)

@@ -264,20 +264,33 @@ class InferenceService:
                 wn_model, chunk=4096, dtype=jnp.bfloat16
             )
             self._gen_cache["stream"] = stream
+        post = self._gen_cache.get("post")
+        if post is None:
+            # one jitted program instead of a handful of eager ops per
+            # chunk — eager ops each pay a dispatch round trip over the
+            # TPU tunnel (~100 ms/chunk of pure overhead before this)
+            q = self.cfg.audio.quantize_channels
+            if self.cfg.audio.is_mulaw_quantize:
+                post = jax.jit(lambda y: dsp.inv_mulaw_quantize(y, q))
+            elif self.cfg.audio.is_mulaw:
+                post = jax.jit(lambda y: dsp.inv_mulaw(y, q))
+            else:
+                post = lambda y: y
+            self._gen_cache["post"] = post
         c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
+        # one-chunk lookahead: dispatch chunk i+1 (async) before
+        # materializing chunk i, so the host readback of each chunk
+        # overlaps the next chunk's device compute
+        prev = None
         for blk in stream(
             wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1
         ):
-            chunk = blk[0]
-            if self.cfg.audio.is_mulaw_quantize:
-                chunk = dsp.inv_mulaw_quantize(
-                    chunk, self.cfg.audio.quantize_channels
-                )
-            elif self.cfg.audio.is_mulaw:
-                chunk = dsp.inv_mulaw(
-                    chunk, self.cfg.audio.quantize_channels
-                )
-            yield np.asarray(chunk)
+            cur = post(blk[0])
+            if prev is not None:
+                yield np.asarray(prev)
+            prev = cur
+        if prev is not None:
+            yield np.asarray(prev)
 
     def _vocode(self, mel: jnp.ndarray, seed: int = 0) -> np.ndarray:
         """(n_mels, T') normalized mel -> waveform, via the configured
@@ -543,10 +556,14 @@ def build_service(args):
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)
         restored, _ = checkpoint.restore(args.ckpt_dir, state)
-        variables = {
+        # Commit restored (host numpy) leaves to the device ONCE: jit
+        # re-transfers uncommitted host arrays on EVERY call, and over
+        # the TPU tunnel that re-upload dominates serving latency (the
+        # WaveNet path paid ~600 ms/chunk for a ~100 ms-compute chunk).
+        variables = jax.device_put({
             "params": restored.params,
             "batch_stats": restored.batch_stats,
-        }
+        })
     vocoder = None
     if getattr(args, "vocoder", "griffin-lim") == "wavenet":
         if not getattr(args, "vocoder_ckpt", None):
@@ -573,7 +590,7 @@ def build_service(args):
         c0 = jnp.zeros((1, 2, cfg.arch.cin_channels))
         template = wn.init(jax.random.PRNGKey(0), x0, c0, None)
         wn_vars, _ = checkpoint.restore(args.vocoder_ckpt, template)
-        vocoder = (wn, wn_vars)
+        vocoder = (wn, jax.device_put(wn_vars))
     service = InferenceService(cfg, model, variables, args.frames,
                                vocoder=vocoder)
     if getattr(args, "prior_ckpt", None):
@@ -593,6 +610,7 @@ def build_service(args):
             jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0
         )
         tv, _ = checkpoint.restore(args.prior_ckpt, tv)
+        tv = jax.device_put(tv)
         bottom = bv = None
         if hier:
             if not args.bottom_ckpt:
@@ -609,6 +627,7 @@ def build_service(args):
                 jnp.zeros((1, 2 * h, 2 * w, args.dim)),
             )
             bv, _ = checkpoint.restore(args.bottom_ckpt, bv)
+            bv = jax.device_put(bv)
         service.attach_prior(top, tv, bottom, bv)
     return service
 

@@ -226,6 +226,7 @@ def cmd_synthesize(args):
     )
     template = model.init(jax.random.PRNGKey(0), x0, c, None)
     variables, _ = checkpoint.restore(args.ckpt_dir, template)
+    variables = jax.device_put(variables)
 
     gen = make_generate_fn(
         model, length,

@@ -602,8 +602,19 @@ def make_chunked_generate_fn(model: WaveNet, chunk: int, dtype=None,
             unif = jnp.zeros((length, batch_size))
         return gum, unif
 
+    # jitted per (mel-length, batch) shape: the eager flax apply runs the
+    # upsampler op-by-op, and over the TPU tunnel every eager op pays a
+    # dispatch round trip — hundreds of ms on the serving first-chunk path
+    _upsample_jit = jax.jit(
+        lambda variables, c_: _upsample_cond(model, variables, c_)
+    )
+
     def stream(variables, c, g, key, batch_size: int = 1):
-        c_up = _upsample_cond(model, variables, c)  # (B, T, C) or None
+        c_up = (
+            _upsample_jit(variables, c)  # (B, T, C)
+            if c is not None and model.cin_channels > 0
+            else None
+        )
         g_emb = _embed_speaker(model, variables, g)
         if c_up is None:
             raise ValueError(

@@ -189,6 +189,11 @@ def test_serve_with_trained_checkpoint(tmp_path, rng):
         np.asarray(service.variables["params"]["codebook"]),
         np.asarray(state.params["codebook"]),
     )
+    # and they are committed device arrays — Orbax restores host numpy
+    # leaves, and uncommitted numpy re-uploads through the TPU tunnel on
+    # EVERY jit dispatch (~600 ms/chunk in serve-WaveNet before the fix)
+    leaves = jax.tree_util.tree_leaves(service.variables)
+    assert all(isinstance(l, jax.Array) for l in leaves)
 
 
 # ------------------------- hierarchical serving -------------------------
