@@ -280,12 +280,19 @@ class InferenceService:
         c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
         # one-chunk lookahead: dispatch chunk i+1 (async) before
         # materializing chunk i, so the host readback of each chunk
-        # overlaps the next chunk's device compute
+        # overlaps the next chunk's device compute. copy_to_host_async
+        # starts each chunk's D2H as soon as its compute is enqueued —
+        # np.asarray alone would only BEGIN the transfer when it blocks,
+        # and over the tunnel that serial fetch costs ~40-60 ms/chunk.
         prev = None
         for blk in stream(
             wn_vars, c, None, jax.random.PRNGKey(seed), batch_size=1
         ):
             cur = post(blk[0])
+            try:
+                cur.copy_to_host_async()
+            except AttributeError:
+                pass
             if prev is not None:
                 yield np.asarray(prev)
             prev = cur
