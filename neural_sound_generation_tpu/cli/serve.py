@@ -21,6 +21,10 @@ server exposing the batched on-device inference paths:
 
 Model compilation happens once at startup; each request runs jitted
 device programs (shapes are padded/cropped to the serving window).
+With ``--batch-window-ms`` the server coalesces concurrent /reconstruct
+requests into one vmapped device launch per length bucket (dynamic
+batching): per-request results are unchanged, aggregate throughput under
+load scales with the coalesced batch size.
 """
 
 from __future__ import annotations
@@ -30,8 +34,10 @@ import io
 import itertools
 import json
 import logging
+import queue
 import sys
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -39,6 +45,57 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+class _MicroBatcher:
+    """Cross-request dynamic batching (--batch-window-ms).
+
+    Handler threads ``submit()`` and block; one worker thread collects
+    requests for up to ``window_ms`` after the first arrival (or until
+    ``max_batch``), runs them through ``run_batch`` as ONE vmapped
+    device program per length bucket, and wakes each caller with its own
+    result. On an accelerator the batched program costs barely more than
+    a single request, so aggregate throughput under concurrent load
+    scales with the batch size instead of being pinned at 1/latency.
+    """
+
+    def __init__(self, run_batch, window_ms: float, max_batch: int = 8):
+        self._run_batch = run_batch
+        self._window = max(0.0, float(window_ms)) / 1000.0
+        self._max = max(1, int(max_batch))
+        self._q: queue.Queue = queue.Queue()
+        threading.Thread(
+            target=self._worker, daemon=True, name="nsg-microbatch"
+        ).start()
+
+    def submit(self, request):
+        done = threading.Event()
+        box = [done, None]  # [event, result-or-exception]
+        self._q.put((request, box))
+        done.wait()
+        if isinstance(box[1], Exception):
+            raise box[1]
+        return box[1]
+
+    def _worker(self):
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self._window
+            while len(batch) < self._max:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self._run_batch([req for req, _ in batch])
+            except Exception as e:  # noqa: BLE001 — wake every caller
+                results = [e] * len(batch)
+            for (_, box), result in zip(batch, results):
+                box[1] = result
+                box[0].set()
 
 
 class InferenceService:
@@ -111,7 +168,6 @@ class InferenceService:
         win = self.frames
         audio_cfg = cfg.audio
 
-        @jax.jit
         def reconstruct_wav(samples):
             # the whole /reconstruct round trip as ONE device program:
             # mel analysis -> windowing -> VQ reconstruct -> stitch ->
@@ -131,8 +187,39 @@ class InferenceService:
                 full, audio_cfg, jax.random.PRNGKey(0)
             )
 
-        self._reconstruct_wav = reconstruct_wav
+        self._reconstruct_wav = jax.jit(reconstruct_wav)
+
+        @jax.jit
+        def reconstruct_wav_batch(samples):  # (B, L) same-bucket requests
+            # cross-request dynamic batching: requests FOLD INTO the
+            # model's window batch dim (B requests x n_win windows ->
+            # one (B*n_win, ...) conv batch) rather than vmapping the
+            # whole model — the Pallas VQ kernel only lowers at its
+            # native rank, and a bigger window batch is the faster
+            # shape anyway. Analysis and Griffin-Lim are vmapped
+            # (pure FFT/conv math, no Pallas). Per-request results are
+            # identical to the unbatched path: eval-mode BatchNorm uses
+            # running stats and every window is independent.
+            mels = dsp.melspectrogram_batch(samples, audio_cfg)
+            n_win_pad = mels.shape[2] // win
+            mels = mels[:, :, : n_win_pad * win]
+            b = samples.shape[0]
+            windows = mels.reshape(b, n_mels, n_win_pad, win)
+            windows = jnp.transpose(windows, (0, 2, 1, 3)).reshape(
+                b * n_win_pad, n_mels, win
+            )[..., None]
+            mels_out = reconstruct(windows)[..., 0]
+            mels_out = mels_out.reshape(b, n_win_pad, n_mels, win)
+            full = jnp.transpose(mels_out, (0, 2, 1, 3)).reshape(
+                b, n_mels, n_win_pad * win
+            )
+            # the unbatched program uses PRNGKey(0) for every request
+            keys = jnp.tile(jax.random.PRNGKey(0)[None], (b, 1))
+            return dsp.inv_mel_spectrogram_batch(full, audio_cfg, keys)
+
+        self._reconstruct_wav_batch = reconstruct_wav_batch
         self._prior = None  # set by attach_prior (serving /sample)
+        self.batcher = None  # set by enable_batching
 
     def attach_prior(self, prior, prior_vars, bottom=None, bottom_vars=None):
         """Enable POST /sample: a trained PixelCNN prior over this
@@ -354,6 +441,16 @@ class InferenceService:
             full = np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
             wav = self._vocode(jnp.asarray(full))
             return self._encode_wav_bytes(wav)
+        if self.batcher is not None:
+            return self.batcher.submit(wav_bytes)
+        padded, n_data = self._pad_for_reconstruct(wav_bytes)
+        wav = np.asarray(self._reconstruct_wav(jnp.asarray(padded)))
+        wav = wav[: min(n_data, len(wav))]
+        return self._encode_wav_bytes(wav)
+
+    def _pad_for_reconstruct(self, wav_bytes: bytes):
+        """Decode + zero-pad input samples to the power-of-two serving
+        window grid (the compile-shape bucket). Returns (padded, n_data)."""
         data = self._decode_wav_bytes(wav_bytes)
         hop = self.cfg.audio.effective_hop_size
         t_est = len(data) // hop + 1
@@ -362,9 +459,48 @@ class InferenceService:
         total = n_pad * self.frames * hop + self.cfg.audio.fft_size
         padded = np.zeros(total, np.float32)
         padded[: min(len(data), total)] = data[:total]
-        wav = np.asarray(self._reconstruct_wav(jnp.asarray(padded)))
-        wav = wav[: min(len(data), len(wav))]
-        return self._encode_wav_bytes(wav)
+        return padded, len(data)
+
+    def reconstruct_batched(self, requests: list) -> list:
+        """One device launch for MANY /reconstruct requests: group the
+        decoded+padded inputs by length bucket, run the vmapped fused
+        program per group (request batch zero-padded to the next power
+        of two so the compile set stays O(log n) x O(log n)), and trim
+        each request's waveform individually.
+
+        Returns one ``bytes`` result or ``Exception`` per request, index
+        aligned — a malformed upload fails alone, never its batchmates."""
+        slots: list = [None] * len(requests)
+        groups: dict = {}
+        for i, wb in enumerate(requests):
+            try:
+                padded, n_data = self._pad_for_reconstruct(wb)
+                groups.setdefault(len(padded), []).append((i, padded, n_data))
+            except Exception as e:  # noqa: BLE001 — isolate per request
+                slots[i] = e
+        for total, items in groups.items():
+            b = len(items)
+            b_pad = 1 << (b - 1).bit_length()
+            stacked = np.zeros((b_pad, total), np.float32)
+            for j, (_, padded, _) in enumerate(items):
+                stacked[j] = padded
+            try:
+                wavs = np.asarray(
+                    self._reconstruct_wav_batch(jnp.asarray(stacked))
+                )
+                for j, (i, _, n_data) in enumerate(items):
+                    wav = wavs[j][: min(n_data, wavs.shape[1])]
+                    slots[i] = self._encode_wav_bytes(wav)
+            except Exception as e:  # noqa: BLE001
+                for i, _, _ in items:
+                    slots[i] = e
+        return slots
+
+    def enable_batching(self, window_ms: float, max_batch: int = 8):
+        """Attach a request micro-batcher to /reconstruct (GL path)."""
+        self.batcher = _MicroBatcher(
+            self.reconstruct_batched, window_ms, max_batch
+        )
 
     def reconstruct_stream(self, wav_bytes: bytes):
         """Streaming /reconstruct: yields raw s16le PCM pieces as the
@@ -636,6 +772,10 @@ def build_service(args):
             bv, _ = checkpoint.restore(args.bottom_ckpt, bv)
             bv = jax.device_put(bv)
         service.attach_prior(top, tv, bottom, bv)
+    if getattr(args, "batch_window_ms", 0.0) and args.batch_window_ms > 0:
+        service.enable_batching(
+            args.batch_window_ms, getattr(args, "batch_max", 8)
+        )
     return service
 
 
@@ -671,6 +811,13 @@ def parse_args(argv=None):
     p.add_argument("--vocoder-layers", type=int, default=None)
     p.add_argument("--vocoder-stacks", type=int, default=None)
     p.add_argument("--vocoder-residual-channels", type=int, default=None)
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="enable cross-request dynamic batching on "
+                        "/reconstruct: wait up to this long after the "
+                        "first request to coalesce a device batch "
+                        "(0 = off). Griffin-Lim path only.")
+    p.add_argument("--batch-max", type=int, default=8,
+                   help="max requests per coalesced device batch")
     p.add_argument("--prior-ckpt", default=None,
                    help="PixelCNN prior checkpoint dir: enables POST "
                         "/sample (top prior for --model hiervqvae)")

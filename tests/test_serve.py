@@ -515,3 +515,97 @@ def test_wavenet_vocoder_decode_endpoint(wavenet_server):
     assert sr == 22050
     assert len(wav) == 16 * 256  # 16 mel frames x hop through the sampler
     assert np.isfinite(wav.astype(np.float64)).all()
+
+
+# ------------------- dynamic request batching (--batch-window-ms) ----------
+
+
+@pytest.fixture(scope="module")
+def batching_service():
+    from neural_sound_generation_tpu.cli.serve import InferenceService
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    return InferenceService(cfg, model, variables, frames=16)
+
+
+def _decode_response_wav(data):
+    import io as _io
+
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(_io.BytesIO(data))
+    return wav.astype(np.float64)
+
+
+def test_reconstruct_batched_matches_unbatched(batching_service):
+    """Each request in a coalesced batch gets the same waveform the
+    unbatched path produces — including across different length buckets
+    and a zero-padded batch dim."""
+    svc = batching_service
+    reqs = [
+        _wav_bytes(seconds=0.2),
+        _wav_bytes(seconds=0.3),
+        _wav_bytes(seconds=0.7),  # different length bucket
+    ]
+    singles = [svc.reconstruct(wb) for wb in reqs]
+    batched = svc.reconstruct_batched(reqs)
+    for single, batch in zip(singles, batched):
+        assert isinstance(batch, bytes)
+        a, b = _decode_response_wav(single), _decode_response_wav(batch)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2.0)  # int16 LSB jitter
+
+
+def test_reconstruct_batched_isolates_errors(batching_service):
+    good = _wav_bytes(seconds=0.2)
+    out = batching_service.reconstruct_batched([good, b"not a wav", good])
+    assert isinstance(out[0], bytes)
+    assert isinstance(out[1], Exception)
+    assert isinstance(out[2], bytes)
+    assert out[0] == out[2]
+
+
+def test_batched_reconstruct_over_http(batching_service):
+    """Concurrent POSTs through a batching server all succeed and match
+    the sequential (unbatched) response."""
+    from http.server import ThreadingHTTPServer
+
+    from neural_sound_generation_tpu.cli.serve import make_handler
+
+    svc = batching_service
+    reference = svc.reconstruct(_wav_bytes(seconds=0.3))
+    svc.enable_batching(window_ms=50.0, max_batch=4)
+    try:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        results = [None] * 4
+        errors = []
+
+        def hit(i):
+            try:
+                with _post(url + "/reconstruct", _wav_bytes(seconds=0.3),
+                           {"Content-Type": "audio/wav"}) as r:
+                    results[i] = r.read()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        ref = _decode_response_wav(reference)
+        for r in results:
+            got = _decode_response_wav(r)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, atol=2.0)
+        httpd.shutdown()
+    finally:
+        svc.batcher = None  # don't leak batching into other fixtures
