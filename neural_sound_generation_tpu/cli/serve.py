@@ -220,6 +220,7 @@ class InferenceService:
         self._reconstruct_wav_batch = reconstruct_wav_batch
         self._prior = None  # set by attach_prior (serving /sample)
         self.batcher = None  # set by enable_batching
+        self._stream_mux = None  # set by enable_stream_mux
 
     def attach_prior(self, prior, prior_vars, bottom=None, bottom_vars=None):
         """Enable POST /sample: a trained PixelCNN prior over this
@@ -344,6 +345,18 @@ class InferenceService:
         )
         from neural_sound_generation_tpu.ops import dsp
 
+        if self._stream_mux is not None:
+            # shared multiplexer: this session occupies one slot of the
+            # always-batched chunk program, so N concurrent requests
+            # synthesize simultaneously at ~the cost of one (PERF.md
+            # "stream multiplexer"). Output postprocessing is memoryless
+            # numpy — the chunks are already host-side.
+            c = jnp.transpose(jnp.asarray(mel))  # (T', n_mels)
+            for chunk in self._stream_mux.open(
+                c, jax.random.PRNGKey(seed)
+            ):
+                yield self._post_np(chunk)
+            return
         wn_model, wn_vars = self._vocoder
         stream = self._gen_cache.get("stream")
         if stream is None:
@@ -501,6 +514,35 @@ class InferenceService:
         self.batcher = _MicroBatcher(
             self.reconstruct_batched, window_ms, max_batch
         )
+
+    def enable_stream_mux(self, slots: int, max_seconds: float = 30.0):
+        """Route WaveNet synthesis through a shared stream multiplexer:
+        up to ``slots`` concurrent sessions generate through ONE batched
+        chunk program (--stream-slots)."""
+        if self._vocoder is None:
+            raise ValueError("--stream-slots requires --vocoder wavenet")
+        from neural_sound_generation_tpu.serving import WaveNetStreamMux
+
+        wn_model, wn_vars = self._vocoder
+        self._stream_mux = WaveNetStreamMux(
+            wn_model, wn_vars, chunk=4096, slots=slots,
+            dtype=jnp.bfloat16, max_seconds=max_seconds,
+            sample_rate=self.cfg.audio.sample_rate,
+        )
+
+    def _post_np(self, chunk: np.ndarray) -> np.ndarray:
+        """Memoryless inverse mu-law on host-side sample chunks (the
+        dsp.* versions are device math; mux chunks are already numpy)."""
+        mu = float(self.cfg.audio.quantize_channels)
+        if self.cfg.audio.is_mulaw_quantize:
+            y = 2.0 * chunk.astype(np.float64) / mu - 1.0
+            return (np.sign(y) / mu * ((1.0 + mu) ** np.abs(y) - 1.0)
+                    ).astype(np.float32)
+        if self.cfg.audio.is_mulaw:
+            y = chunk.astype(np.float64)
+            return (np.sign(y) / mu * ((1.0 + mu) ** np.abs(y) - 1.0)
+                    ).astype(np.float32)
+        return np.asarray(chunk, np.float32)
 
     def reconstruct_stream(self, wav_bytes: bytes):
         """Streaming /reconstruct: yields raw s16le PCM pieces as the
@@ -776,6 +818,10 @@ def build_service(args):
         service.enable_batching(
             args.batch_window_ms, getattr(args, "batch_max", 8)
         )
+    if getattr(args, "stream_slots", 0) and args.stream_slots > 0:
+        service.enable_stream_mux(
+            args.stream_slots, getattr(args, "stream_max_seconds", 30.0)
+        )
     return service
 
 
@@ -811,6 +857,14 @@ def parse_args(argv=None):
     p.add_argument("--vocoder-layers", type=int, default=None)
     p.add_argument("--vocoder-stacks", type=int, default=None)
     p.add_argument("--vocoder-residual-channels", type=int, default=None)
+    p.add_argument("--stream-slots", type=int, default=0,
+                   help="multiplex WaveNet synthesis: up to N concurrent "
+                        "streams share ONE batched generation program "
+                        "(0 = per-request programs). Requires "
+                        "--vocoder wavenet.")
+    p.add_argument("--stream-max-seconds", type=float, default=30.0,
+                   help="per-utterance cap for the stream multiplexer "
+                        "(slot buffer capacity)")
     p.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="enable cross-request dynamic batching on "
                         "/reconstruct: wait up to this long after the "

@@ -609,3 +609,63 @@ def test_batched_reconstruct_over_http(batching_service):
         httpd.shutdown()
     finally:
         svc.batcher = None  # don't leak batching into other fixtures
+
+
+def test_stream_mux_serving(batching_service):
+    """--stream-slots: concurrent /reconstruct_stream requests share one
+    batched generation program and each gets a complete PCM stream."""
+    from http.server import ThreadingHTTPServer
+
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE, WaveNet
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    wn = WaveNet(out_channels=30, layers=2, stacks=1, residual_channels=8,
+                 gate_channels=8, skip_out_channels=8, cin_channels=80,
+                 upsample_scales=(16, 16), scalar_input=True)
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 80))
+    wn_vars = wn.init(jax.random.PRNGKey(1), x0, c0, None)
+    svc = InferenceService(cfg, model, variables, frames=16,
+                           vocoder=(wn, wn_vars))
+    svc.enable_stream_mux(slots=4, max_seconds=2.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    body = _wav_bytes(seconds=0.15)
+    results = [None] * 3
+    errors = []
+
+    def hit(i):
+        try:
+            req = urllib.request.Request(
+                url + "/reconstruct_stream", data=body,
+                headers={"Content-Type": "audio/wav"},
+            )
+            with urllib.request.urlopen(req, timeout=180) as r:
+                results[i] = r.read()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=240)
+    assert not errors
+    t_frames = int(22050 * 0.15) // 256 + 1
+    for r in results:
+        pcm = np.frombuffer(r, "<i2")
+        # mel trimmed to the true frame count t, upsampled x256
+        assert abs(len(pcm) - t_frames * 256) <= 256
+        assert np.isfinite(pcm.astype(np.float64)).all()
+    # identical seed + conditioning -> identical streams
+    assert results[0] == results[1] == results[2]

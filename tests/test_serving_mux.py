@@ -1,0 +1,144 @@
+"""WaveNet stream multiplexer: N concurrent sessions, one batched program.
+
+The load-bearing property is ISOLATION: a session's audio is a pure
+function of (conditioning, key) — bitwise independent of which other
+slots are live, when it joined, and which slot it landed on. Everything
+else (slot reuse, trimming, queueing) rides on that.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.models.wavenet import WaveNet
+from neural_sound_generation_tpu.serving import WaveNetStreamMux
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = WaveNet(
+        layers=4, stacks=2, residual_channels=8, gate_channels=16,
+        skip_out_channels=8, out_channels=30, kernel_size=2,
+        cin_channels=4, gin_channels=-1, scalar_input=True,
+        upsample_scales=(2, 2),
+    )
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 4))
+    variables = model.init(jax.random.PRNGKey(0), x0, c0, None)
+    return model, variables
+
+
+def _mux(model, variables, slots=4):
+    # l_max = (1.0 * 256) // 32 * 32 = 256 samples (8 chunks)
+    return WaveNetStreamMux(
+        model, variables, chunk=32, slots=slots, dtype=None,
+        max_seconds=1.0, sample_rate=256,
+    )
+
+
+def _cond(seed, frames=16):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(frames, 4).astype(np.float32)
+    )
+
+
+def _collect(gen):
+    return np.concatenate(list(gen))
+
+
+def test_session_length_and_range(tiny):
+    model, variables = tiny
+    mux = _mux(model, variables)
+    out = _collect(mux.open(_cond(0, frames=15), jax.random.PRNGKey(7)))
+    assert out.shape == (15 * 4,)  # upsample x4, final chunk trimmed
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0
+
+
+def test_deterministic_per_key(tiny):
+    model, variables = tiny
+    mux = _mux(model, variables)
+    a = _collect(mux.open(_cond(1), jax.random.PRNGKey(3)))
+    b = _collect(mux.open(_cond(1), jax.random.PRNGKey(3)))
+    c = _collect(mux.open(_cond(1), jax.random.PRNGKey(4)))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)  # key actually drives the sampling
+
+
+def test_isolation_from_concurrent_sessions(tiny):
+    """A session's output is bitwise identical whether it runs alone or
+    concurrently with other sessions in neighboring slots."""
+    model, variables = tiny
+    mux = _mux(model, variables)
+    solo = _collect(mux.open(_cond(2), jax.random.PRNGKey(11)))
+
+    results = {}
+
+    def run(name, seed, key):
+        results[name] = _collect(
+            mux.open(_cond(seed), jax.random.PRNGKey(key))
+        )
+
+    threads = [
+        threading.Thread(target=run, args=("a", 2, 11)),
+        threading.Thread(target=run, args=("b", 5, 12)),
+        threading.Thread(target=run, args=("c", 6, 13)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    np.testing.assert_array_equal(results["a"], solo)
+    assert results["b"].shape == solo.shape
+    assert not np.array_equal(results["b"], results["c"])
+
+
+def test_more_sessions_than_slots(tiny):
+    """Sessions queue for slots and every one completes (slot reuse)."""
+    model, variables = tiny
+    mux = _mux(model, variables, slots=2)
+    results = [None] * 5
+
+    def run(i):
+        results[i] = _collect(
+            mux.open(_cond(10 + i), jax.random.PRNGKey(i))
+        )
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    for r in results:
+        assert r is not None and r.shape == (16 * 4,)
+    # and the mux drained completely
+    assert mux.active == 0
+
+
+def test_capacity_guard(tiny):
+    model, variables = tiny
+    mux = _mux(model, variables)
+    with pytest.raises(ValueError, match="slot capacity"):
+        mux.open(_cond(0, frames=100), jax.random.PRNGKey(0))  # 400 > 256
+
+
+def test_discrete_output_mode(tiny):
+    """CE/mulaw-quantize models stream integer sample ids."""
+    model = WaveNet(
+        layers=2, stacks=1, residual_channels=8, gate_channels=16,
+        skip_out_channels=8, out_channels=16, kernel_size=2,
+        cin_channels=4, gin_channels=-1, scalar_input=False,
+        quantize_channels=16, upsample_scales=(2, 2),
+    )
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8), jnp.int32), False)
+    c0 = jnp.zeros((1, 2, 4))
+    variables = model.init(jax.random.PRNGKey(0), x0, c0, None)
+    mux = _mux(model, variables, slots=2)
+    out = _collect(mux.open(_cond(3, frames=9), jax.random.PRNGKey(5)))
+    assert out.shape == (9 * 4,)
+    assert out.dtype in (np.int32, np.int64)
+    assert (out >= 0).all() and (out < 16).all()
