@@ -280,10 +280,26 @@ class InferenceService:
                 # re-synthesize through the trained WaveNet instead of
                 # the Griffin-Lim the sampler used
                 mels = np.asarray(self._decode(codes))[..., 0]
-                wavs = [
-                    self._vocode(jnp.asarray(m), seed=seed + i)
-                    for i, m in enumerate(mels)
-                ]
+                if self._stream_mux is not None:
+                    # open every session up front so all n utterances
+                    # synthesize CONCURRENTLY through the mux slots,
+                    # then drain in order
+                    opens = [
+                        self._stream_mux.open(
+                            jnp.transpose(jnp.asarray(m)),
+                            jax.random.PRNGKey(seed + i),
+                        )
+                        for i, m in enumerate(mels)
+                    ]
+                    wavs = [
+                        np.concatenate([self._post_np(c) for c in g])
+                        for g in opens
+                    ]
+                else:
+                    wavs = [
+                        self._vocode(jnp.asarray(m), seed=seed + i)
+                        for i, m in enumerate(mels)
+                    ]
         wav = np.concatenate([np.asarray(w) for w in np.asarray(wavs)])
         return self._encode_wav_bytes(wav)
 
