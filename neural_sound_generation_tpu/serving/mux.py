@@ -246,10 +246,18 @@ class WaveNetStreamMux:
                 else:
                     pass
             if active:
+                # Snapshot the mutable host-side control buffers before
+                # dispatch: the H2D transfer behind jnp.asarray may read
+                # the numpy buffer asynchronously, and this thread mutates
+                # _pos/_fresh right after dispatch — without the copy a
+                # fresh slot's zero-state flag can be lost mid-transfer
+                # and the joining session leaks the previous occupant's
+                # generation state (seen as a nondeterministic first
+                # chunk on slot reuse).
                 state, out = self._mux_step(
                     self._variables, self._state, self._c_slots,
-                    self._keys, jnp.asarray(self._pos),
-                    jnp.asarray(self._fresh),
+                    self._keys, jnp.asarray(np.array(self._pos)),
+                    jnp.asarray(np.array(self._fresh)),
                 )
                 self._state = state
                 try:

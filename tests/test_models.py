@@ -417,3 +417,49 @@ def test_model_forwards_match_golden():
     np.testing.assert_allclose(
         np.asarray(p.apply(pv, codes, lab)), g["pcnn_logits"], atol=1e-4
     )
+
+
+@pytest.mark.parametrize(
+    "maker,ci,shapes",
+    [
+        ("down", 3, [(2, 8, 8), (2, 7, 7), (2, 9, 6)]),
+        ("up", 8, [(2, 4, 4), (2, 20, 7), (2, 5, 3)]),
+    ],
+)
+def test_phased_conv_matches_stock(monkeypatch, maker, ci, shapes):
+    """The phase-decomposed stride-2 convs (layers.py) are exact rewrites
+    of the stock XLA lowering: same parameter tree, same outputs, same
+    parameter/input gradients — on even AND odd spatial extents (the
+    flagship's 20x7 latent grid exercises odd width). The rewrite exists
+    so the TPU MXU never multiplies the zeros an LHS-dilated conv inserts;
+    numerics must not change."""
+    from neural_sound_generation_tpu.models import layers as L
+
+    make = (lambda: L.conv_down(16)) if maker == "down" else (lambda: L.conv_up(16))
+    for shape in shapes:
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=shape + (ci,)).astype(np.float32)
+        )
+        monkeypatch.setenv("NSG_CONV_IMPL", "stock")
+        mod_s = make()
+        params = mod_s.init(jax.random.PRNGKey(0), x)
+
+        def loss(mod, p, x):
+            return jnp.sum(jnp.sin(mod.apply(p, x)))
+
+        ys = mod_s.apply(params, x)
+        gs, gxs = jax.grad(lambda p, x: loss(mod_s, p, x), argnums=(0, 1))(params, x)
+
+        monkeypatch.setenv("NSG_CONV_IMPL", "phased")
+        mod_p = make()
+        yp = mod_p.apply(params, x)  # same param tree must be interchangeable
+        gp, gxp = jax.grad(lambda p, x: loss(mod_p, p, x), argnums=(0, 1))(params, x)
+
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gxs), np.asarray(gxp), atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
+            )

@@ -142,3 +142,18 @@ def test_discrete_output_mode(tiny):
     assert out.shape == (9 * 4,)
     assert out.dtype in (np.int32, np.int64)
     assert (out >= 0).all() and (out < 16).all()
+
+
+def test_slot_reuse_determinism_hammer(tiny):
+    """Regression: repeated sequential sessions (same cond, same key) must
+    be bitwise identical. Each reuses slot 0 right after the previous
+    occupant finished; before mux.py snapshotted _pos/_fresh at dispatch,
+    the async H2D transfer could read the buffers after the worker reset
+    them, silently dropping the fresh-slot state zeroing and leaking the
+    previous session's WaveNet state into the first chunk."""
+    model, variables = tiny
+    mux = _mux(model, variables)
+    first = _collect(mux.open(_cond(8), jax.random.PRNGKey(21)))
+    for _ in range(7):
+        again = _collect(mux.open(_cond(8), jax.random.PRNGKey(21)))
+        np.testing.assert_array_equal(first, again)
