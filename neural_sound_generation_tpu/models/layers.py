@@ -7,8 +7,11 @@ disappear entirely.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any
+
+import numpy as np
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -75,7 +78,8 @@ def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
               rhs_dilation=None, dimension_numbers=None,
               feature_group_count=1, precision=None):
     """``lax.conv_general_dilated`` drop-in that rewrites the 4x4/s2/p1
-    downsampling conv as space-to-depth + a dense 2x2/s1 conv.
+    downsampling conv as space-to-depth + a dense 2x2/s1 conv (and the 1-D
+    4/s2/p1 analog as sample-pair-to-depth + a dense 2-tap/s1 conv).
 
     The rewrite is exact: y[m] = sum_t x_pad[2m+t] w[t] regroups by input
     phase (even/odd) into a 2-tap unit-stride conv over the phase-stacked
@@ -85,6 +89,29 @@ def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
     dense conv. Used via flax's ``nn.Conv(conv_general_dilated=...)`` hook
     so parameter names/shapes stay byte-identical to stock ``Conv``.
     """
+    ones = tuple(1 for _ in strides)
+    supported_1d = (
+        inputs.ndim == 3
+        and kernel.ndim == 3
+        and kernel.shape[0] == 4
+        and tuple(strides) == (2,)
+        and padding == ((1, 1),)
+        and tuple(lhs_dilation or ones) == ones
+        and tuple(rhs_dilation or ones) == ones
+        and feature_group_count == 1
+        and _use_phased()
+    )
+    if supported_1d:
+        b, t, ci = inputs.shape
+        co = kernel.shape[-1]
+        tp = t + 2 + (t % 2)
+        xp = jnp.pad(inputs, ((0, 0), (1, tp - t - 1), (0, 0)))
+        xs = xp.reshape(b, tp // 2, 2 * ci)
+        k = kernel.reshape(2, 2 * ci, co)
+        y = lax.conv_general_dilated(
+            xs, k, (1,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), precision=precision)
+        return y[:, : t // 2, :]
     supported = (
         inputs.ndim == 4
         and kernel.ndim == 4
@@ -142,6 +169,20 @@ class ConvTranspose(nn.ConvTranspose):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # type: ignore[override]
+        supported_1d = (
+            x.ndim == 3
+            and len(tuple(self.kernel_size)) == 1
+            and self.strides is not None
+            and len(tuple(self.strides)) == 1
+            and tuple(self.strides)[0] > 1
+            and self.padding == "SAME"
+            and not self.transpose_kernel
+            and self.mask is None
+            and tuple(self.kernel_dilation or (1,)) == (1,)
+            and _use_phased()
+        )
+        if supported_1d:
+            return self._phased_1d(x)
         supported = (
             x.ndim == 4
             and tuple(self.kernel_size) == (4, 4)
@@ -184,6 +225,59 @@ class ConvTranspose(nn.ConvTranspose):
         ).reshape(b, 2 * h, 2 * w, co)
         if bias is not None:
             y = y + bias.reshape((1, 1, 1, co))
+        return y
+
+    def _phased_1d(self, x: jnp.ndarray) -> jnp.ndarray:
+        """General (k, s) 1-D SAME transpose conv as ONE dense unit-stride
+        conv over per-phase regrouped kernels + an interleave.
+
+        Output n = s*m + p takes taps t = s*d + pad_a - p (0 <= t < k) from
+        x[m + d], where pad_a is the left pad ``lax.conv_transpose`` derives
+        for SAME. Per phase that is a ceil(k/s)-tap unit-stride conv; all s
+        phases stack into the output-channel dim of one conv producing
+        (B, T, s*co) at a common window width w = max per-phase tap count
+        (each phase then reads its own shifted slice). The stock lowering
+        dilates x with s-1 zeros between samples and runs the full k-tap
+        conv at every output — ~s x the useful MACs; this path does
+        w*s ~= k MACs per input sample, i.e. exactly the useful work (plus
+        at most one masked tap row when s does not divide k). Same math per
+        output sample; same parameter tree as stock ``nn.ConvTranspose``.
+        """
+        k = tuple(self.kernel_size)[0]
+        s = tuple(self.strides)[0]
+        b, t, ci = x.shape
+        co = self.features
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, ci, co), self.param_dtype)
+        bias = (
+            self.param("bias", self.bias_init, (co,), self.param_dtype)
+            if self.use_bias else None)
+        x, kernel, bias = self.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        pad_len = k + s - 2
+        pad_a = k - 1 if s > k - 1 else -(-pad_len // 2)
+        d0 = [math.ceil((p - pad_a) / s) for p in range(s)]
+        w = max((k - 1 + p - pad_a) // s - d0[p] + 1 for p in range(s))
+        dmin = min(d0)
+        dmax = max(dp + w - 1 for dp in d0)
+        # taps[j, p] = kernel row feeding phase p at window offset j
+        taps = np.array(
+            [[s * (d0[p] + j) + pad_a - p for p in range(s)] for j in range(w)])
+        valid = (taps >= 0) & (taps < k)
+        kk = kernel[np.clip(taps, 0, k - 1)]  # (w, s, ci, co), static gather
+        kk = kk * jnp.asarray(valid, kk.dtype)[..., None, None]
+        kk = kk.transpose(0, 2, 1, 3).reshape(w, ci, s * co)
+        xp = jnp.pad(x, ((0, 0), (-dmin, dmax), (0, 0)))
+        z = lax.conv_general_dilated(
+            xp, kk, (1,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=self.precision)
+        phases = [
+            z[:, d0[p] - dmin: d0[p] - dmin + t, p * co:(p + 1) * co]
+            for p in range(s)
+        ]
+        y = jnp.stack(phases, axis=2).reshape(b, s * t, co)
+        if bias is not None:
+            y = y + bias.reshape((1, 1, co))
         return y
 
 

@@ -28,7 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from neural_sound_generation_tpu.models.layers import conv_kernel_init
+from neural_sound_generation_tpu.models.layers import (
+    ConvTranspose, conv_kernel_init)
 
 
 def _dilations(layers: int, stacks: int) -> Sequence[int]:
@@ -49,7 +50,7 @@ class ConditionUpsampler(nn.Module):
     @nn.compact
     def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
         for s in self.scales:
-            c = nn.ConvTranspose(
+            c = ConvTranspose(
                 self.channels,
                 (2 * s,),
                 strides=(s,),

@@ -25,7 +25,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from neural_sound_generation_tpu.models.layers import conv_kernel_init
+from neural_sound_generation_tpu.models.layers import (
+    ConvTranspose, _s2d_conv, conv_kernel_init)
 from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq, vq_st
 
 
@@ -53,6 +54,7 @@ class WaveEncoder(nn.Module):
             h = nn.Conv(
                 self.dim, (4,), strides=(2,), padding=((1, 1),),
                 kernel_init=conv_kernel_init, name=f"conv_{i}",
+                conv_general_dilated=_s2d_conv,
             )(h)
             if i < self.num_downsample - 1:
                 h = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(h)
@@ -73,13 +75,13 @@ class WaveDecoder(nn.Module):
         d = ResBlock1D(self.dim, name="res_1")(d, train)
         d = nn.relu(d)
         for i in range(self.num_downsample - 1):
-            d = nn.ConvTranspose(
+            d = ConvTranspose(
                 self.dim, (4,), strides=(2,), padding="SAME",
                 kernel_init=conv_kernel_init, name=f"conv_{i}",
             )(d)
             d = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(d)
             d = nn.relu(d)
-        out = nn.ConvTranspose(
+        out = ConvTranspose(
             self.out_channels, (4,), strides=(2,), padding="SAME",
             kernel_init=conv_kernel_init, name="out",
         )(d)

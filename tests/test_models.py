@@ -463,3 +463,83 @@ def test_phased_conv_matches_stock(monkeypatch, maker, ci, shapes):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
             )
+
+
+@pytest.mark.parametrize(
+    "k,s,lengths",
+    [
+        (4, 2, [16, 9, 1]),   # WaveVQVAE decoder upsampler
+        (8, 4, [11, 1]),      # WaveNet ConditionUpsampler scale 4
+        (6, 3, [5]),          # non-power-of-two scale
+        (5, 2, [9]),          # s does not divide k (masked tap row)
+        (2, 2, [6]),          # k == s
+    ],
+)
+def test_phased_conv_transpose_1d_matches_stock(k, s, lengths):
+    """The general (k, s) 1-D phased transpose conv (layers.ConvTranspose.
+    _phased_1d) is an exact rewrite of flax's SAME lowering for every
+    (kernel, stride) the models use — WaveVQVAE's 4/s2 decoder and the
+    WaveNet conditioning upsampler's 2s/s stages — including odd lengths,
+    T=1, and non-divisible k/s. Same parameter tree; outputs and both
+    gradients match."""
+    import flax.linen as nn
+
+    from neural_sound_generation_tpu.models import layers as L
+
+    ci, co = 5, 7
+    stock = nn.ConvTranspose(co, (k,), strides=(s,), padding="SAME")
+    phased = L.ConvTranspose(co, (k,), strides=(s,), padding="SAME")
+    for t in lengths:
+        x = jnp.asarray(
+            np.random.default_rng(t).normal(size=(2, t, ci)).astype(np.float32)
+        )
+        params = stock.init(jax.random.PRNGKey(0), x)
+
+        def loss(mod, p, x):
+            return jnp.sum(jnp.sin(mod.apply(p, x)))
+
+        ys = stock.apply(params, x)
+        yp = phased.apply(params, x)  # same param tree must be interchangeable
+        assert ys.shape == yp.shape == (2, s * t, co)
+        gs, gxs = jax.grad(lambda p, x: loss(stock, p, x), argnums=(0, 1))(params, x)
+        gp, gxp = jax.grad(lambda p, x: loss(phased, p, x), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gxs), np.asarray(gxp), atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gp)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
+            )
+
+
+def test_wave_models_phased_matches_stock(monkeypatch):
+    """Model-level check that the 1-D phased paths wired into WaveVQVAE
+    (encoder strided convs + decoder transpose convs) and the WaveNet
+    ConditionUpsampler change nothing numerically: one forward pass under
+    NSG_CONV_IMPL=stock vs phased with identical params."""
+    from neural_sound_generation_tpu.models.wavenet import ConditionUpsampler
+    from neural_sound_generation_tpu.models.wavevqvae import WaveVQVAE
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 128, 1)).astype(np.float32)
+    )
+    monkeypatch.setenv("NSG_CONV_IMPL", "stock")
+    m = WaveVQVAE(dim=16, z_dim=8, num_downsample=3)
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    ys = m.apply(v, x, train=False)[0]
+    monkeypatch.setenv("NSG_CONV_IMPL", "phased")
+    yp = WaveVQVAE(dim=16, z_dim=8, num_downsample=3).apply(v, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yp), atol=1e-5)
+
+    c = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 7, 80)).astype(np.float32)
+    )
+    monkeypatch.setenv("NSG_CONV_IMPL", "stock")
+    up = ConditionUpsampler(scales=(4, 4), channels=80)
+    uv = up.init(jax.random.PRNGKey(2), c)
+    us = up.apply(uv, c)
+    monkeypatch.setenv("NSG_CONV_IMPL", "phased")
+    upp = ConditionUpsampler(scales=(4, 4), channels=80).apply(uv, c)
+    assert us.shape == upp.shape == (2, 7 * 16, 80)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(upp), atol=1e-5)
