@@ -253,53 +253,65 @@ class InferenceService:
         labels = jnp.full((n,), label, jnp.int32)
         key = jax.random.PRNGKey(seed)
         prior, pv, bottom, bv = self._prior
+        # sample the prior(s) and decode ONCE to mels; the synthesis
+        # backend (trained WaveNet vs Griffin-Lim) is chosen below for
+        # BOTH model families — key splits mirror sample_*_audio so the
+        # GL path stays bit-identical to the pre-split behavior
         if self.hier:
             from neural_sound_generation_tpu.inference import (
-                sample_hier_audio,
+                sample_hier_mels,
             )
 
             shape_top = (self.cfg.audio.num_mels // 8, self.frames // 8)
-            _, _, wavs = sample_hier_audio(
+            _, _, mels = sample_hier_mels(
                 self.model, self.variables, prior, pv, bottom, bv,
-                labels, shape_top, self.cfg.audio, key,
+                labels, shape_top, key,
             )
+            _, _, k_gl = jax.random.split(key, 3)
         else:
             from neural_sound_generation_tpu.inference import (
-                sample_prior_audio,
+                sample_prior_mels,
             )
 
             code_shape = (
                 self.cfg.audio.num_mels // self.STRIDE,
                 self.frames // self.STRIDE,
             )
-            codes, wavs = sample_prior_audio(
+            k_codes, k_gl = jax.random.split(key)
+            _, mels = sample_prior_mels(
                 self.model, self.variables, prior, pv, labels,
-                code_shape, self.cfg.audio, key,
+                code_shape, k_codes,
             )
-            if self._vocoder is not None:
-                # re-synthesize through the trained WaveNet instead of
-                # the Griffin-Lim the sampler used
-                mels = np.asarray(self._decode(codes))[..., 0]
-                if self._stream_mux is not None:
-                    # open every session up front so all n utterances
-                    # synthesize CONCURRENTLY through the mux slots,
-                    # then drain in order
-                    opens = [
-                        self._stream_mux.open(
-                            jnp.transpose(jnp.asarray(m)),
-                            jax.random.PRNGKey(seed + i),
-                        )
-                        for i, m in enumerate(mels)
-                    ]
-                    wavs = [
-                        np.concatenate([self._post_np(c) for c in g])
-                        for g in opens
-                    ]
-                else:
-                    wavs = [
-                        self._vocode(jnp.asarray(m), seed=seed + i)
-                        for i, m in enumerate(mels)
-                    ]
+        if self._vocoder is not None:
+            # synthesize through the trained WaveNet
+            mels_np = np.asarray(mels)
+            if self._stream_mux is not None:
+                # open every session up front so all n utterances
+                # synthesize CONCURRENTLY through the mux slots,
+                # then drain in order
+                opens = [
+                    self._stream_mux.open(
+                        jnp.transpose(jnp.asarray(m)),
+                        jax.random.PRNGKey(seed + i),
+                    )
+                    for i, m in enumerate(mels_np)
+                ]
+                wavs = [
+                    np.concatenate([self._post_np(c) for c in g])
+                    for g in opens
+                ]
+            else:
+                wavs = [
+                    self._vocode(jnp.asarray(m), seed=seed + i)
+                    for i, m in enumerate(mels_np)
+                ]
+        else:
+            from neural_sound_generation_tpu.ops import dsp
+
+            keys = jax.random.split(k_gl, n)
+            wavs = dsp.inv_mel_spectrogram_batch(
+                jnp.asarray(mels), self.cfg.audio, keys
+            )
         wav = np.concatenate([np.asarray(w) for w in np.asarray(wavs)])
         return self._encode_wav_bytes(wav)
 
@@ -465,9 +477,7 @@ class InferenceService:
         With a WaveNet vocoder attached, synthesis instead runs the
         autoregressive sampler over the stitched reconstructed mel."""
         if self._vocoder is not None:
-            windows, t, n_win = self._wav_to_mel(wav_bytes)
-            mels_out = np.asarray(self._reconstruct(windows))[..., 0]
-            full = np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
+            full = self._reconstruct_full_mel(wav_bytes)
             wav = self._vocode(jnp.asarray(full))
             return self._encode_wav_bytes(wav)
         if self.batcher is not None:
@@ -476,6 +486,14 @@ class InferenceService:
         wav = np.asarray(self._reconstruct_wav(jnp.asarray(padded)))
         wav = wav[: min(n_data, len(wav))]
         return self._encode_wav_bytes(wav)
+
+    def _reconstruct_full_mel(self, wav_bytes: bytes) -> np.ndarray:
+        """Window -> reconstruct -> stitch along time -> trim to the true
+        frame count: the shared mel pipeline for every vocoder-backed
+        endpoint (one place to fix window-boundary handling)."""
+        windows, t, n_win = self._wav_to_mel(wav_bytes)
+        mels_out = np.asarray(self._reconstruct(windows))[..., 0]
+        return np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
 
     def _pad_for_reconstruct(self, wav_bytes: bytes):
         """Decode + zero-pad input samples to the power-of-two serving
@@ -574,9 +592,7 @@ class InferenceService:
             raise ValueError(
                 "streaming reconstruct requires --vocoder wavenet"
             )
-        windows, t, n_win = self._wav_to_mel(wav_bytes)
-        mels_out = np.asarray(self._reconstruct(windows))[..., 0]
-        full = np.concatenate(list(mels_out[:n_win]), axis=-1)[:, :t]
+        full = self._reconstruct_full_mel(wav_bytes)
         for chunk in self._vocode_stream(jnp.asarray(full)):
             yield (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
                 "<i2"
@@ -618,13 +634,16 @@ def make_handler(service: InferenceService):
             """Stream an iterable of byte pieces with chunked framing.
             The iterable is created by the CALLER before headers go out,
             so validation errors still produce a clean 400; failures
-            mid-stream can only drop the connection."""
+            mid-stream can only drop the connection (do_POST checks
+            ``_streaming_started`` and never writes a second response
+            into the chunked body)."""
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             for k, v in headers:
                 self.send_header(k, v)
             self.end_headers()
+            self._streaming_started = True
             for piece in pieces:
                 if piece:
                     self.wfile.write(
@@ -656,6 +675,7 @@ def make_handler(service: InferenceService):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
+            self._streaming_started = False
             try:
                 if self.path == "/encode":
                     self._send(200, json.dumps(service.encode(body)).encode())
@@ -685,6 +705,16 @@ def make_handler(service: InferenceService):
                 else:
                     self._send(404, b'{"error": "not found"}')
             except self._CLIENT_ERRORS as e:
+                if self._streaming_started:
+                    # chunked headers already sent: a status line here
+                    # would land inside the body and poison the framing —
+                    # the only correct signal is dropping the connection
+                    # (the client sees a truncated, unterminated stream)
+                    logging.getLogger("nsg.serve").warning(
+                        "mid-stream client error on %s: %s", self.path, e
+                    )
+                    self.close_connection = True
+                    return
                 self._send(400, json.dumps(
                     {"error": f"bad request: {type(e).__name__}: {e}"}
                 ).encode())
@@ -695,6 +725,9 @@ def make_handler(service: InferenceService):
                 logging.getLogger("nsg.serve").exception(
                     "internal error %s on %s", err_id, self.path
                 )
+                if self._streaming_started:
+                    self.close_connection = True
+                    return
                 self._send(500, json.dumps(
                     {"error": "internal error", "id": err_id}
                 ).encode())

@@ -91,6 +91,26 @@ def codes_to_audio(
     return dsp.inv_mel_spectrogram_batch(mel, cfg, keys)
 
 
+def sample_prior_mels(
+    model: VQVAE,
+    variables,
+    prior: GatedPixelCNN,
+    prior_variables,
+    labels: jnp.ndarray,
+    code_shape: Tuple[int, int],
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PixelCNN samples code grids -> decoder. Returns (code grids,
+    mel batch (B, num_mels, frames)) — the synthesis backend (Griffin-Lim
+    or a trained vocoder) is the caller's choice."""
+    codes = pixelcnn_generate(
+        prior, prior_variables, labels, key,
+        shape=code_shape, batch_size=int(labels.shape[0]),
+    )
+    mels = _decode_fn(model)(variables, codes, None)[..., 0]
+    return codes, mels
+
+
 def sample_prior_audio(
     model: VQVAE,
     variables,
@@ -104,12 +124,11 @@ def sample_prior_audio(
     """Full generative path: PixelCNN samples code grids -> decoder ->
     Griffin-Lim. Returns (code grids, waveforms)."""
     k1, k2 = jax.random.split(key)
-    codes = pixelcnn_generate(
-        prior, prior_variables, labels, k1,
-        shape=code_shape, batch_size=int(labels.shape[0]),
+    codes, mels = sample_prior_mels(
+        model, variables, prior, prior_variables, labels, code_shape, k1
     )
-    wavs = codes_to_audio(model, variables, codes, cfg, k2)
-    return codes, wavs
+    keys = jax.random.split(k2, mels.shape[0])
+    return codes, dsp.inv_mel_spectrogram_batch(mels, cfg, keys)
 
 
 # --------------------------------------------------------------------------
@@ -127,6 +146,44 @@ def hier_cond_map(vqvae_variables, idx_top: jnp.ndarray):
         idx_top.shape + (cb_top.shape[-1],)
     )
     return jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
+
+
+def sample_hier_mels(
+    vqvae_model,
+    vqvae_variables,
+    top_prior: GatedPixelCNN,
+    top_variables,
+    bottom_prior: GatedPixelCNN,
+    bottom_variables,
+    labels: jnp.ndarray,
+    top_shape: Tuple[int, int],
+    key: jax.Array,
+):
+    """VQ-VAE-2-style ancestral chain up to the decoded mel: sample the
+    top prior, condition the bottom prior on the decoded top codes, and
+    decode both levels. Returns (idx_top, idx_bottom, mel batch); the
+    synthesis backend is the caller's choice. ``bottom_prior`` must be
+    built with ``spatial_cond=True``."""
+    from neural_sound_generation_tpu.models import HierVQVAE
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+
+    B = int(labels.shape[0])
+    Ht, Wt = top_shape
+    # 3-way split with the third (Griffin-Lim) key unused, so samples are
+    # bit-identical to sample_hier_audio's under the same key
+    k_t, k_b, _ = jax.random.split(key, 3)
+    idx_t = fast_generate(
+        top_prior, top_variables, labels, k_t, shape=(Ht, Wt), batch_size=B
+    )
+    cond = hier_cond_map(vqvae_variables, idx_t)
+    idx_b = fast_generate(
+        bottom_prior, bottom_variables, labels, k_b,
+        shape=(2 * Ht, 2 * Wt), batch_size=B, cond_map=cond,
+    )
+    mels = vqvae_model.apply(
+        vqvae_variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
+    )[..., 0]
+    return idx_t, idx_b, mels
 
 
 def sample_hier_audio(
@@ -148,23 +205,11 @@ def sample_hier_audio(
     Returns (idx_top, idx_bottom, waveforms). ``bottom_prior`` must be
     built with ``spatial_cond=True``.
     """
-    from neural_sound_generation_tpu.models import HierVQVAE
-    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
-
-    B = int(labels.shape[0])
-    Ht, Wt = top_shape
-    k_t, k_b, k_w = jax.random.split(key, 3)
-    idx_t = fast_generate(
-        top_prior, top_variables, labels, k_t, shape=(Ht, Wt), batch_size=B
+    _, _, k_w = jax.random.split(key, 3)
+    idx_t, idx_b, mels = sample_hier_mels(
+        vqvae_model, vqvae_variables, top_prior, top_variables,
+        bottom_prior, bottom_variables, labels, top_shape, key,
     )
-    cond = hier_cond_map(vqvae_variables, idx_t)
-    idx_b = fast_generate(
-        bottom_prior, bottom_variables, labels, k_b,
-        shape=(2 * Ht, 2 * Wt), batch_size=B, cond_map=cond,
-    )
-    mels = vqvae_model.apply(
-        vqvae_variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
-    )[..., 0]
-    keys = jax.random.split(k_w, B)
+    keys = jax.random.split(k_w, int(labels.shape[0]))
     wavs = dsp.inv_mel_spectrogram_batch(mels, cfg, keys)
     return idx_t, idx_b, wavs

@@ -315,9 +315,13 @@ def _build_kernel(model, dilations, length, teacher: bool):
 
 def _call(model, variables, c_up, seed, length, x_teacher=None,
           interpret: bool = False):
-    dilations = [
-        2 ** (i % (model.layers // model.stacks)) for i in range(model.layers)
-    ]
+    # the model's own schedule (lazy import — models.wavenet imports this
+    # module inside a function): any future schedule change reaches the
+    # kernel's ring offsets and the scan sampler it is parity-tested
+    # against identically
+    from neural_sound_generation_tpu.models.wavenet import _dilations
+
+    dilations = list(_dilations(model.layers, model.stacks))
     packed = _pack_weights(model, variables["params"], dilations)
     rmax = (model.kernel_size - 1) * max(dilations)
     teacher = x_teacher is not None

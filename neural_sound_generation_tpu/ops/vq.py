@@ -129,8 +129,13 @@ def _sum_rows_by_code(rows_flat, indices_flat, num_codes):
     (N x K) one-hots fall back to segment_sum."""
     n = rows_flat.shape[0]
     if n * num_codes * 4 > _ONEHOT_GRAD_MAX_BYTES:
+        # accumulate in f32 like the one-hot path's preferred_element_type:
+        # segment_sum returns the INPUT dtype, and bf16 represents integers
+        # exactly only up to 256 — popular codes' cluster counts (the ones
+        # column codebook_ema_update prepends) would round otherwise
         return jax.ops.segment_sum(
-            rows_flat, indices_flat, num_segments=num_codes
+            rows_flat.astype(jnp.float32), indices_flat,
+            num_segments=num_codes,
         )
     onehot = (
         indices_flat[:, None] == jnp.arange(num_codes)[None, :]

@@ -66,9 +66,11 @@ class WaveNetStreamMux:
 
     ``open(c, key)`` -> iterator of (chunk,) float waveform pieces for a
     (T', cin_channels) conditioning matrix (unupsampled mel frames, the
-    same input the solo streaming sampler takes). Blocks while all slots
-    are busy. ``max_seconds`` bounds a single utterance (slot-buffer
-    capacity); longer conditioning raises ValueError.
+    same input the solo streaming sampler takes). While all slots are
+    busy new sessions queue (unbounded) and are admitted at the next
+    free chunk boundary — callers wanting admission control should gate
+    on ``active``. ``max_seconds`` bounds a single utterance
+    (slot-buffer capacity); longer conditioning raises ValueError.
     """
 
     def __init__(self, model: WaveNet, variables, chunk: int = 4096,
@@ -80,7 +82,9 @@ class WaveNetStreamMux:
         self.chunk = int(chunk)
         self.slots = int(slots)
         self.dtype = dtype
-        n_chunks_cap = max(1, int(max_seconds * sample_rate) // self.chunk)
+        # ceil: an utterance within max_seconds must fit (a floor would
+        # reject lengths between the last whole chunk and the stated cap)
+        n_chunks_cap = max(1, -(-int(max_seconds * sample_rate) // self.chunk))
         self.l_max = n_chunks_cap * self.chunk
         self._variables = jax.device_put(variables)
 
@@ -150,6 +154,11 @@ class WaveNetStreamMux:
         self._fresh = np.zeros(self.slots, bool)
         self._sessions: list = [None] * self.slots
         self._pending: list = []
+        # sessions with a dispatched-but-undelivered chunk (the one-chunk
+        # lookahead): a FINISHED session leaves _sessions at dispatch time
+        # while its last chunk is still in flight, so the crash handler
+        # must also wake these or their consumers block forever
+        self._inflight: list = []
         self._cv = threading.Condition()
         self._started = False
 
@@ -223,11 +232,16 @@ class WaveNetStreamMux:
             with self._cv:
                 victims = [s for s in self._sessions if s is not None]
                 victims += self._pending
+                victims += self._inflight
                 self._sessions = [None] * self.slots
                 self._pending = []
+                self._inflight = []
                 self._started = False
+            seen = set()
             for s in victims:
-                s.queue.put(e)
+                if id(s) not in seen:
+                    seen.add(id(s))
+                    s.queue.put(e)
 
     def _loop(self):
         prev_out = None  # (out device array, [(slot, session, valid)])
@@ -280,6 +294,12 @@ class WaveNetStreamMux:
                 cur = (out, deliveries)
             else:
                 cur = None
+            # every session with a dispatched-but-undelivered chunk, for
+            # the crash handler (exceptions below or in the next dispatch)
+            self._inflight = [
+                d[1] for po in (prev_out, cur) if po is not None
+                for d in po[1]
+            ]
             # deliver the PREVIOUS chunk after dispatching the next one:
             # readback rides under device compute (one-chunk lookahead).
             # end-of-stream is the flag captured at dispatch time — the
@@ -292,3 +312,4 @@ class WaveNetStreamMux:
                     if final:
                         s.queue.put(None)
             prev_out = cur
+            self._inflight = [d[1] for d in cur[1]] if cur is not None else []

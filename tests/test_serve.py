@@ -721,3 +721,118 @@ def test_sample_through_stream_mux():
     assert sr == 22050
     assert len(wav) == 3 * 16 * 256  # n x frames x hop
     assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_hier_sample_routes_through_vocoder():
+    """Regression: with a WaveNet vocoder attached, /sample for the
+    HIERARCHICAL family synthesizes through the vocoder too — the
+    re-synthesis branch used to exist only in the flat-VQVAE path, so a
+    hier server silently fell back to Griffin-Lim while its /decode
+    endpoint used the vocoder."""
+    import io as _io
+
+    from scipy.io import wavfile
+
+    from neural_sound_generation_tpu.cli.serve import InferenceService
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import (
+        GatedPixelCNN,
+        HierVQVAE,
+        WaveNet,
+    )
+
+    cfg = Config()
+    model = HierVQVAE(input_dim=1, dim=8, z_dim=16, z_dim_top=12)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)), train=False
+    )
+    wn = WaveNet(out_channels=30, layers=2, stacks=1, residual_channels=8,
+                 gate_channels=8, skip_out_channels=8, cin_channels=80,
+                 upsample_scales=(16, 16), scalar_input=True)
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 80))
+    wn_vars = wn.init(jax.random.PRNGKey(1), x0, c0, None)
+    svc = InferenceService(cfg, model, variables, frames=16,
+                           vocoder=(wn, wn_vars))
+    Ht, Wt = 10, 2
+    top = GatedPixelCNN(input_dim=12, dim=8, n_layers=2, n_classes=2)
+    tv = top.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, Ht, Wt), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    bottom = GatedPixelCNN(
+        input_dim=16, dim=8, n_layers=2, n_classes=2, spatial_cond=True
+    )
+    bv = bottom.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 2 * Ht, 2 * Wt), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 2 * Ht, 2 * Wt, 8)),
+    )
+    svc.attach_prior(top, tv, bottom, bv)
+
+    calls = []
+    orig = svc._vocode
+
+    def spy(mel, **kw):
+        calls.append(tuple(mel.shape))
+        return orig(mel, **kw)
+
+    svc._vocode = spy
+    data = svc.sample({"n": 1, "label": 0, "seed": 0})
+    assert calls == [(80, 16)], "hier /sample did not reach the vocoder"
+    sr, wav = wavfile.read(_io.BytesIO(data))
+    assert sr == 22050
+    assert len(wav) == 16 * 256  # frames x hop: the vocoder output length
+    assert np.isfinite(wav.astype(np.float64)).all()
+
+
+def test_mid_stream_failure_drops_connection_cleanly():
+    """Regression: an exception AFTER chunked headers went out must drop
+    the connection — not write a second HTTP status line into the middle
+    of the chunked body (which poisons the framing and the keep-alive
+    connection)."""
+    import socket as _socket
+
+    from http.server import ThreadingHTTPServer
+
+    from neural_sound_generation_tpu.cli.serve import make_handler
+
+    class FailingService:
+        class cfg:  # noqa: N801 — minimal stand-in
+            class audio:  # noqa: N801
+                sample_rate = 22050
+
+        def reconstruct_stream(self, body):
+            yield b"\x01\x02" * 64
+            yield b"\x03\x04" * 64
+            raise RuntimeError("device fell over mid-stream")
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(FailingService()))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = _socket.create_connection(
+            ("127.0.0.1", httpd.server_address[1]), timeout=30
+        )
+        s.sendall(
+            b"POST /reconstruct_stream HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Length: 4\r\n\r\nabcd"
+        )
+        raw = b""
+        while True:
+            piece = s.recv(65536)
+            if not piece:
+                break  # server dropped the connection — the correct signal
+            raw += piece
+        s.close()
+    finally:
+        httpd.shutdown()
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200")
+    assert b"Transfer-Encoding: chunked" in head
+    # the first chunk made it out; the stream is unterminated (no 0-chunk)
+    assert b"\x01\x02" in body
+    assert not body.endswith(b"0\r\n\r\n")
+    # and no second status line was written into the body
+    assert b"HTTP/1.1 500" not in body
+    assert b"HTTP/1.1 400" not in body

@@ -157,3 +157,66 @@ def test_slot_reuse_determinism_hammer(tiny):
     for _ in range(7):
         again = _collect(mux.open(_cond(8), jax.random.PRNGKey(21)))
         np.testing.assert_array_equal(first, again)
+
+
+def test_capacity_honors_stated_seconds_bound(tiny):
+    """Regression: the slot capacity is CEIL(max_seconds*sr/chunk) chunks,
+    so an utterance within max_seconds is always admitted. With a floor, a
+    240-sample utterance under a 250-sample (1.0s @ 250Hz) cap was
+    rejected because 250//32*32 = 224 < 240."""
+    model, variables = tiny
+    mux = WaveNetStreamMux(
+        model, variables, chunk=32, slots=2, dtype=None,
+        max_seconds=1.0, sample_rate=250,
+    )
+    assert mux.l_max >= 250
+    out = _collect(mux.open(_cond(3, frames=60), jax.random.PRNGKey(5)))
+    assert out.shape == (240,)
+
+
+def test_crash_wakes_session_finished_in_lookahead(tiny):
+    """Regression: a session whose FINAL chunk was dispatched (removing it
+    from the slot table) but not yet delivered through the one-chunk
+    lookahead must still receive the worker's exception — before the
+    _inflight tracking, its consumer blocked on queue.get() forever."""
+    model, variables = tiny
+    mux = _mux(model, variables, slots=2)
+    orig = mux._mux_step
+    calls = {"n": 0}
+    b_queued = threading.Event()
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # hold the first dispatch until B is queued so the crash on
+            # the second dispatch deterministically overlaps A's
+            # in-flight final chunk
+            b_queued.wait(timeout=60)
+            return orig(*a, **k)
+        raise RuntimeError("injected device failure")
+
+    mux._mux_step = boom
+    results = {}
+
+    def consume(name, gen):
+        try:
+            results[name] = _collect(gen)
+        except Exception as e:  # noqa: BLE001
+            results[name] = e
+
+    # A finishes at the first dispatch (1 chunk = 8 frames x4 upsample);
+    # B needs a second dispatch, which raises while A's final chunk is
+    # still in the one-chunk lookahead.
+    gen_a = mux.open(_cond(9, frames=8), jax.random.PRNGKey(1))
+    ta = threading.Thread(target=consume, args=("a", gen_a))
+    ta.start()
+    gen_b = mux.open(_cond(9, frames=16), jax.random.PRNGKey(2))
+    b_queued.set()
+    tb = threading.Thread(target=consume, args=("b", gen_b))
+    tb.start()
+    ta.join(timeout=120)
+    tb.join(timeout=120)
+    assert not ta.is_alive(), "short session's consumer is still blocked"
+    assert not tb.is_alive(), "long session's consumer is still blocked"
+    assert isinstance(results["a"], RuntimeError)
+    assert isinstance(results["b"], RuntimeError)

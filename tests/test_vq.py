@@ -158,6 +158,30 @@ def test_codebook_grad_fallback_matches_onehot(rng, monkeypatch):
     np.testing.assert_allclose(g_onehot, g_fallback, atol=1e-5)
 
 
+def test_ema_cluster_counts_exact_in_bf16_fallback(monkeypatch):
+    """Regression: the segment_sum fallback must accumulate cluster
+    counts in f32 even when activations are bf16 — bf16 represents
+    integers exactly only up to 256, so a code selected by 1000 windows
+    in a batch got a rounded count before the upcast (skewing the EMA
+    statistics large-codebook configs rely on)."""
+    import importlib
+
+    vq_module = importlib.import_module(
+        "neural_sound_generation_tpu.ops.vq"
+    )
+    monkeypatch.setattr(vq_module, "_ONEHOT_GRAD_MAX_BYTES", 0)
+
+    n, dim, k = 1000, 4, 8
+    inputs = jnp.ones((n, dim), jnp.bfloat16)
+    idx = jnp.zeros((n,), jnp.int32)  # every window picks code 0
+    _, new_cluster, new_embed = vq_module.codebook_ema_update(
+        jnp.zeros((k, dim)), jnp.zeros((k,)), jnp.zeros((k, dim)),
+        inputs, idx, decay=0.0,
+    )
+    assert float(new_cluster[0]) == float(n)
+    np.testing.assert_allclose(np.asarray(new_embed[0]), np.full(dim, n))
+
+
 def test_ema_update_moves_codebook_toward_assigned_inputs(rng):
     k, d = 8, 4
     cb = rng.standard_normal((k, d)).astype(np.float32)
