@@ -274,7 +274,9 @@ def restart_dead_codes(
     batch_flat: jnp.ndarray,
     key: jax.Array,
     threshold: float = 1.0,
-) -> jnp.ndarray:
+    cluster: jnp.ndarray = None,
+    embed_sum: jnp.ndarray = None,
+):
     """Reinitialize unused codes from random encoder outputs.
 
     The standard codebook-collapse mitigation (observed in practice: toy
@@ -282,12 +284,28 @@ def restart_dead_codes(
     cluster size or batch counts) falls below ``threshold`` are replaced
     by randomly drawn rows of the current batch's encoder outputs. Fully
     static shapes — a (K,) where-select, jit/pjit safe.
+
+    Under EMA codebook learning, pass the EMA statistics (``cluster``,
+    ``embed_sum``) and use the returned 3-tuple: the next
+    ``codebook_ema_update`` recomputes every row as
+    ``new_embed_sum / smoothed_cluster``, so WITHOUT resetting the stats
+    the stale sums immediately revert a restarted row to ~its old dead
+    value (and the code is re-randomized every step, never curing the
+    collapse). Restarted rows restart their statistics as one
+    observation of the new vector: ``cluster = 1``,
+    ``embed_sum = candidate``.
     """
     num_codes = codebook.shape[0]
     idx = jax.random.randint(key, (num_codes,), 0, batch_flat.shape[0])
     candidates = jax.lax.stop_gradient(batch_flat[idx])
-    dead = (usage < threshold)[:, None]
-    return jnp.where(dead, candidates.astype(codebook.dtype), codebook)
+    dead_row = usage < threshold
+    dead = dead_row[:, None]
+    new_cb = jnp.where(dead, candidates.astype(codebook.dtype), codebook)
+    if cluster is None:
+        return new_cb
+    new_cluster = jnp.where(dead_row, jnp.ones_like(cluster), cluster)
+    new_esum = jnp.where(dead, candidates.astype(embed_sum.dtype), embed_sum)
+    return new_cb, new_cluster, new_esum
 
 
 def residual_codebook_ema_update(
@@ -298,6 +316,7 @@ def residual_codebook_ema_update(
     indices: jnp.ndarray,
     decay: float,
     eps: float = 1e-5,
+    return_residuals: bool = False,
 ):
     """Per-stage EMA update for residual VQ.
 
@@ -306,11 +325,18 @@ def residual_codebook_ema_update(
     from ``residual_vq``. Stage q's statistics are computed against the
     *residual* its quantizer saw (inputs minus the codes selected by the
     earlier stages), reconstructed here from the indices.
+
+    ``return_residuals=True`` appends the (Q, N, D) per-stage residual
+    inputs to the result — the correct candidate pool for per-stage
+    dead-code restarts (raw encoder outputs are at a different scale
+    than stage-1+ residuals, so a code restarted from them never wins an
+    assignment).
     """
     num_q = codebooks.shape[0]
     residual = inputs_flat
-    new_cbs, new_clusters, new_sums = [], [], []
+    new_cbs, new_clusters, new_sums, residuals = [], [], [], []
     for q in range(num_q):
+        residuals.append(residual)
         cb, cl, es = codebook_ema_update(
             codebooks[q],
             cluster_size_ema[q],
@@ -324,8 +350,11 @@ def residual_codebook_ema_update(
         new_clusters.append(cl)
         new_sums.append(es)
         residual = residual - jnp.take(codebooks[q], indices[q], axis=0)
-    return (
+    out = (
         jnp.stack(new_cbs),
         jnp.stack(new_clusters),
         jnp.stack(new_sums),
     )
+    if return_residuals:
+        return out + (jnp.stack(residuals),)
+    return out

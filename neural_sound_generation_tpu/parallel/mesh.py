@@ -45,9 +45,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 # Parameter path patterns -> which dim of the leaf shards over 'model'.
-# A dim of 0 shards the codebook rows (codes); -1 shards a conv/dense
-# kernel's output channels regardless of kernel rank (2-D dense, 3-D
-# Conv1D as in WaveVQVAE/WaveNet, 4-D Conv2D as in VQVAE/PixelCNN) —
+# A dim of -2 shards the codebook's codes axis (works for both the flat
+# (K, D) codebook and the stacked residual (Q, K, D) one); -1 shards a
+# conv/dense kernel's output channels regardless of kernel rank (2-D
+# dense, 3-D Conv1D as in WaveVQVAE/WaveNet, 4-D Conv2D as in VQVAE/PixelCNN) —
 # the spec is built from the leaf's actual rank, never hard-coded, so
 # every model family shards without rank assumptions (round-1 bug:
 # a fixed 4-dim spec raised IndexError on 3-dim Conv1D kernels).
@@ -114,18 +115,32 @@ def model_param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False
                         return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    specs = {}
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    paths = [jax.tree_util.keystr(p) for p, _ in flat[0]]
-    shardings = [spec_for(path, leaf) for path, leaf in zip(paths, leaves)]
-    del specs
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [
+        spec_for(jax.tree_util.keystr(path), leaf)
+        for path, leaf in path_leaves
+    ]
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
 def shard_batch(batch: Any, mesh: Mesh):
-    """Device-put a host batch with the batch axis sharded over 'data'."""
+    """Place a host batch on the mesh with the batch axis sharded over
+    'data'.
+
+    Single-process: one ``device_put`` against the global sharding. With
+    multiple processes each host holds its OWN loader shard
+    (``loader_shard_args`` rank-strides the dataset), so the local array
+    is that host's slice of the global batch, NOT the global value —
+    ``make_array_from_process_local_data`` assembles the global array
+    from the per-process slices (a plain sharded ``device_put`` would
+    treat each host's different batch as the same global array and
+    silently drop the rows owned by other hosts' devices)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

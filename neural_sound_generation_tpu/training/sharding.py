@@ -42,10 +42,15 @@ def opt_state_shardings(opt_state, param_sh, rep):
     def map_state(entry):
         if isinstance(entry, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(count=rep, mu=param_sh, nu=param_sh)
+        if isinstance(entry, tuple) and not hasattr(entry, "_fields"):
+            # recurse: optax.chain nests states in plain tuples, and
+            # optax.adam is itself a chain — under clip/weight-decay the
+            # ScaleByAdamState sits one level down ((Empty, (Adam, Empty)));
+            # stopping at the top level would silently replicate the
+            # moments and defeat the tensor-parallel memory win
+            return tuple(map_state(s) for s in entry)
         return jax.tree_util.tree_map(lambda _: rep, entry)
 
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
-        return tuple(map_state(s) for s in opt_state)
     return map_state(opt_state)
 
 

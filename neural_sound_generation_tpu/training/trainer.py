@@ -239,13 +239,14 @@ def make_train_step(
             cb = state.params["codebook"]
             if cb.ndim == 3:  # residual VQ: per-stage EMA
                 _, _, indices = residual_vq(flat, cb)
-                new_cb, cluster, esum = residual_codebook_ema_update(
+                new_cb, cluster, esum, residuals = residual_codebook_ema_update(
                     cb,
                     state.codebook_ema["cluster"],
                     state.codebook_ema["embed_sum"],
                     flat,
                     indices,
                     decay=cfg.model.ema_codebook_decay,
+                    return_residuals=True,
                 )
             else:
                 indices = vq(flat, cb)
@@ -260,19 +261,29 @@ def make_train_step(
             if cfg.model.restart_dead_threshold > 0:
                 from neural_sound_generation_tpu.ops.vq import restart_dead_codes
 
+                # pass the EMA stats so restarted rows restart their
+                # statistics too — otherwise the next EMA update rebuilds
+                # the row from the stale sums and reverts the restart
                 if new_cb.ndim == 3:
+                    # candidates come from each stage's OWN residual
+                    # inputs (raw z_e is at the wrong scale for stage 1+)
                     restarted = [
                         restart_dead_codes(
-                            new_cb[q], cluster[q], flat, jax.random.fold_in(rng, q),
+                            new_cb[q], cluster[q], residuals[q],
+                            jax.random.fold_in(rng, q),
                             threshold=cfg.model.restart_dead_threshold,
+                            cluster=cluster[q], embed_sum=esum[q],
                         )
                         for q in range(new_cb.shape[0])
                     ]
-                    new_cb = jnp.stack(restarted)
+                    new_cb = jnp.stack([r[0] for r in restarted])
+                    cluster = jnp.stack([r[1] for r in restarted])
+                    esum = jnp.stack([r[2] for r in restarted])
                 else:
-                    new_cb = restart_dead_codes(
+                    new_cb, cluster, esum = restart_dead_codes(
                         new_cb, cluster, flat, rng,
                         threshold=cfg.model.restart_dead_threshold,
+                        cluster=cluster, embed_sum=esum,
                     )
             params = dict(new_state.params)
             params["codebook"] = new_cb
@@ -343,12 +354,18 @@ def make_multistep_train(
 
 
 def stack_batches(batches):
-    """List of dict batches -> one super-batch with a leading scan axis."""
+    """List of dict batches -> one super-batch with a leading scan axis.
+
+    Stacks on the HOST (np.stack): loader batches are host numpy, and a
+    jnp.stack would stage the super-batch on the default device only for
+    Trainer._put to re-transfer it with the (scan, 'data') sharding — a
+    double host->HBM copy per launch in the hot loop. Device arrays
+    (e.g. tests feeding jnp inputs) still stack fine through np.asarray."""
     import numpy as np
 
     keys = batches[0].keys()
     return {
-        k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+        k: np.stack([np.asarray(b[k]) for b in batches])
         for k in keys
         if batches[0][k] is not None
     }
@@ -537,6 +554,15 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(self.mesh, P(None, "data"))
+            if jax.process_count() > 1:
+                # per-host loader slices -> one global array (see
+                # parallel.mesh.shard_batch)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, x
+                    ),
+                    batch,
+                )
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch
             )

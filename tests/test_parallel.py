@@ -435,3 +435,49 @@ def test_trainer_tensor_parallel_multistep(rng):
     assert np.isfinite(means["loss"])
     assert int(np.asarray(trainer.state.step)) == 2
     assert "model" in trainer.state.params["codebook"].sharding.spec
+
+
+def test_tp_adam_moments_sharded_under_optax_chain(rng):
+    """Regression: with gradient clipping (or weight decay) the optimizer
+    is an optax.chain whose ScaleByAdamState nests one tuple level down
+    ((Empty, (Adam, Empty))); opt_state_shardings must recurse to it —
+    stopping at the top level silently REPLICATED the moments under
+    tensor parallelism, defeating the TP memory split."""
+    import dataclasses
+
+    import optax
+
+    from neural_sound_generation_tpu.training.sharding import (
+        train_state_shardings,
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = Config().parse("batch_size=4")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, clip_thresh=1.0)
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    x = jnp.zeros((4, 16, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train, fused=False)
+
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            state.opt_state,
+            is_leaf=lambda e: isinstance(e, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert adam_states, "clip chain should still contain an Adam state"
+
+    sh = train_state_shardings(state, mesh, tensor_parallel=True)
+    adam_sh = [
+        s for s in jax.tree_util.tree_leaves(
+            sh.opt_state,
+            is_leaf=lambda e: isinstance(e, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert adam_sh, "sharding tree lost the nested Adam state"
+    assert "model" in adam_sh[0].mu["codebook"].spec
+    assert "model" in adam_sh[0].nu["codebook"].spec

@@ -378,3 +378,91 @@ def test_restart_dead_codes(rng):
     for k in dead:
         assert not np.allclose(new_np[k], old_np[k])
         assert new_np[k].mean() > 5  # drawn from the shifted batch
+
+
+def test_restart_dead_codes_resets_ema_stats():
+    """Regression: a restarted code must also restart its EMA statistics
+    (cluster=1, embed_sum=candidate) — otherwise the NEXT
+    codebook_ema_update recomputes the row as new_embed_sum/cluster from
+    the STALE sums and reverts the restart, so restart never cures
+    collapse (the code is re-randomized every step)."""
+    from neural_sound_generation_tpu.ops.vq import (
+        codebook_ema_update,
+        restart_dead_codes,
+    )
+
+    dim, k, decay = 2, 3, 0.9
+    dead_value = np.array([10.0, 10.0], np.float32)
+    batch = jnp.asarray(
+        np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.1], [0.1, 1.0]], np.float32)
+    )
+    # stale stats that would rebuild the dead value: cluster 2, sum 2*dead
+    cluster = jnp.asarray(np.array([4.0, 4.0, 2.0], np.float32))
+    esum = jnp.asarray(
+        np.stack([[4.0, 0.2], [0.2, 4.0], 2.0 * dead_value]).astype(np.float32)
+    )
+    cb = jnp.asarray(
+        np.stack([[1.0, 0.05], [0.05, 1.0], dead_value]).astype(np.float32)
+    )
+    usage = jnp.asarray(np.array([4.0, 4.0, 0.0], np.float32))
+
+    new_cb, new_cluster, new_esum = restart_dead_codes(
+        cb, usage, batch, jax.random.PRNGKey(0), threshold=0.5,
+        cluster=cluster, embed_sum=esum,
+    )
+    candidate = np.asarray(new_cb[2])
+    assert float(new_cluster[2]) == 1.0
+    np.testing.assert_allclose(np.asarray(new_esum[2]), candidate)
+    # alive rows' stats untouched
+    np.testing.assert_allclose(np.asarray(new_cluster[:2]), [4.0, 4.0])
+
+    # next EMA update assigns NOTHING to the restarted code; it must stay
+    # ~at the candidate instead of reverting toward the old dead value
+    idx = vq(batch, new_cb[:2])  # nearest among alive codes only
+    cb2, _, _ = codebook_ema_update(
+        new_cb, new_cluster, new_esum, batch, idx, decay=decay
+    )
+    drift = np.linalg.norm(np.asarray(cb2[2]) - candidate)
+    revert = np.linalg.norm(np.asarray(cb2[2]) - dead_value)
+    assert drift < 0.2, f"restarted code drifted {drift}"
+    assert revert > 5.0, "restarted code reverted toward the stale value"
+
+
+def test_rvq_restart_candidates_are_stage_residuals():
+    """Regression: per-stage dead-code restarts must draw candidates from
+    the stage's OWN residual inputs — raw encoder outputs are at a
+    different scale, so a stage-1 code restarted from them never wins an
+    assignment and is re-randomized forever."""
+    from neural_sound_generation_tpu.ops.vq import (
+        residual_codebook_ema_update,
+        residual_vq,
+        restart_dead_codes,
+    )
+
+    rng_ = np.random.default_rng(0)
+    n, dim, k = 32, 4, 8
+    # every input sits 0.1-close to a stage-0 center at scale 100, so
+    # stage 1 sees ~0.1-scale residuals
+    cb0 = (rng_.standard_normal((k, dim)) * 100.0).astype(np.float32)
+    flat = jnp.asarray(
+        cb0[rng_.integers(0, k, n)]
+        + (rng_.standard_normal((n, dim)) * 0.1).astype(np.float32)
+    )
+    cb1 = (rng_.standard_normal((k, dim)) * 0.1).astype(np.float32)
+    cbs = jnp.asarray(np.stack([cb0, cb1]))
+    _, _, indices = residual_vq(flat, cbs)
+    _, cluster, esum, residuals = residual_codebook_ema_update(
+        cbs, jnp.zeros((2, k)), jnp.zeros((2, k, dim)), flat, indices,
+        decay=0.0, return_residuals=True,
+    )
+    assert residuals.shape == (2, n, dim)
+    # stage-1 residual inputs are ~100x smaller than the raw outputs
+    assert float(jnp.abs(residuals[1]).max()) < float(
+        jnp.abs(flat).max()
+    ) / 5
+    new_cb1 = restart_dead_codes(
+        cbs[1], jnp.zeros((k,)), residuals[1], jax.random.PRNGKey(1),
+        threshold=0.5,
+    )
+    # every restarted row is residual-scale, not raw-output-scale
+    assert float(jnp.abs(new_cb1).max()) < 60.0
