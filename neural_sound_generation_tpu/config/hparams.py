@@ -322,11 +322,13 @@ class Config:
 
     def parse(self, overrides: str) -> "Config":
         """Comma-separated ``key=value`` overrides (HParams.parse surface,
-        used by ``preprocess.py --hparams``)."""
+        used by ``preprocess.py --hparams``). Commas inside brackets or
+        quotes belong to the value — ``upsample_scales=[4,4,4,4],fmin=0``
+        is two overrides, like tf.HParams list parsing."""
         if not overrides:
             return self
         flat: dict[str, Any] = {}
-        for item in overrides.split(","):
+        for item in _split_overrides(overrides):
             if not item.strip():
                 continue
             key, _, raw = item.partition("=")
@@ -348,6 +350,37 @@ class Config:
                 value = list(value)
             out[key] = value
         return out
+
+
+def _split_overrides(s: str) -> list:
+    """Split ``key=value`` overrides on TOP-LEVEL commas only: commas
+    nested in []/{}/() or inside quotes are part of a JSON value."""
+    items, buf = [], []
+    depth = 0
+    quote = None
+    for ch in s:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch in "[{(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "]})":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        items.append("".join(buf))
+    return items
 
 
 def load_preset(path: str, base: Config | None = None) -> Config:

@@ -90,7 +90,12 @@ def collate_mel_batch(
         mel = np.asarray(mel)
         n_frames = mel.shape[0]
         usable = min(len(audio) // hop, n_frames)
-        lengths.append(min(len(audio), samples_out))
+        # length of audio actually placed in the batch: the crop branch
+        # fills all samples_out, the pad branch copies usable*hop — NOT
+        # min(len(audio), samples_out), which would count up to hop-1
+        # (or, with n_frames-capped utterances, arbitrarily many) pad
+        # samples as real audio inside the loss mask
+        lengths.append(min(usable, frames_out) * hop)
         if usable > frames_out:
             s = int(rng.integers(0, usable - frames_out))
             mel_c = mel[s : s + frames_out]

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
+from collections import OrderedDict
 from typing import List, Optional
 
 import numpy as np
@@ -46,15 +48,42 @@ def collect(in_dir: str, cfg: AudioConfig) -> List[UtteranceSpec]:
     return specs
 
 
+# Decoded-file cache: an 8h audiobook is ~2.5 GB of float32 and yields
+# ~3600 chunk specs — re-decoding the whole file per chunk would make
+# preprocessing quadratic per file. Chunks are generated (and processed)
+# in file order, so a tiny LRU turns that into ~one decode per file;
+# capacity 2 tolerates worker interleaving at file boundaries.
+_DECODE_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+_DECODE_LOCK = threading.Lock()
+_DECODE_CAPACITY = 2
+
+
+def _load_full(path: str, sr: int) -> np.ndarray:
+    key = (path, sr)
+    with _DECODE_LOCK:
+        if key in _DECODE_CACHE:
+            _DECODE_CACHE.move_to_end(key)
+            return _DECODE_CACHE[key]
+    wav = dsp.load_wav(path, sr)
+    with _DECODE_LOCK:
+        _DECODE_CACHE[key] = wav
+        _DECODE_CACHE.move_to_end(key)
+        while len(_DECODE_CACHE) > _DECODE_CAPACITY:
+            _DECODE_CACHE.popitem(last=False)
+    return wav
+
+
 def _wav_num_samples(path: str, sample_rate: int) -> int:
-    # cheap length probe (reads the file; fine for preprocessing)
-    return len(dsp.load_wav(path, sample_rate))
+    # length probe; warms the decode cache for the file's chunk loaders
+    return len(_load_full(path, sample_rate))
 
 
 def _make_loader(path: str, sr: int, start: int, length: int):
     def load() -> np.ndarray:
-        wav = dsp.load_wav(path, sr)
-        return wav[start : start + length]
+        wav = _load_full(path, sr)
+        # copy: a view would pin the whole decoded file in memory past
+        # eviction and alias the shared cache entry
+        return wav[start : start + length].copy()
 
     return load
 

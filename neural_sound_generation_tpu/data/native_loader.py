@@ -182,7 +182,11 @@ class NativeCorpus:
         for i in range(b):
             if usable[i] > frames_out:
                 starts[i] = int(rng.integers(0, usable[i] - frames_out))
-        lengths = np.minimum(a_len, samples_out).astype(np.int32)
+        # audio actually placed in the batch (bit-parity with
+        # collate_mel_batch): usable*hop in the pad branch, samples_out
+        # when cropping — not min(a_len, samples_out), which counts pad
+        # samples as real audio inside the loss mask
+        lengths = (np.minimum(usable, frames_out) * hop).astype(np.int32)
 
         lib, h = self._lib, self._handle
         c = np.empty((b, frames_out, n_mels), np.float32)

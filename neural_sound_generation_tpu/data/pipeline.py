@@ -135,7 +135,10 @@ class MelFrameLoader:
         if self.num_hosts > 1:
             n = len(shard_for_host(list(range(n)), self.num_hosts, self.host_id,
                                    self.batch_size))
-        return n // self.batch_size
+        if self.drop_last:
+            return n // self.batch_size
+        # the final partial batch is cyclically padded and yielded
+        return -(-n // self.batch_size)
 
     def _bucket_frames(self, batch_idx) -> Optional[int]:
         """Static frame count for this batch from DataConfig.bucket_boundaries:
@@ -183,6 +186,20 @@ class MelFrameLoader:
                 need_audio=self.batch_mode != "mel",
             )
 
+        abandoned = threading.Event()
+
+        def safe_put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone — an
+            abandoned iterator (e.g. a one-batch probe) must not leave
+            this thread blocked on a full queue forever."""
+            while not abandoned.is_set():
+                try:
+                    prefetch.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -206,18 +223,31 @@ class MelFrameLoader:
                             out = as_model_batch(out)
                         elif self.batch_mode == "wave":
                             out = as_wave_batch(out, self.cfg.audio)
-                        prefetch.put(out)
-            finally:
-                prefetch.put(stop)
+                        if not safe_put(out):
+                            return
+            except BaseException as e:  # noqa: BLE001 — surface, don't truncate
+                # a data error must FAIL the epoch in the consumer, not
+                # end it silently (a corrupt shard at batch 3 of 5000
+                # would otherwise 'train' on 3 batches per epoch forever)
+                safe_put(e)
+                return
+            safe_put(stop)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = prefetch.get()
-            if item is stop:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = prefetch.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            # wake a producer blocked on a full queue if the consumer
+            # stopped early (GeneratorExit / exception)
+            abandoned.set()
 
 
 def get_audio_data_loaders(

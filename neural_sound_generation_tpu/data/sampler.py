@@ -9,6 +9,7 @@ as a pure-function per-host shard.
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -62,21 +63,35 @@ class PartiallyRandomizedSimilarTimeLengthSampler:
         return len(self.sorted_indices)
 
 
+def _pad_to_multiple(seq: list, m: int) -> list:
+    """Cyclically extend ``seq`` to a multiple of ``m`` items."""
+    r = len(seq) % m
+    if m <= 1 or not seq or r == 0:
+        return seq
+    return seq + list(itertools.islice(itertools.cycle(seq), m - r))
+
+
 def shard_for_host(
     indices: Sequence[int], num_hosts: int, host_id: int, batch_size: int = 1
 ) -> List[int]:
     """Deterministic per-host slice: host h takes every num_hosts-th batch
     starting at h (the DistributedBucketingSampler rank semantics,
-    util.py:374-381). With batch_size=1 this is element-wise striding."""
+    util.py:374-381). With batch_size=1 this is element-wise striding.
+
+    Like the reference sampler (util.py:383-386), the stream is padded
+    cyclically to a multiple of ``num_hosts`` first so EVERY host gets
+    the same count: per-step pjit collectives are cross-host barriers,
+    and a host with one extra batch would hang the pod at epoch end
+    waiting for peers that already finished."""
     indices = list(indices)
     if batch_size > 1:
         batches = [
             indices[i : i + batch_size]
             for i in range(0, len(indices) - batch_size + 1, batch_size)
         ]
-        mine = batches[host_id::num_hosts]
+        mine = _pad_to_multiple(batches, num_hosts)[host_id::num_hosts]
         return [i for b in mine for i in b]
-    return indices[host_id::num_hosts]
+    return _pad_to_multiple(indices, num_hosts)[host_id::num_hosts]
 
 
 def batched(indices: Sequence[int], batch_size: int, drop_last: bool = True):

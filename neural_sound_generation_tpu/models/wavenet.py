@@ -332,6 +332,52 @@ def _embed_speaker(model: WaveNet, variables, g):
     return model.apply(variables, g, method=lambda m, g_: m.speaker_embed(g_))
 
 
+_LOG_SCALE_MIN = -32.23619130191664  # losses.py MoL floor
+
+
+def _sample_from_logits(model: WaveNet, logits, gum_t, u_t):
+    """One sampling step from per-sample logits with PRE-DRAWN noise:
+    gumbel-max mixture choice + inverse-CDF logistic for MoL
+    (scalar_input), gumbel-max over categorical logits otherwise.
+    Returns (out, next_input).
+
+    Shared by the monolithic sampler, the chunked/streaming sampler, and
+    the stream mux — their documented bit-parity rests on this being ONE
+    body (a clamp or dtype fix applied to a divergent copy would silently
+    break the chunked-parity contract)."""
+    if model.scalar_input:
+        logit_probs, means, log_scales = jnp.split(logits, 3, -1)
+        comp = jnp.argmax(logit_probs + gum_t, axis=-1)
+        mean = jnp.take_along_axis(means, comp[..., None], -1)[..., 0]
+        log_scale = jnp.maximum(
+            jnp.take_along_axis(log_scales, comp[..., None], -1)[..., 0],
+            _LOG_SCALE_MIN,
+        )
+        x = mean + jnp.exp(log_scale) * (jnp.log(u_t) - jnp.log1p(-u_t))
+        out = jnp.clip(x, -1.0, 1.0)
+        return out, out[:, None]
+    out = jnp.argmax(logits + gum_t, axis=-1)
+    return out, out
+
+
+def _draw_noise(model: WaveNet, key, length: int, batch_size: int = 1):
+    """ALL sampling noise as one scan-major batched draw: a serial
+    jax.random.split chain inside the scan costs ~8us/step of threefry
+    latency on TPU (measured; PERF.md) — more than the whole 24-layer
+    residual chain. One layout for every sampler (bit-parity)."""
+    k1, k2 = jax.random.split(key)
+    if model.scalar_input:
+        n_mix = model.out_channels // 3
+        gum = jax.random.gumbel(k1, (length, batch_size, n_mix))
+        unif = jax.random.uniform(
+            k2, (length, batch_size), minval=1e-5, maxval=1.0 - 1e-5
+        )
+    else:
+        gum = jax.random.gumbel(k1, (length, batch_size, model.out_channels))
+        unif = jnp.zeros((length, batch_size))
+    return gum, unif
+
+
 def incremental_forward(model: WaveNet, variables, x, c=None, g=None):
     """Teacher-forced evaluation through the *incremental* buffered path.
 
@@ -351,8 +397,7 @@ def incremental_forward(model: WaveNet, variables, x, c=None, g=None):
 
     def step(carry, t):
         buf = carry
-        x_t = x[:, t] if model.scalar_input else x[:, t]
-        h = _embed_one(model, params, x_t)
+        h = _embed_one(model, params, x[:, t])
         c_t = c_up[:, t, :] if c_up is not None else None
         logits, buf = step_core(h, buf, c_t, g_emb)
         return buf, logits
@@ -390,7 +435,6 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
     import jax.numpy as jnp
 
     dilations = _dilations(model.layers, model.stacks)
-    log_scale_min = -32.23619130191664  # losses.py MoL floor
     if unroll is None:
         # bf16 sweep on v5e at 16384 samples (PERF.md "single-stream
         # generation"): unroll 1/4/8/16/32/64/128 -> 0.79/0.97/1.31/
@@ -404,22 +448,7 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
         c_up = _upsample_cond(model, variables, c)
         g_emb = _embed_speaker(model, variables, g)
 
-        # ALL sampling noise precomputed as one batched draw: a serial
-        # jax.random.split chain inside the scan costs ~8us/step of
-        # threefry latency on TPU (measured; PERF.md) — more than the
-        # whole 24-layer residual chain
-        k1, k2 = jax.random.split(key)
-        if model.scalar_input:
-            n_mix = model.out_channels // 3
-            gumbel = jax.random.gumbel(k1, (length, batch_size, n_mix))
-            unif = jax.random.uniform(
-                k2, (length, batch_size), minval=1e-5, maxval=1.0 - 1e-5
-            )
-        else:
-            gumbel = jax.random.gumbel(
-                k1, (length, batch_size, model.out_channels)
-            )
-            unif = jnp.zeros((length, batch_size))
+        gumbel, unif = _draw_noise(model, key, length, batch_size)
 
         def step(carry, xs):
             prev, buf = carry
@@ -427,24 +456,7 @@ def make_generate_fn(model: WaveNet, length: int, dtype=None,
             h = _embed_one(model, params, prev)
             c_t = c_up[:, t, :] if c_up is not None else None
             logits, buf = step_core(h, buf, c_t, g_emb)
-            if model.scalar_input:
-                # MoL sampling with pre-drawn noise (gumbel-max mixture
-                # choice + inverse-CDF logistic)
-                logit_probs, means, log_scales = jnp.split(logits, 3, -1)
-                comp = jnp.argmax(logit_probs + gum_t, axis=-1)
-                mean = jnp.take_along_axis(means, comp[..., None], -1)[..., 0]
-                log_scale = jnp.maximum(
-                    jnp.take_along_axis(log_scales, comp[..., None], -1)[..., 0],
-                    log_scale_min,
-                )
-                x = mean + jnp.exp(log_scale) * (
-                    jnp.log(u_t) - jnp.log1p(-u_t)
-                )
-                out = jnp.clip(x, -1.0, 1.0)
-                nxt = out[:, None]
-            else:
-                out = jnp.argmax(logits + gum_t, axis=-1)
-                nxt = out
+            out, nxt = _sample_from_logits(model, logits, gum_t, u_t)
             return (nxt, buf), out
 
         init = (
@@ -529,7 +541,6 @@ def make_chunked_generate_fn(model: WaveNet, chunk: int, dtype=None,
     import jax.numpy as jnp
 
     dilations = _dilations(model.layers, model.stacks)
-    log_scale_min = -32.23619130191664  # losses.py MoL floor
     if unroll is None:
         unroll = 32 if chunk % 32 == 0 else 1
 
@@ -552,22 +563,7 @@ def make_chunked_generate_fn(model: WaveNet, chunk: int, dtype=None,
             logits, buf = step_core(
                 h, buf, c_t if model.cin_channels > 0 else None, g_emb
             )
-            if model.scalar_input:
-                logit_probs, means, log_scales = jnp.split(logits, 3, -1)
-                comp = jnp.argmax(logit_probs + gum_t, axis=-1)
-                mean = jnp.take_along_axis(means, comp[..., None], -1)[..., 0]
-                log_scale = jnp.maximum(
-                    jnp.take_along_axis(log_scales, comp[..., None], -1)[..., 0],
-                    log_scale_min,
-                )
-                x = mean + jnp.exp(log_scale) * (
-                    jnp.log(u_t) - jnp.log1p(-u_t)
-                )
-                out = jnp.clip(x, -1.0, 1.0)
-                nxt = out[:, None]
-            else:
-                out = jnp.argmax(logits + gum_t, axis=-1)
-                nxt = out
+            out, nxt = _sample_from_logits(model, logits, gum_t, u_t)
             return (nxt, buf), out
 
         # (B, chunk, C) -> scan-major (chunk, B, C); zeros placeholder
@@ -589,19 +585,7 @@ def make_chunked_generate_fn(model: WaveNet, chunk: int, dtype=None,
 
     def draw_noise(key, length: int, batch_size: int = 1):
         """Exactly the monolithic sampler's noise layout (scan-major)."""
-        k1, k2 = jax.random.split(key)
-        if model.scalar_input:
-            n_mix = model.out_channels // 3
-            gum = jax.random.gumbel(k1, (length, batch_size, n_mix))
-            unif = jax.random.uniform(
-                k2, (length, batch_size), minval=1e-5, maxval=1.0 - 1e-5
-            )
-        else:
-            gum = jax.random.gumbel(
-                k1, (length, batch_size, model.out_channels)
-            )
-            unif = jnp.zeros((length, batch_size))
-        return gum, unif
+        return _draw_noise(model, key, length, batch_size)
 
     # jitted per (mel-length, batch) shape: the eager flax apply runs the
     # upsampler op-by-op, and over the TPU tunnel every eager op pays a

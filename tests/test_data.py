@@ -532,3 +532,119 @@ def test_device_prefetch(tmp_path):
     from jax.sharding import PartitionSpec as P
 
     assert out[0]["x"].sharding.spec == P("data")
+
+
+def test_shard_for_host_equal_batch_counts():
+    """Regression: with a batch count not divisible by num_hosts, every
+    host must still get the SAME number of batches (cyclic padding, the
+    reference DistributedBucketingSampler semantics) — per-step pjit
+    collectives are cross-host barriers, so one host with an extra batch
+    hangs the pod at epoch end."""
+    idx = list(range(52))  # 13 batches of 4 over 2 hosts
+    shards = [shard_for_host(idx, 2, h, batch_size=4) for h in range(2)]
+    assert len(shards[0]) == len(shards[1]) == 28  # 7 batches each
+    assert set(shards[0]) | set(shards[1]) == set(idx)
+    # element-wise path too
+    el = [shard_for_host(list(range(7)), 2, h) for h in range(2)]
+    assert len(el[0]) == len(el[1]) == 4
+
+
+def test_loader_len_matches_iteration_without_drop_last(tmp_path):
+    """Regression: __len__ must count the cyclically-padded final partial
+    batch that iteration actually yields (10 items / batch 3 -> 4)."""
+    _write_corpus(tmp_path, n=13)
+    cfg = Config()
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=3 / 13)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=3 / 13)
+    ds = AudioDataset(x, mel)
+    assert len(ds) == 10
+    loader = MelFrameLoader(
+        ds, cfg, batch_size=3, shuffle=False, drop_last=False
+    )
+    n = sum(1 for _ in loader)
+    assert n == len(loader) == 4
+    dropping = MelFrameLoader(
+        ds, cfg, batch_size=3, shuffle=False, drop_last=True
+    )
+    assert sum(1 for _ in dropping) == len(dropping) == 3
+
+
+def test_loader_surfaces_producer_errors(tmp_path):
+    """Regression: a data error inside the producer thread must RAISE in
+    the consuming loop, not silently truncate the epoch (a corrupt shard
+    at batch 3 of 5000 would otherwise 'train' on 3 batches forever)."""
+    _write_corpus(tmp_path, n=16)
+    cfg = Config()
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+
+    class Failing(AudioDataset):
+        def __getitem__(self, idx):
+            if idx == 5:
+                raise RuntimeError("corrupt shard")
+            return super().__getitem__(idx)
+
+    loader = MelFrameLoader(
+        Failing(x, mel), cfg, batch_size=2, shuffle=False, num_workers=1,
+        use_native=False,
+    )
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        for _ in loader:
+            pass
+
+
+def test_abandoned_loader_iterator_releases_producer(tmp_path):
+    """Regression: next(iter(loader)) (the CLI one-batch shape probe)
+    must not leave the producer thread blocked on the bounded prefetch
+    queue forever."""
+    import threading
+    import time
+
+    _write_corpus(tmp_path, n=16)
+    cfg = Config()
+    x = NpyDataSource(str(tmp_path), 0, train=True, test_size=0.25)
+    mel = NpyDataSource(str(tmp_path), 1, train=True, test_size=0.25)
+    ds = AudioDataset(x, mel)
+    loader = MelFrameLoader(ds, cfg, batch_size=2, shuffle=False)
+    before = set(threading.enumerate())
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch (what garbage collection would do)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
+
+
+def test_config_parse_list_values():
+    """Regression: Config.parse must treat commas inside JSON lists as
+    part of the value (tf.HParams list semantics) — upsample_scales
+    overrides crashed with 'unknown preset key' before."""
+    cfg = Config().parse("upsample_scales=[2,2,4,4],fmin=25,batch_size=3")
+    assert tuple(cfg.arch.upsample_scales) == (2, 2, 4, 4)
+    assert cfg.audio.fmin == 25
+    assert cfg.train.batch_size == 3
+
+
+def test_collate_input_lengths_exclude_padding():
+    """Regression: input_lengths must count only audio actually copied
+    into the batch — not up to hop-1 (or n_frames-capped: arbitrarily
+    many) pad samples, which the vocoder loss mask would then train on."""
+    from neural_sound_generation_tpu.data.collate import collate_mel_batch
+
+    cfg = AudioConfig()
+    hop = cfg.effective_hop_size
+    rng = np.random.default_rng(0)
+    # 10 mel frames + 100 extra samples that have no mel frame
+    audio = rng.standard_normal(10 * hop + 100).astype(np.float32)
+    mel = rng.standard_normal((10, 80)).astype(np.float32)
+    out = collate_mel_batch(
+        [(audio, mel, None)], cfg, max_time_steps=20 * hop, rng=rng
+    )
+    assert int(out["input_lengths"][0]) == 10 * hop
