@@ -33,7 +33,7 @@ from neural_sound_generation_tpu.data.images import (
 )
 from neural_sound_generation_tpu.models import VAE, VQVAE, WaveVQVAE
 from neural_sound_generation_tpu.ops import dsp
-from neural_sound_generation_tpu.parallel import make_mesh
+from neural_sound_generation_tpu.parallel import mesh_from_args
 from neural_sound_generation_tpu.training import (
     Trainer,
     checkpoint,
@@ -202,7 +202,10 @@ def dump_reconstruction(args, cfg, recon, epoch):
     )
     np.save(os.path.join(sample_dir, f"reconstruction_{tag}.npy"), recon_np)
     if args.model == "wavevqvae":
-        if recon_np.ndim == 3:  # categorical logits -> argmax decode
+        # branch on the CONFIGURED output head, not ndim: scalar-input
+        # reconstructions are (B, S, 1) — also ndim 3 — and an argmax
+        # over the size-1 axis wrote a constant waveform artifact
+        if cfg.audio.is_mulaw_quantize:  # categorical logits -> argmax
             from neural_sound_generation_tpu.ops.dsp import inv_mulaw_quantize
 
             wav_out = np.asarray(
@@ -211,7 +214,13 @@ def dump_reconstruction(args, cfg, recon, epoch):
                 )
             )
         else:
-            wav_out = recon_np[-1]
+            wav_out = np.asarray(recon_np[-1]).reshape(-1)
+            if cfg.audio.is_mulaw:
+                wav_out = np.asarray(
+                    dsp.inv_mulaw(
+                        jnp.asarray(wav_out), cfg.audio.quantize_channels
+                    )
+                )
         dsp.save_wav(
             wav_out,
             os.path.join(sample_dir, f"audio_recon_{tag}.wav"),
@@ -273,26 +282,16 @@ def main(argv=None):
         fused=False if tensor_parallel else None,
     )
 
-    n_dev = len(jax.devices())
-    mesh = None
-    if args.mesh_data:
-        mesh = make_mesh(args.mesh_data, args.mesh_model)
-    elif n_dev > 1 and args.batch_size % n_dev == 0:
-        mesh = make_mesh(n_model=args.mesh_model)
-    if mesh is not None:
-        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
-              + (" (tensor parallel)" if tensor_parallel else ""))
-    elif tensor_parallel:
-        raise SystemExit(
-            f"--mesh-model {args.mesh_model} needs a device mesh: pass "
-            f"--mesh-data too, or run with >= {args.mesh_model} devices"
-        )
+    mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
 
     ckpt_dir = _checkpoint_dir(args)
     start_epoch = 1
     if args.resume and checkpoint.latest_step(ckpt_dir) is not None:
+        # tx is a static (non-pytree) field: restore keeps the template's
+        # optimizer — built above with the SAME ema/fused flags, so no
+        # rebuild (a second create_train_state allocated throwaway
+        # moments and silently dropped those flags)
         state, extra = checkpoint.restore(ckpt_dir, state)
-        state = state.replace(tx=create_train_state(variables, cfg.train).tx)
         start_epoch = int((extra or {}).get("epoch", 0)) + 1
         print(f"Resumed from step {int(np.asarray(state.step))}, epoch {start_epoch}")
 

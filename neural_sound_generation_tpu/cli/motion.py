@@ -81,6 +81,8 @@ def cmd_analyze(args):
 
     proj = load_pca(args.input_csv, args.components)
     data = np.genfromtxt(args.input_csv, delimiter=",")
+    if data.ndim == 1:  # single-row recording (same guard as load_pca)
+        data = data[None, :]
     latents = proj.project(data)
     print(f"{data.shape[0]} frames x {data.shape[1]} features "
           f"-> {latents.shape[1]} components")

@@ -331,12 +331,25 @@ class InferenceService:
         at window edges) — inherent to tiling with a fixed-shape model.
         """
         data = self._decode_wav_bytes(wav_bytes)
-        mel = np.asarray(self.dsp.melspectrogram(jnp.asarray(data), self.cfg.audio))
-        t = mel.shape[1]
+        # zero-pad the SAMPLES to the power-of-two window grid BEFORE
+        # analysis: dsp.melspectrogram is jitted on the raw sample-count
+        # shape, so analyzing unpadded audio compiles one program per
+        # distinct upload length (tens of seconds each through the
+        # tunnel). t is the true input's frame count for output trimming;
+        # the last frames see zeros instead of the reflect tail — the
+        # same tradeoff the fused _pad_for_reconstruct path documents.
+        from neural_sound_generation_tpu.ops.dsp import num_stft_frames
+
+        a = self.cfg.audio
+        hop = a.effective_hop_size
+        t = num_stft_frames(len(data), a.fft_size, hop)
         n_win = max(1, -(-t // self.frames))
         n_pad = 1 << (n_win - 1).bit_length()
-        padded = np.zeros((mel.shape[0], n_pad * self.frames), mel.dtype)
-        padded[:, :t] = mel[:, : n_pad * self.frames]
+        total = n_pad * self.frames * hop
+        buf = np.zeros(total, np.float32)
+        buf[: min(len(data), total)] = data[:total]
+        mel = np.asarray(self.dsp.melspectrogram(jnp.asarray(buf), a))
+        padded = mel[:, : n_pad * self.frames]
         windows = padded.reshape(mel.shape[0], n_pad, self.frames)
         windows = np.transpose(windows, (1, 0, 2))[..., None]
         return jnp.asarray(windows), t, n_win
@@ -386,25 +399,28 @@ class InferenceService:
                 yield self._post_np(chunk)
             return
         wn_model, wn_vars = self._vocoder
-        stream = self._gen_cache.get("stream")
-        if stream is None:
-            _, _, stream = make_chunked_generate_fn(
-                wn_model, chunk=4096, dtype=jnp.bfloat16
-            )
-            self._gen_cache["stream"] = stream
-        post = self._gen_cache.get("post")
-        if post is None:
-            # one jitted program instead of a handful of eager ops per
-            # chunk — eager ops each pay a dispatch round trip over the
-            # TPU tunnel (~100 ms/chunk of pure overhead before this)
-            q = self.cfg.audio.quantize_channels
-            if self.cfg.audio.is_mulaw_quantize:
-                post = jax.jit(lambda y: dsp.inv_mulaw_quantize(y, q))
-            elif self.cfg.audio.is_mulaw:
-                post = jax.jit(lambda y: dsp.inv_mulaw(y, q))
-            else:
-                post = lambda y: y
-            self._gen_cache["post"] = post
+        with self._lock:
+            # two concurrent first requests must not BOTH build the
+            # chunked generator (~30 s compile each on a cold server)
+            stream = self._gen_cache.get("stream")
+            if stream is None:
+                _, _, stream = make_chunked_generate_fn(
+                    wn_model, chunk=4096, dtype=jnp.bfloat16
+                )
+                self._gen_cache["stream"] = stream
+            post = self._gen_cache.get("post")
+            if post is None:
+                # one jitted program instead of a handful of eager ops per
+                # chunk — eager ops each pay a dispatch round trip over the
+                # TPU tunnel (~100 ms/chunk of pure overhead before this)
+                q = self.cfg.audio.quantize_channels
+                if self.cfg.audio.is_mulaw_quantize:
+                    post = jax.jit(lambda y: dsp.inv_mulaw_quantize(y, q))
+                elif self.cfg.audio.is_mulaw:
+                    post = jax.jit(lambda y: dsp.inv_mulaw(y, q))
+                else:
+                    post = lambda y: y
+                self._gen_cache["post"] = post
         c = jnp.transpose(jnp.asarray(mel))[None]  # (1, T', n_mels)
         # one-chunk lookahead: dispatch chunk i+1 (async) before
         # materializing chunk i, so the host readback of each chunk
@@ -598,14 +614,22 @@ class InferenceService:
                 "<i2"
             ).tobytes()
 
+    @staticmethod
+    def _check_codes(arr: np.ndarray, limit: int, name: str):
+        # out-of-range indices would be silently CLAMPED by the device
+        # gather and return wrong-but-valid audio with HTTP 200 (the
+        # same reason /sample validates labels)
+        if arr.size and (int(arr.min()) < 0 or int(arr.max()) >= limit):
+            raise ValueError(f"{name} entries must be in [0, {limit})")
+
     def decode(self, payload: dict) -> bytes:
         if self.hier:
-            idx_t = jnp.asarray(
-                np.asarray(payload["codes_top"], np.int32)
-            )[None, ...]
-            idx_b = jnp.asarray(
-                np.asarray(payload["codes_bottom"], np.int32)
-            )[None, ...]
+            top_np = np.asarray(payload["codes_top"], np.int32)
+            bot_np = np.asarray(payload["codes_bottom"], np.int32)
+            self._check_codes(top_np, int(self.model.k_top), "codes_top")
+            self._check_codes(bot_np, int(self.model.z_dim), "codes_bottom")
+            idx_t = jnp.asarray(top_np)[None, ...]
+            idx_b = jnp.asarray(bot_np)[None, ...]
             if 2 * idx_t.shape[-1] != idx_b.shape[-1]:
                 raise ValueError(
                     "codes_bottom must be exactly twice as wide as "
@@ -613,10 +637,9 @@ class InferenceService:
                 )
             mel = self._decode(idx_t, idx_b)[0, :, :, 0]
         else:
-            idx = jnp.asarray(
-                np.asarray(payload["codes"], np.int32)
-            )[None, ...]
-            mel = self._decode(idx)[0, :, :, 0]
+            idx_np = np.asarray(payload["codes"], np.int32)
+            self._check_codes(idx_np, int(self.model.z_dim), "codes")
+            mel = self._decode(jnp.asarray(idx_np)[None, ...])[0, :, :, 0]
         return self._mel_to_wav_bytes(mel)
 
 

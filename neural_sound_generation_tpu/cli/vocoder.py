@@ -100,7 +100,7 @@ def cmd_train(args):
 
     from neural_sound_generation_tpu.data import get_audio_data_loaders
     from neural_sound_generation_tpu.models import WaveNet
-    from neural_sound_generation_tpu.parallel import make_mesh
+    from neural_sound_generation_tpu.parallel import mesh_from_args
     from neural_sound_generation_tpu.training import (
         Trainer,
         checkpoint,
@@ -137,20 +137,7 @@ def cmd_train(args):
     state = create_train_state(
         variables, cfg.train, fused=False if tensor_parallel else None
     )
-    n_dev = len(jax.devices())
-    mesh = None
-    if args.mesh_data:
-        mesh = make_mesh(args.mesh_data, args.mesh_model)
-    elif n_dev > 1 and args.batch_size % n_dev == 0:
-        mesh = make_mesh(n_model=args.mesh_model)
-    if mesh is not None:
-        print(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
-              + (" (tensor parallel)" if tensor_parallel else ""))
-    elif tensor_parallel:
-        raise SystemExit(
-            f"--mesh-model {args.mesh_model} needs a device mesh: pass "
-            f"--mesh-data too, or run with >= {args.mesh_model} devices"
-        )
+    mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
     trainer = Trainer(
         model, cfg, state, mesh=mesh, tensor_parallel=tensor_parallel,
         log_fn=None, multi_steps=args.multi_steps,

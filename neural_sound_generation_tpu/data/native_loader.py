@@ -104,8 +104,11 @@ def _mulaw_quantize_zero(mu: int) -> int:
 class NativeCorpus:
     """mmap'd view of a preprocessed corpus (paired audio + mel shards).
 
-    ``audio_paths``/``mel_paths`` are absolute paths in manifest order
-    (mel entries may be None for audio-only corpora).
+    ``audio_paths``/``mel_paths`` are absolute paths in manifest order.
+    Opening with None mel entries works (the C layer skips empty paths),
+    but ``collate`` requires every batch item's mel shard: it always
+    fills the conditioning tensor, and a missing mel map fails there
+    with a clear error rather than producing an empty batch.
     """
 
     def __init__(self, audio_paths: Sequence[str], mel_paths: Sequence[Optional[str]]):
@@ -174,6 +177,11 @@ class NativeCorpus:
         a_len = self.audio_len[idx]
         m_frames = self.mel_frames[idx]
         n_mels = int(self.mel_bins[idx].max()) if b else 0
+        if b and n_mels == 0:
+            raise ValueError(
+                "collate needs paired mel shards; this corpus was opened "
+                "with empty mel paths for the requested items"
+            )
 
         usable = np.minimum(a_len // hop, m_frames)
         starts = np.zeros(b, np.int64)

@@ -194,15 +194,22 @@ class MotionController:
         self._gesture_listeners: List[Callable[[GestureEvent], None]] = []
         self._gesture_cb_ref = None
 
+    def _h(self):
+        """Live handle or ValueError — native calls on a closed
+        controller would dereference NULL and SIGSEGV the process."""
+        if self._handle is None:
+            raise ValueError("controller is closed")
+        return self._handle
+
     # -- lifecycle -------------------------------------------------------
     def start(self):
         if self._listeners and self._cb_ref is None:
             self._install_callback()
-        self._lib.nsg_controller_start(self._handle)
+        self._lib.nsg_controller_start(self._h())
         return self
 
     def stop(self):
-        self._lib.nsg_controller_stop(self._handle)
+        self._lib.nsg_controller_stop(self._h())
 
     def close(self):
         if self._handle:
@@ -218,14 +225,14 @@ class MotionController:
 
     @property
     def running(self) -> bool:
-        return bool(self._lib.nsg_controller_running(self._handle))
+        return bool(self._lib.nsg_controller_running(self._h()))
 
     @property
     def done(self) -> bool:
-        return bool(self._lib.nsg_controller_done(self._handle))
+        return bool(self._lib.nsg_controller_done(self._h()))
 
     def __len__(self) -> int:
-        n = self._lib.nsg_controller_length(self._handle)
+        n = self._lib.nsg_controller_length(self._h())
         if n < 0:
             raise TypeError("unbounded stream has no length")
         return int(n)
@@ -244,7 +251,7 @@ class MotionController:
                 fn(feats)
 
         self._cb_ref = _CALLBACK_TYPE(trampoline)
-        self._lib.nsg_controller_set_callback(self._handle, self._cb_ref, None)
+        self._lib.nsg_controller_set_callback(self._h(), self._cb_ref, None)
 
     # -- gestures --------------------------------------------------------
     def add_gesture_listener(self, fn: Callable[["GestureEvent"], None]):
@@ -265,14 +272,14 @@ class MotionController:
 
         self._gesture_cb_ref = _GESTURE_CALLBACK_TYPE(trampoline)
         self._lib.nsg_controller_set_gesture_callback(
-            self._handle, self._gesture_cb_ref, None
+            self._h(), self._gesture_cb_ref, None
         )
 
     def poll_gestures(self, max_events: int = 256) -> List["GestureEvent"]:
         """Pop pending gesture events (pull model)."""
         buf = np.zeros((max_events, GESTURE_DOUBLES), np.float64)
         n = self._lib.nsg_controller_poll_gestures(
-            self._handle,
+            self._h(),
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             max_events,
         )
@@ -281,7 +288,7 @@ class MotionController:
     # -- pull ------------------------------------------------------------
     def poll(self) -> Optional[np.ndarray]:
         out = (ctypes.c_double * NUM_FEATURES)()
-        fid = self._lib.nsg_controller_poll(self._handle, out, NUM_FEATURES)
+        fid = self._lib.nsg_controller_poll(self._h(), out, NUM_FEATURES)
         if fid < 0:
             return None
         return np.ctypeslib.as_array(out).copy()
@@ -290,7 +297,7 @@ class MotionController:
         """(frame_id, features) blocking; None at stream end."""
         out = (ctypes.c_double * NUM_FEATURES)()
         fid = self._lib.nsg_controller_read(
-            self._handle, after_id, out, NUM_FEATURES, timeout
+            self._h(), after_id, out, NUM_FEATURES, timeout
         )
         if fid < 0:
             return None
@@ -305,7 +312,7 @@ class MotionController:
             )
         buf = np.zeros((n_frames, NUM_FEATURES), np.float64)
         got = self._lib.nsg_controller_drain(
-            self._handle,
+            self._h(),
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             n_frames,
         )
@@ -317,7 +324,7 @@ class MotionController:
         if self.running:
             raise RuntimeError("stop() the controller before record_csv()")
         got = self._lib.nsg_record_csv(
-            self._handle, path.encode(), n_frames
+            self._h(), path.encode(), n_frames
         )
         if got < 0:
             raise IOError(f"cannot write {path}")

@@ -625,6 +625,11 @@ class Controller {
 
   void start() {
     if (running_.exchange(true)) return;
+    // The previous producer may have exited on its own (stream
+    // exhausted) leaving thread_ joinable with running_ false:
+    // move-assigning a new thread onto a joinable one calls
+    // std::terminate and aborts the host process.
+    if (thread_.joinable()) thread_.join();
     thread_ = std::thread([this] { run(); });
   }
 

@@ -1,5 +1,6 @@
 from neural_sound_generation_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    mesh_from_args,
     batch_sharding,
     replicated_sharding,
     model_param_shardings,

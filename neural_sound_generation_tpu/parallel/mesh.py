@@ -35,6 +35,35 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def mesh_from_args(
+    mesh_data: Optional[int],
+    mesh_model: int,
+    batch_size: int,
+    log=print,
+):
+    """The CLIs' shared mesh policy (--mesh-data/--mesh-model flags):
+    explicit --mesh-data wins; otherwise auto-build a mesh when the batch
+    divides the device count; tensor parallelism without a mesh is an
+    error. Returns (mesh | None, tensor_parallel). One helper instead of
+    a copy per CLI (train/prior/vocoder) so the policy cannot drift."""
+    tensor_parallel = mesh_model > 1
+    n_dev = len(jax.devices())
+    mesh = None
+    if mesh_data:
+        mesh = make_mesh(mesh_data, mesh_model)
+    elif n_dev > 1 and batch_size % n_dev == 0:
+        mesh = make_mesh(n_model=mesh_model)
+    if mesh is not None:
+        log(f"Mesh: {dict(mesh.shape)} over {n_dev} devices"
+            + (" (tensor parallel)" if tensor_parallel else ""))
+    elif tensor_parallel:
+        raise SystemExit(
+            f"--mesh-model {mesh_model} needs a device mesh: pass "
+            f"--mesh-data too, or run with >= {mesh_model} devices"
+        )
+    return mesh, tensor_parallel
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -442,3 +442,42 @@ def test_train_cli_mesh_model_engages_tensor_parallel(tmp_path, monkeypatch):
         if getattr(l, "ndim", 0) == 4
     ]
     assert any("model" in k.sharding.spec for k in kernels)
+
+
+def test_dump_reconstruction_scalar_wavevqvae(tmp_path):
+    """Regression: scalar-input WaveVQVAE reconstructions are (B, S, 1)
+    — ndim 3 like categorical logits — and were misrouted into the
+    argmax branch, writing a constant ~-1 waveform artifact. The branch
+    must key on the configured output head (is_mulaw_quantize)."""
+    import dataclasses
+    import types
+
+    from scipy.io import wavfile
+
+    from neural_sound_generation_tpu.cli.main import dump_reconstruction
+    from neural_sound_generation_tpu.config import Config
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, audio=dataclasses.replace(cfg.audio, input_type="raw")
+    )
+    assert not cfg.audio.is_mulaw_quantize
+    args = types.SimpleNamespace(
+        sampledir=str(tmp_path), dataset="ljspeech", model="wavevqvae",
+        dim=8, z_dim=16,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    recon = jnp.asarray(
+        (0.5 * rng.standard_normal((2, 512, 1))).astype(np.float32)
+    )
+    dump_reconstruction(args, cfg, recon, epoch=1)
+    wav_path = (
+        tmp_path / "ljspeech"
+        / "audio_recon_wavevqvae_data_ljspeech_dim_8_z_dim_16_epoch_1.wav"
+    )
+    sr, wav = wavfile.read(wav_path)
+    assert len(wav) == 512
+    # a real reconstruction, not the constant the argmax bug produced
+    assert np.unique(wav).size > 10

@@ -476,3 +476,53 @@ def test_motion_cli_watch_gestures(capsys):
     assert "Swipe" in out
     assert "key_tap" in out and "screen_tap" in out
     assert "degrees" in out  # swept-angle rendering (inference.py:180-184)
+
+
+def test_restart_after_stream_exhaustion_does_not_abort():
+    """Regression: start() after the producer thread exited on its own
+    (stream exhausted, running_ already false) move-assigned onto a
+    still-joinable std::thread — std::terminate killed the interpreter.
+    A restart must be safe (and a no-op stream-wise: the source is
+    already drained)."""
+    ctrl = synthetic_controller(seed=3, fps=2000.0, n_frames=5)
+    try:
+        ctrl.start()
+        deadline = time.time() + 20
+        while not ctrl.done and time.time() < deadline:
+            time.sleep(0.01)
+        assert ctrl.done
+        # producer exited by itself; restarting must not terminate us
+        ctrl.start()
+        ctrl.stop()
+    finally:
+        ctrl.close()
+
+
+def test_closed_controller_raises_not_segfaults():
+    """Regression: native calls on a closed controller dereferenced a
+    NULL handle (SIGSEGV); they must raise ValueError instead."""
+    ctrl = synthetic_controller(seed=1, n_frames=5)
+    ctrl.close()
+    with pytest.raises(ValueError, match="closed"):
+        ctrl.stop()
+    with pytest.raises(ValueError, match="closed"):
+        _ = ctrl.running
+    with pytest.raises(ValueError, match="closed"):
+        ctrl.poll()
+    ctrl.close()  # idempotent
+
+
+def test_analyze_single_row_csv(tmp_path):
+    """Regression: nsg-motion analyze on a single-frame recording used to
+    IndexError (1-D genfromtxt result without the load_pca guard)."""
+    from neural_sound_generation_tpu.cli.motion import cmd_analyze
+
+    row = np.linspace(0.0, 1.0, 22)
+    path = tmp_path / "one.csv"
+    np.savetxt(path, row[None], delimiter=",")
+
+    class Args:
+        input_csv = str(path)
+        components = 1  # a 1-frame recording supports exactly 1 component
+
+    cmd_analyze(Args)  # must not raise

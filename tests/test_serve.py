@@ -836,3 +836,60 @@ def test_mid_stream_failure_drops_connection_cleanly():
     # and no second status line was written into the body
     assert b"HTTP/1.1 500" not in body
     assert b"HTTP/1.1 400" not in body
+
+
+def test_decode_rejects_out_of_range_codes(server):
+    """Regression: out-of-range code indices were silently clamped by the
+    device gather (wrong-but-valid audio, HTTP 200); they must 400 like
+    /sample's label validation."""
+    import urllib.error
+
+    payload = json.dumps({"codes": [[99999] * 4] * 20}).encode()
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server + "/decode", payload)
+    assert err.value.code == 400
+    assert "codes" in json.loads(err.value.read())["error"]
+
+
+def test_analysis_compiles_per_window_bucket_not_per_length():
+    """Regression: _wav_to_mel analyzed the UNPADDED samples, so every
+    distinct upload length compiled a fresh melspectrogram program (tens
+    of seconds each through the TPU tunnel). The samples must be padded
+    to the power-of-two window grid BEFORE the jitted analysis."""
+    from neural_sound_generation_tpu.cli.serve import InferenceService
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)), train=False
+    )
+    svc = InferenceService(cfg, model, variables, frames=16)
+    seen_shapes = set()
+    orig = svc.dsp.melspectrogram
+
+    def spy(samples, a):
+        seen_shapes.add(tuple(samples.shape))
+        return orig(samples, a)
+
+    svc.dsp = type(svc.dsp)  # placeholder, replaced below
+    svc.dsp = _DspSpy(orig_mod=__import__(
+        "neural_sound_generation_tpu.ops.dsp", fromlist=["dsp"]
+    ), spy=spy)
+    # three different lengths inside the same window bucket -> ONE
+    # analysis shape; a longer upload -> the next power-of-two bucket
+    for seconds in (0.11, 0.13, 0.15, 0.4):
+        svc._wav_to_mel(_wav_bytes(seconds=seconds))
+    assert len(seen_shapes) == 2, seen_shapes
+
+
+class _DspSpy:
+    def __init__(self, orig_mod, spy):
+        self._mod = orig_mod
+        self._spy = spy
+
+    def __getattr__(self, name):
+        if name == "melspectrogram":
+            return self._spy
+        return getattr(self._mod, name)
