@@ -56,7 +56,8 @@ def _decode_fn(model: VQVAE):
 
 def extract_units(model: VQVAE, variables, mels: jnp.ndarray) -> jnp.ndarray:
     """Mel batch (B, num_mels, frames, 1) -> discrete unit grid
-    (B, frames'/4, mels'/4) — the ZeroSpeech-style unit extraction."""
+    (B, num_mels/4, frames/4) — the ZeroSpeech-style unit extraction
+    (the encoder downsamples both spatial axes by 4, in input order)."""
     return _encode_fn(model)(variables, mels)
 
 
@@ -99,15 +100,18 @@ def sample_prior_mels(
     labels: jnp.ndarray,
     code_shape: Tuple[int, int],
     key: jax.Array,
+    g: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """PixelCNN samples code grids -> decoder. Returns (code grids,
     mel batch (B, num_mels, frames)) — the synthesis backend (Griffin-Lim
-    or a trained vocoder) is the caller's choice."""
+    or a trained vocoder) is the caller's choice. ``g``: (B,) speaker ids
+    for multi-speaker decoders (the decoder was trained WITH the speaker
+    embedding; omitting it decodes degraded/wrong-speaker audio)."""
     codes = pixelcnn_generate(
         prior, prior_variables, labels, key,
         shape=code_shape, batch_size=int(labels.shape[0]),
     )
-    mels = _decode_fn(model)(variables, codes, None)[..., 0]
+    mels = _decode_fn(model)(variables, codes, g)[..., 0]
     return codes, mels
 
 
@@ -120,12 +124,14 @@ def sample_prior_audio(
     code_shape: Tuple[int, int],
     cfg: AudioConfig,
     key: jax.Array,
+    g: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full generative path: PixelCNN samples code grids -> decoder ->
     Griffin-Lim. Returns (code grids, waveforms)."""
     k1, k2 = jax.random.split(key)
     codes, mels = sample_prior_mels(
-        model, variables, prior, prior_variables, labels, code_shape, k1
+        model, variables, prior, prior_variables, labels, code_shape, k1,
+        g=g,
     )
     keys = jax.random.split(k2, mels.shape[0])
     return codes, dsp.inv_mel_spectrogram_batch(mels, cfg, keys)
@@ -148,6 +154,27 @@ def hier_cond_map(vqvae_variables, idx_top: jnp.ndarray):
     return jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)
 
 
+@functools.lru_cache(maxsize=None)
+def _hier_cond_fn():
+    return jax.jit(hier_cond_map)
+
+
+@functools.lru_cache(maxsize=None)
+def _hier_decode_fn(model):
+    # jitted like _decode_fn: the eager flax apply runs the conv decoder
+    # op-by-op, and on the axon TPU eager ops pay a per-op dispatch round
+    # trip (and some are outright unsupported outside jit)
+    from neural_sound_generation_tpu.models import HierVQVAE
+
+    @jax.jit
+    def run(variables, idx_t, idx_b):
+        return model.apply(
+            variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
+        )
+
+    return run
+
+
 def sample_hier_mels(
     vqvae_model,
     vqvae_variables,
@@ -164,7 +191,6 @@ def sample_hier_mels(
     decode both levels. Returns (idx_top, idx_bottom, mel batch); the
     synthesis backend is the caller's choice. ``bottom_prior`` must be
     built with ``spatial_cond=True``."""
-    from neural_sound_generation_tpu.models import HierVQVAE
     from neural_sound_generation_tpu.models.pixelcnn import fast_generate
 
     B = int(labels.shape[0])
@@ -175,14 +201,12 @@ def sample_hier_mels(
     idx_t = fast_generate(
         top_prior, top_variables, labels, k_t, shape=(Ht, Wt), batch_size=B
     )
-    cond = hier_cond_map(vqvae_variables, idx_t)
+    cond = _hier_cond_fn()(vqvae_variables, idx_t)
     idx_b = fast_generate(
         bottom_prior, bottom_variables, labels, k_b,
         shape=(2 * Ht, 2 * Wt), batch_size=B, cond_map=cond,
     )
-    mels = vqvae_model.apply(
-        vqvae_variables, idx_t, idx_b, train=False, method=HierVQVAE.decode
-    )[..., 0]
+    mels = _hier_decode_fn(vqvae_model)(vqvae_variables, idx_t, idx_b)[..., 0]
     return idx_t, idx_b, mels
 
 

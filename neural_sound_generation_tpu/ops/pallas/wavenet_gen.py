@@ -49,7 +49,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LOG_SCALE_MIN = -32.23619130191664  # training/losses.py MoL floor
+from neural_sound_generation_tpu.models.wavenet import (
+    _LOG_SCALE_MIN as LOG_SCALE_MIN,  # ONE MoL floor for every sampler
+)
 _P = 128  # lane width; the MoL head must fit in one lane row
 
 
@@ -139,8 +141,14 @@ def _pack_weights(model, params, dilations):
 
 
 def _uniform_from_bits(bits):
-    """uint32 random bits -> f32 uniforms in (eps, 1-eps)."""
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Random bits -> f32 uniforms in (eps, 1-eps).
+
+    ``pltpu.prng_random_bits`` yields INT32, so a bare ``bits >> 8`` is an
+    ARITHMETIC shift: the half of all draws with the sign bit set came
+    out negative and clipped to the 1e-6 floor, collapsing half the
+    gumbel/logistic noise to a constant. Mask to the low 24 bits after
+    the shift so every draw is a uniform in [0, 1)."""
+    u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
     return jnp.clip(u, 1e-6, 1.0 - 1e-6)
 
 

@@ -170,6 +170,18 @@ class WaveNetStreamMux:
         Upsamples on device (compiled per distinct T'), pads the result
         into a slot-capacity buffer, and queues the session; the worker
         assigns it a slot at the next chunk boundary."""
+        # validate the key on the CALLER's thread: a malformed key would
+        # otherwise only blow up inside the shared worker at slot
+        # assignment, and the crash handler kills every concurrent stream
+        key = jnp.asarray(key)
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)  # new-style typed key
+        want = self._keys.shape[1:]
+        if key.shape != want or key.dtype != self._keys.dtype:
+            raise ValueError(
+                f"key must be a raw PRNG key of shape {want} dtype "
+                f"{self._keys.dtype}, got shape {key.shape} dtype {key.dtype}"
+            )
         c = jnp.asarray(c)
         c_up = self._upsample(self._variables, c[None])[0]
         length = int(c_up.shape[0])
@@ -183,7 +195,7 @@ class WaveNetStreamMux:
         padded = jax.lax.dynamic_update_slice_in_dim(
             padded, c_up.astype(padded.dtype), 0, axis=0
         )
-        sess = _Session(padded, length, jnp.asarray(key))
+        sess = _Session(padded, length, key)
         with self._cv:
             if not self._started:
                 threading.Thread(
@@ -253,12 +265,9 @@ class WaveNetStreamMux:
                     for slot, s in enumerate(self._sessions)
                     if s is not None
                 ]
-                if not active:
-                    if prev_out is None:
-                        self._cv.wait()
-                        continue
-                else:
-                    pass
+                if not active and prev_out is None:
+                    self._cv.wait()
+                    continue
             if active:
                 # Snapshot the mutable host-side control buffers before
                 # dispatch: the H2D transfer behind jnp.asarray may read

@@ -55,3 +55,34 @@ def test_rvq_unit_extraction(rng):
     model, variables, mels = _setup(rng, nq=2)
     units = extract_units(model, variables, mels)
     assert units.shape == (2, 2, 20, 4)  # (Q, B, H', W')
+
+
+def test_sample_prior_mels_threads_speaker_conditioning(rng):
+    """Regression: sample_prior_mels hardcoded g=None, silently dropping
+    the speaker embedding a multi-speaker decoder was trained with."""
+    from neural_sound_generation_tpu.inference import sample_prior_mels
+    from neural_sound_generation_tpu.models import GatedPixelCNN
+
+    model = VQVAE(input_dim=1, dim=8, z_dim=16, n_speakers=3, gin_channels=4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), x, train=False, g=jnp.zeros((2,), jnp.int32)
+    )
+    prior = GatedPixelCNN(input_dim=16, dim=8, n_layers=2, n_classes=3)
+    pv = prior.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 4, 4), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    labels = jnp.asarray([0, 2], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    codes_a, mels_a = sample_prior_mels(
+        model, variables, prior, pv, labels, (4, 4), key, g=labels
+    )
+    codes_b, mels_b = sample_prior_mels(
+        model, variables, prior, pv, labels, (4, 4), key,
+        g=jnp.asarray([1, 1], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(codes_a), np.asarray(codes_b))
+    # same codes, different speakers -> different decodes (g reaches the
+    # decoder instead of being dropped)
+    assert not np.allclose(np.asarray(mels_a), np.asarray(mels_b))

@@ -220,3 +220,16 @@ def test_crash_wakes_session_finished_in_lookahead(tiny):
     assert not tb.is_alive(), "long session's consumer is still blocked"
     assert isinstance(results["a"], RuntimeError)
     assert isinstance(results["b"], RuntimeError)
+
+
+def test_open_rejects_malformed_key_on_caller_thread(tiny):
+    """Regression: a malformed PRNG key used to blow up inside the SHARED
+    worker at slot assignment, and the crash handler killed every
+    concurrent stream. open() must reject it on the caller's thread."""
+    model, variables = tiny
+    mux = _mux(model, variables)
+    with pytest.raises(ValueError, match="key"):
+        mux.open(_cond(0), jnp.zeros((3,), jnp.uint32))
+    # a new-style typed key is accepted (converted to raw key data)
+    out = _collect(mux.open(_cond(0, frames=8), jax.random.key(9)))
+    assert out.shape == (32,)

@@ -327,3 +327,25 @@ def test_make_generate_fn_dispatches_to_scan_off_tpu(rng):
     out = np.asarray(gen(v, c, None, jax.random.PRNGKey(0), batch_size=1))
     assert out.shape == (1, 32)
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+def test_pallas_uniform_bits_unbiased():
+    """Regression: pltpu.prng_random_bits yields INT32, and the old
+    `bits >> 8` was an ARITHMETIC shift — half of all uniforms went
+    negative and clipped to the 1e-6 floor, collapsing half the
+    gumbel/logistic sampling noise to a constant."""
+    from neural_sound_generation_tpu.ops.pallas.wavenet_gen import (
+        _uniform_from_bits,
+    )
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=20000, dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    u = np.asarray(_uniform_from_bits(bits))
+    assert u.min() >= 1e-6 and u.max() <= 1 - 1e-6
+    # unbiased: mean ~0.5, and the clip floor captures almost nothing
+    assert abs(float(u.mean()) - 0.5) < 0.02
+    assert float((u <= 1e-6).mean()) < 1e-3
