@@ -194,7 +194,7 @@ def bench_torch_cpu(steps=3, warmup=1):
     import torch.nn.functional as F
 
     torch.manual_seed(0)
-    torch.set_num_threads(max(1, __import__("os").cpu_count()))
+    torch.set_num_threads(max(1, __import__("os").cpu_count() or 1))
 
     class ResBlock(nn.Module):
         def __init__(self, dim):

@@ -3,6 +3,9 @@
 # synthetic corpus (~2 min on CPU). Usage: scripts/smoke_all.sh [workdir]
 set -euo pipefail
 WORK=${1:-$(mktemp -d /tmp/nsg-smoke-XXXX)}
+# absolutize BEFORE the cd: a relative workdir must not silently resolve
+# under the repo root
+mkdir -p "$WORK"; WORK=$(cd "$WORK" && pwd)
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 PY() { python -c "import jax; jax.config.update('jax_platforms','cpu')
@@ -79,7 +82,7 @@ main(['generate','$WORK/hand.csv','$WORK/motion.wav','--dim','8',
 
 echo "== artifacts:"
 ls "$WORK"/inv.wav "$WORK"/synth.wav "$WORK"/motion.wav "$WORK"/prior_samples/*.wav
-echo "SMOKE OK"
+echo "== stages 1-7 ok (hier + serving still to run)"
 
 echo "== 8/8 hierarchical chain (hiervqvae + per-level priors + sample)"
 PY "

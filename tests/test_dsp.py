@@ -202,7 +202,7 @@ def test_lws_pad_math():
         assert dsp.lws_num_frames(length, fsize, fshift) == M
         l, r = dsp.lws_pad_lr(length, fsize, fshift)
         assert l == pad
-        assert (length + l + r) % fshift == 0 or True
+        assert (length + l + r) % fshift == 0
         T = length + 2 * pad
         assert r == pad + ((M - 1) * fshift + fsize - T)
 

@@ -92,10 +92,6 @@ _WORKER = textwrap.dedent(
 
 @pytest.mark.slow
 def test_two_process_data_parallel_step(tmp_path):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER, encoding="utf-8")
 
@@ -107,20 +103,35 @@ def test_two_process_data_parallel_step(tmp_path):
         + os.pathsep
         + env.get("PYTHONPATH", "")
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), coord, str(pid), str(tmp_path)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
+
+    def launch():
+        # bind-then-close port pick is inherently TOCTOU-racy on a shared
+        # host; the retry below covers a stolen port
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coord, str(pid), str(tmp_path)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for pid in range(2)
+        ]
+        return [p.communicate(timeout=300)[0] for p in procs], procs
+
+    for attempt in range(3):
+        outs, procs = launch()
+        if all(p.returncode == 0 for p in procs):
+            break
+        stolen = any(
+            "in use" in out.lower() or "bind" in out.lower() for out in outs
         )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+        if not stolen or attempt == 2:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}:" in out and "ok" in out

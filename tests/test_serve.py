@@ -655,11 +655,14 @@ def test_stream_mux_serving(batching_service):
         except Exception as e:  # noqa: BLE001
             errors.append(e)
 
-    threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=240)
+    try:
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+    finally:
+        httpd.shutdown()  # don't leak the server for the rest of the session
     assert not errors
     t_frames = int(22050 * 0.15) // 256 + 1
     for r in results:
@@ -873,7 +876,6 @@ def test_analysis_compiles_per_window_bucket_not_per_length():
         seen_shapes.add(tuple(samples.shape))
         return orig(samples, a)
 
-    svc.dsp = type(svc.dsp)  # placeholder, replaced below
     svc.dsp = _DspSpy(orig_mod=__import__(
         "neural_sound_generation_tpu.ops.dsp", fromlist=["dsp"]
     ), spy=spy)
