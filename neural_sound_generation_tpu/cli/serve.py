@@ -46,6 +46,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from neural_sound_generation_tpu.serving import MuxOverloaded
+
 
 class _MicroBatcher:
     """Cross-request dynamic batching (--batch-window-ms).
@@ -565,10 +567,14 @@ class InferenceService:
             self.reconstruct_batched, window_ms, max_batch
         )
 
-    def enable_stream_mux(self, slots: int, max_seconds: float = 30.0):
+    def enable_stream_mux(self, slots: int, max_seconds: float = 30.0,
+                          max_pending=None):
         """Route WaveNet synthesis through a shared stream multiplexer:
         up to ``slots`` concurrent sessions generate through ONE batched
-        chunk program (--stream-slots)."""
+        chunk program (--stream-slots). ``max_pending`` bounds the
+        admission queue — an overloaded mux raises MuxOverloaded, which
+        the HTTP layer answers with 503 + Retry-After instead of growing
+        per-stream latency without bound."""
         if self._vocoder is None:
             raise ValueError("--stream-slots requires --vocoder wavenet")
         from neural_sound_generation_tpu.serving import WaveNetStreamMux
@@ -578,6 +584,7 @@ class InferenceService:
             wn_model, wn_vars, chunk=4096, slots=slots,
             dtype=jnp.bfloat16, max_seconds=max_seconds,
             sample_rate=self.cfg.audio.sample_rate,
+            max_pending=max_pending,
         )
 
     def _post_np(self, chunk: np.ndarray) -> np.ndarray:
@@ -674,10 +681,13 @@ def make_handler(service: InferenceService):
                     )
             self.wfile.write(b"0\r\n\r\n")
 
-        def _send(self, code, body: bytes, ctype="application/json"):
+        def _send(self, code, body: bytes, ctype="application/json",
+                  headers=()):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -727,6 +737,15 @@ def make_handler(service: InferenceService):
                     self._send(200, service.sample(payload), "audio/wav")
                 else:
                     self._send(404, b'{"error": "not found"}')
+            except MuxOverloaded:
+                if self._streaming_started:
+                    self.close_connection = True
+                    return
+                # overload is retryable, not a client error: 503 tells a
+                # well-behaved client to back off instead of re-POSTing
+                self._send(503, json.dumps(
+                    {"error": "stream slots exhausted; retry later"}
+                ).encode(), headers=(("Retry-After", "1"),))
             except self._CLIENT_ERRORS as e:
                 if self._streaming_started:
                     # chunked headers already sent: a status line here
@@ -892,7 +911,8 @@ def build_service(args):
         )
     if getattr(args, "stream_slots", 0) and args.stream_slots > 0:
         service.enable_stream_mux(
-            args.stream_slots, getattr(args, "stream_max_seconds", 30.0)
+            args.stream_slots, getattr(args, "stream_max_seconds", 30.0),
+            max_pending=getattr(args, "stream_max_pending", None),
         )
     return service
 
@@ -937,6 +957,10 @@ def parse_args(argv=None):
     p.add_argument("--stream-max-seconds", type=float, default=30.0,
                    help="per-utterance cap for the stream multiplexer "
                         "(slot buffer capacity)")
+    p.add_argument("--stream-max-pending", type=int, default=None,
+                   help="admission control: reject (503) new streams "
+                        "once this many sessions are queued for a slot "
+                        "(default: unbounded)")
     p.add_argument("--batch-window-ms", type=float, default=0.0,
                    help="enable cross-request dynamic batching on "
                         "/reconstruct: wait up to this long after the "

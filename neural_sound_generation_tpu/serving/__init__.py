@@ -8,6 +8,9 @@ Cross-request micro-batching for /reconstruct lives in cli/serve.py
 next to its HTTP wiring.
 """
 
-from neural_sound_generation_tpu.serving.mux import WaveNetStreamMux
+from neural_sound_generation_tpu.serving.mux import (
+    MuxOverloaded,
+    WaveNetStreamMux,
+)
 
-__all__ = ["WaveNetStreamMux"]
+__all__ = ["MuxOverloaded", "WaveNetStreamMux"]

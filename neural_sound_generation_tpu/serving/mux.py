@@ -49,6 +49,10 @@ from neural_sound_generation_tpu.models.wavenet import (
 )
 
 
+class MuxOverloaded(RuntimeError):
+    """Raised by ``open`` when the pending queue is at ``max_pending``."""
+
+
 class _Session:
     __slots__ = ("length", "pos", "slot", "key", "queue", "c_up")
 
@@ -67,21 +71,25 @@ class WaveNetStreamMux:
     ``open(c, key)`` -> iterator of (chunk,) float waveform pieces for a
     (T', cin_channels) conditioning matrix (unupsampled mel frames, the
     same input the solo streaming sampler takes). While all slots are
-    busy new sessions queue (unbounded) and are admitted at the next
-    free chunk boundary — callers wanting admission control should gate
-    on ``active``. ``max_seconds`` bounds a single utterance
+    busy new sessions queue and are admitted at the next free chunk
+    boundary; ``max_pending`` bounds that queue (admission control —
+    ``open`` raises ``MuxOverloaded`` once ``max_pending`` sessions are
+    already waiting, so a server can answer 503 instead of growing
+    latency without bound). ``max_seconds`` bounds a single utterance
     (slot-buffer capacity); longer conditioning raises ValueError.
     """
 
     def __init__(self, model: WaveNet, variables, chunk: int = 4096,
                  slots: int = 8, dtype=jnp.bfloat16,
-                 max_seconds: float = 10.0, sample_rate: int = 22050):
+                 max_seconds: float = 10.0, sample_rate: int = 22050,
+                 max_pending: Optional[int] = None):
         if model.cin_channels <= 0:
             raise ValueError("the stream mux needs local conditioning")
         self.model = model
         self.chunk = int(chunk)
         self.slots = int(slots)
         self.dtype = dtype
+        self.max_pending = None if max_pending is None else int(max_pending)
         # ceil: an utterance within max_seconds must fit (a floor would
         # reject lengths between the last whole chunk and the stated cap)
         n_chunks_cap = max(1, -(-int(max_seconds * sample_rate) // self.chunk))
@@ -197,6 +205,18 @@ class WaveNetStreamMux:
         )
         sess = _Session(padded, length, key)
         with self._cv:
+            if self.max_pending is not None:
+                # backlog = queued sessions that will NOT be absorbed by
+                # currently-free slots at the next chunk boundary; a free
+                # slot always admits (max_pending=0 == slots-only)
+                free = sum(s is None for s in self._sessions)
+                backlog = len(self._pending) - free
+                if backlog >= self.max_pending:
+                    raise MuxOverloaded(
+                        f"{len(self._pending)} sessions waiting for "
+                        f"{free} free slots "
+                        f"(max_pending={self.max_pending}); retry later"
+                    )
             if not self._started:
                 threading.Thread(
                     target=self._worker, daemon=True, name="nsg-streammux"

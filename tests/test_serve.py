@@ -895,3 +895,35 @@ class _DspSpy:
         if name == "melspectrogram":
             return self._spy
         return getattr(self._mod, name)
+
+
+def test_overloaded_stream_mux_maps_to_503():
+    """Admission-control overload (MuxOverloaded) answers 503 with
+    Retry-After — retryable server state, not a 400/500."""
+    from http.server import ThreadingHTTPServer
+
+    from neural_sound_generation_tpu.cli.serve import make_handler
+    from neural_sound_generation_tpu.serving import MuxOverloaded
+
+    class OverloadedService:
+        class cfg:  # noqa: N801
+            class audio:  # noqa: N801
+                sample_rate = 22050
+
+        def reconstruct_stream(self, body):
+            raise MuxOverloaded("slots exhausted")
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(OverloadedService())
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(url + "/reconstruct_stream", b"xxxx")
+        assert err.value.code == 503
+        assert err.value.headers["Retry-After"] == "1"
+        assert "retry" in json.loads(err.value.read())["error"]
+    finally:
+        httpd.shutdown()

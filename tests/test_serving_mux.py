@@ -7,6 +7,7 @@ else (slot reuse, trimming, queueing) rides on that.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -233,3 +234,36 @@ def test_open_rejects_malformed_key_on_caller_thread(tiny):
     # a new-style typed key is accepted (converted to raw key data)
     out = _collect(mux.open(_cond(0, frames=8), jax.random.key(9)))
     assert out.shape == (32,)
+
+
+def test_max_pending_admission_control(tiny):
+    """Bounded admission: once max_pending sessions are queued beyond the
+    free slots, open() raises MuxOverloaded instead of growing the wait
+    queue (and per-stream latency) without bound. Free slots always
+    admit, even at max_pending=0."""
+    from neural_sound_generation_tpu.serving import MuxOverloaded
+
+    model, variables = tiny
+    mux = WaveNetStreamMux(
+        model, variables, chunk=32, slots=1, dtype=None,
+        max_seconds=1.0, sample_rate=256, max_pending=1,
+    )
+    orig = mux._mux_step
+    release = threading.Event()
+
+    def slow(*a, **k):
+        release.wait(timeout=120)
+        return orig(*a, **k)
+
+    mux._mux_step = slow
+    gen_a = mux.open(_cond(0, frames=8), jax.random.PRNGKey(1))  # slot 0
+    # wait until the worker has actually assigned A (pending drained)
+    deadline = time.time() + 30
+    while mux.active < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    gen_b = mux.open(_cond(1, frames=8), jax.random.PRNGKey(2))  # pending 1
+    with pytest.raises(MuxOverloaded, match="retry later"):
+        mux.open(_cond(2, frames=8), jax.random.PRNGKey(3))
+    release.set()
+    assert _collect(gen_a).shape == (32,)
+    assert _collect(gen_b).shape == (32,)
