@@ -100,6 +100,49 @@ class _MicroBatcher:
                 box[0].set()
 
 
+class _Metrics:
+    """Thread-safe per-endpoint request counters + latency reservoirs
+    (last ``window`` observations) for GET /metrics."""
+
+    def __init__(self, window: int = 512):
+        self._lock = threading.Lock()
+        self._lat: dict = {}
+        self._count: dict = {}
+        self._errors: dict = {}
+        self._window = window
+        self._t0 = time.time()
+
+    def observe(self, path: str, seconds: float, ok: bool):
+        from collections import deque
+
+        with self._lock:
+            d = self._lat.setdefault(path, deque(maxlen=self._window))
+            d.append(seconds)
+            self._count[path] = self._count.get(path, 0) + 1
+            if not ok:
+                self._errors[path] = self._errors.get(path, 0) + 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {
+                "uptime_s": round(time.time() - self._t0, 1),
+                "endpoints": {},
+            }
+            for path, d in self._lat.items():
+                lat = sorted(d)
+                n = len(lat)
+                out["endpoints"][path] = {
+                    "requests": self._count.get(path, 0),
+                    "errors": self._errors.get(path, 0),
+                    "latency_ms": {
+                        "p50": round(1e3 * lat[n // 2], 1),
+                        "p99": round(1e3 * lat[min(n - 1, int(n * 0.99))], 1),
+                        "mean": round(1e3 * sum(lat) / n, 1),
+                    },
+                }
+            return out
+
+
 class InferenceService:
     """Holds the model + jitted programs; thread-safe (JAX dispatch is)."""
 
@@ -123,6 +166,7 @@ class InferenceService:
         self.frames = frames
         self.dsp = dsp
         self._lock = threading.Lock()
+        self.metrics = _Metrics()
 
         if self.hier:
 
@@ -696,6 +740,19 @@ def make_handler(service: InferenceService):
                 self._send(200, json.dumps(
                     {"status": "ok", "backend": jax.default_backend()}
                 ).encode())
+            elif self.path == "/metrics":
+                m = getattr(service, "metrics", None)
+                snap = m.snapshot() if m is not None else {}
+                snap["backend"] = jax.default_backend()
+                mux = getattr(service, "_stream_mux", None)
+                if mux is not None:
+                    snap["stream_mux"] = {
+                        "slots": mux.slots,
+                        "active": mux.active,
+                        "pending": mux.pending,
+                        "max_pending": mux.max_pending,
+                    }
+                self._send(200, json.dumps(snap).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -709,6 +766,18 @@ def make_handler(service: InferenceService):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             self._streaming_started = False
+            t0 = time.perf_counter()
+            ok = False
+            try:
+                ok = self._dispatch(body)
+            finally:
+                m = getattr(service, "metrics", None)
+                if m is not None:
+                    m.observe(self.path, time.perf_counter() - t0, ok)
+
+        def _dispatch(self, body) -> bool:
+            """Route one POST; returns True when the request was served
+            successfully (2xx), False for every error response/drop."""
             try:
                 if self.path == "/encode":
                     self._send(200, json.dumps(service.encode(body)).encode())
@@ -737,15 +806,18 @@ def make_handler(service: InferenceService):
                     self._send(200, service.sample(payload), "audio/wav")
                 else:
                     self._send(404, b'{"error": "not found"}')
+                    return False
+                return True
             except MuxOverloaded:
                 if self._streaming_started:
                     self.close_connection = True
-                    return
+                    return False
                 # overload is retryable, not a client error: 503 tells a
                 # well-behaved client to back off instead of re-POSTing
                 self._send(503, json.dumps(
                     {"error": "stream slots exhausted; retry later"}
                 ).encode(), headers=(("Retry-After", "1"),))
+                return False
             except self._CLIENT_ERRORS as e:
                 if self._streaming_started:
                     # chunked headers already sent: a status line here
@@ -756,10 +828,11 @@ def make_handler(service: InferenceService):
                         "mid-stream client error on %s: %s", self.path, e
                     )
                     self.close_connection = True
-                    return
+                    return False
                 self._send(400, json.dumps(
                     {"error": f"bad request: {type(e).__name__}: {e}"}
                 ).encode())
+                return False
             except Exception:
                 # unexpected: log the traceback server-side under an opaque
                 # id; never echo internals (paths, shapes, stack) to clients
@@ -769,10 +842,11 @@ def make_handler(service: InferenceService):
                 )
                 if self._streaming_started:
                     self.close_connection = True
-                    return
+                    return False
                 self._send(500, json.dumps(
                     {"error": "internal error", "id": err_id}
                 ).encode())
+                return False
 
     return Handler
 

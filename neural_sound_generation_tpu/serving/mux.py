@@ -231,6 +231,11 @@ class WaveNetStreamMux:
         with self._cv:
             return sum(s is not None for s in self._sessions)
 
+    @property
+    def pending(self) -> int:
+        with self._cv:
+            return len(self._pending)
+
     # ------------------------------------------------------------ private
 
     @staticmethod

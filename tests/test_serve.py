@@ -927,3 +927,34 @@ def test_overloaded_stream_mux_maps_to_503():
         assert "retry" in json.loads(err.value.read())["error"]
     finally:
         httpd.shutdown()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics: per-endpoint request/error counters with latency
+    percentiles, so an operator can see serving health without external
+    tooling."""
+    def snap():
+        with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+            return json.loads(r.read())
+
+    def stat(s, path, field):
+        return s["endpoints"].get(path, {}).get(field, 0)
+
+    before = snap()
+    with _post(server + "/encode", _wav_bytes(seconds=0.2)) as r:
+        assert r.status == 200
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server + "/decode", b"not json")
+    after = snap()
+    assert after["uptime_s"] >= 0
+    # deltas (the module-scoped server accumulates other tests' traffic)
+    assert stat(after, "/encode", "requests") == (
+        stat(before, "/encode", "requests") + 1
+    )
+    assert stat(after, "/encode", "errors") == stat(before, "/encode", "errors")
+    assert stat(after, "/decode", "errors") == (
+        stat(before, "/decode", "errors") + 1
+    )
+    enc = after["endpoints"]["/encode"]
+    assert enc["latency_ms"]["p50"] > 0
+    assert enc["latency_ms"]["p99"] >= enc["latency_ms"]["p50"]
