@@ -18,6 +18,8 @@ server exposing the batched on-device inference paths:
                  sampling from a loaded PixelCNN prior (--prior-ckpt;
                  hiervqvae needs --bottom-ckpt too)
   GET  /health   -> {"status": "ok", "backend": ...}
+  GET  /metrics  -> per-endpoint request/error counts + latency
+                 percentiles, stream-mux occupancy
 
 Model compilation happens once at startup; each request runs jitted
 device programs (shapes are padded/cropped to the serving window).
