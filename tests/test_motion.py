@@ -512,6 +512,7 @@ def test_closed_controller_raises_not_segfaults():
     ctrl.close()  # idempotent
 
 
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")  # sklearn 1-sample PCA
 def test_analyze_single_row_csv(tmp_path):
     """Regression: nsg-motion analyze on a single-frame recording used to
     IndexError (1-D genfromtxt result without the load_pca guard)."""
