@@ -543,3 +543,25 @@ def test_wave_models_phased_matches_stock(monkeypatch):
     upp = ConditionUpsampler(scales=(4, 4), channels=80).apply(uv, c)
     assert us.shape == upp.shape == (2, 7 * 16, 80)
     np.testing.assert_allclose(np.asarray(us), np.asarray(upp), atol=1e-5)
+
+
+def test_phased_conv_bf16_matches_stock(monkeypatch):
+    """The production path runs the phased convs in bf16 (flagship
+    dtype); outputs must match the stock lowering at bf16 resolution —
+    both lowerings sum the same 4 products per output on the MXU."""
+    from neural_sound_generation_tpu.models import layers as L
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 20, 7, 8)).astype(np.float32)
+    )
+    for make in (lambda: L.conv_down(16, dtype=jnp.bfloat16),
+                 lambda: L.conv_up(16, dtype=jnp.bfloat16)):
+        monkeypatch.setenv("NSG_CONV_IMPL", "stock")
+        mod_s = make()
+        params = mod_s.init(jax.random.PRNGKey(0), x)
+        ys = np.asarray(mod_s.apply(params, x), np.float32)
+        monkeypatch.setenv("NSG_CONV_IMPL", "phased")
+        yp = np.asarray(make().apply(params, x), np.float32)
+        assert ys.shape == yp.shape
+        scale = np.abs(ys).max() + 1e-6
+        np.testing.assert_allclose(ys / scale, yp / scale, atol=2e-2)
