@@ -66,12 +66,21 @@ class ResBlock(nn.Module):
 
 
 def _use_phased() -> bool:
-    """Phase-decomposed stride-2 convs (default on).
+    """Phase-decomposed stride-2 convs (opt-in: ``NSG_CONV_IMPL=phased``).
 
-    ``NSG_CONV_IMPL=stock`` restores the plain XLA lowering. Read at trace
-    time; every jitted program bakes in one choice.
+    Default is the stock XLA lowering: the same-window TPU A/B
+    (tools/ab_conv_impl.py, compile-cached, 3 blocked rounds per leg)
+    measured stock FASTER on the real chip — vqvae 393.3 vs 345.2
+    steps/s, wavevqvae 302.8 vs 259.9, vocoder a wash (69.3 vs 69.0).
+    XLA's own lowering of the LHS-dilated conv evidently already avoids
+    the zero-multiply tax the decomposition targets, and the phased
+    reshape/transpose chains add layout work instead. The decomposition
+    stays available (exact numerics, identical checkpoints — see the
+    parity tests in tests/test_models.py) for future XLA versions or
+    shapes where the trade flips. Read at trace time; every jitted
+    program bakes in one choice.
     """
-    return os.environ.get("NSG_CONV_IMPL", "phased") != "stock"
+    return os.environ.get("NSG_CONV_IMPL", "stock") == "phased"
 
 
 def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,

@@ -21,6 +21,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from neural_sound_generation_tpu.utils.compilation_cache import (
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()  # tunnel compiles can take minutes; cache them
+
 from neural_sound_generation_tpu.config import Config
 from neural_sound_generation_tpu.training import create_train_state
 from neural_sound_generation_tpu.training.trainer import make_multistep_train
