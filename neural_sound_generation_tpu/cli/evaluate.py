@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute for the eval sweep (checkpoints "
                         "are f32 and restore unchanged)")
+    p.add_argument("--no-ema", action="store_true",
+                   help="evaluate the live training params instead of the "
+                        "averaged (EMA) model. Default follows the "
+                        "reference's intent (hparams.py:116-118): the EMA "
+                        "shadow when the checkpoint carries one.")
     return p.parse_args(argv)
 
 
@@ -81,6 +86,10 @@ def main(argv=None):
     )
     state = create_train_state(variables, cfg.train)
     state, extra = checkpoint.restore(args.ckpt_dir, state)
+    if args.no_ema:
+        # drop the EMA shadow so make_eval_step's eval_params resolves to
+        # the live params
+        state = state.replace(ema_params=None)
     # commit restored numpy leaves to device once, or every eval batch
     # re-uploads the weights through the TPU tunnel
     state = jax.device_put(state)

@@ -177,6 +177,8 @@ def cmd_train(args):
                 out["cond"] = cond
             yield out
 
+    ema_dir = args.ckpt_dir.rstrip("/") + "_ema"
+
     def save_ckpt(state, step):
         # artifact stays the {"params": ...} variables layout the sample
         # CLI and cli/serve.py --prior-ckpt restore into
@@ -186,6 +188,16 @@ def cmd_train(args):
             step=int(step),
             extra={"epoch": epoch},
         )
+        if state.ema_params is not None:
+            # averaged-model export (the reference's intended sampling
+            # weights, hparams.py:116-118 / dataloader.py:246-262) as a
+            # sibling artifact; sample/serve point --prior-ckpt here
+            checkpoint.save(
+                ema_dir,
+                {"params": jax.device_get(state.eval_params)},
+                step=int(step),
+                extra={"epoch": epoch, "averaged": True},
+            )
 
     for epoch in range(1, args.epochs + 1):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
@@ -197,6 +209,8 @@ def cmd_train(args):
               f"(ppl {np.exp(nll):.1f} of {args.z_dim})")
         save_ckpt(trainer.state, int(np.asarray(jax.device_get(trainer.state.step))))
     print(f"prior saved to {args.ckpt_dir}")
+    if trainer.state.ema_params is not None:
+        print(f"averaged-model (EMA) artifact saved to {ema_dir}")
 
 
 def cmd_sample(args):

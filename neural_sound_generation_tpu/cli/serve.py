@@ -908,12 +908,18 @@ def build_service(args):
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)
         restored, _ = checkpoint.restore(args.ckpt_dir, state)
+        # --ema serves the averaged model (eval_params falls back to the
+        # live params when the checkpoint carries no EMA shadow)
+        params = (
+            restored.eval_params if getattr(args, "ema", False)
+            else restored.params
+        )
         # Commit restored (host numpy) leaves to the device ONCE: jit
         # re-transfers uncommitted host arrays on EVERY call, and over
         # the TPU tunnel that re-upload dominates serving latency (the
         # WaveNet path paid ~600 ms/chunk for a ~100 ms-compute chunk).
         variables = jax.device_put({
-            "params": restored.params,
+            "params": params,
             "batch_stats": restored.batch_stats,
         })
     vocoder = None
@@ -998,6 +1004,14 @@ def parse_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="serve the averaged (EMA) model weights from the "
+                        "--ckpt-dir train state instead of the live "
+                        "params (the reference's intended inference "
+                        "weights, hparams.py:116-118). Requires a "
+                        "checkpoint trained with EMA on (the default). "
+                        "The vocoder/prior equivalents are the *_ema "
+                        "artifact dirs their train CLIs export.")
     p.add_argument("--preset", default=None)
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--z-dim", type=int, default=512)

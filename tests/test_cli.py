@@ -261,6 +261,21 @@ def test_evaluate_cli(tmp_path):
     recon = np.load(dump)
     assert recon.ndim == 4 and np.isfinite(recon).all()
 
+    # --no-ema evaluates the live training params instead of the averaged
+    # model; after 2 steps of decay-0.9999 EMA the shadow is ~at init, so
+    # the reconstructions must differ from the EMA-default pass above
+    dump_live = str(tmp_path / "recon_live.npy")
+    evaluate_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--ckpt-dir", str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16"),
+        "--batch-size", "2", "--dim", "8", "--z-dim", "16",
+        "--dump-npy", dump_live, "--no-ema",
+    ])
+    recon_live = np.load(dump_live)
+    assert recon_live.shape == recon.shape
+    assert not np.allclose(recon_live, recon)
+
 
 def _make_cifar10(tmp_path, n=24):
     import pickle

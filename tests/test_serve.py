@@ -196,6 +196,44 @@ def test_serve_with_trained_checkpoint(tmp_path, rng):
     assert all(isinstance(l, jax.Array) for l in leaves)
 
 
+def test_serve_ema_flag_uses_averaged_params(tmp_path):
+    """--ema serves the checkpoint's averaged (EMA) weights — the
+    reference's intended inference params (hparams.py:116-118) — instead
+    of the live training params."""
+    import argparse
+
+    from neural_sound_generation_tpu.cli.serve import build_service
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.training import checkpoint, create_train_state
+
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    x = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    state = create_train_state(variables, Config().train)
+    # make the live params distinct from the EMA shadow (which stays at
+    # the init values here), so the assertion can tell them apart
+    state = state.replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, state.params)
+    )
+    ckpt = str(tmp_path / "ck")
+    checkpoint.save(ckpt, state, step=1)
+
+    base = dict(preset=None, dim=8, z_dim=16, frames=16, ckpt_dir=ckpt)
+    live = build_service(argparse.Namespace(**base))
+    ema = build_service(argparse.Namespace(**base, ema=True))
+    np.testing.assert_allclose(
+        np.asarray(ema.variables["params"]["codebook"]),
+        np.asarray(jax.device_get(state.eval_params)["codebook"]),
+        atol=1e-6,
+    )
+    # and they differ from the live weights by the +1.0 we injected
+    assert not np.allclose(
+        np.asarray(ema.variables["params"]["codebook"]),
+        np.asarray(live.variables["params"]["codebook"]),
+    )
+
+
 # ------------------------- hierarchical serving -------------------------
 
 

@@ -202,9 +202,29 @@ def test_prior_cli_train_and_sample(tmp_path, monkeypatch):
     assert trainer.tensor_parallel
     assert "model" in trainer.state.params["layer_0"]["vert_kernel"].sharding.spec
 
+    # the averaged-model (EMA) export lands alongside in the same
+    # {"params": ...} layout and holds eval_params (reference intent:
+    # sample from the averaged model, hparams.py:116-118)
+    import jax
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    ema_ckpt = prior_ckpt + "_ema"
+    assert ckpt_mod.latest_step(ema_ckpt) is not None
+    template = {"params": jax.device_get(trainer.state.params)}
+    ema_vars, extra = ckpt_mod.restore(ema_ckpt, template)
+    assert extra.get("averaged") is True
+    want = jax.device_get(trainer.state.eval_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        ema_vars["params"], want,
+    )
+
+    # ancestral sampling straight from the EMA artifact
     sample_dir = str(tmp_path / "prior_samples")
     prior_cli.main([
-        "sample", "--vqvae-ckpt", vq_ckpt, "--prior-ckpt", prior_ckpt,
+        "sample", "--vqvae-ckpt", vq_ckpt, "--prior-ckpt", ema_ckpt,
         "--output-dir", sample_dir, "--dim", "8", "--z-dim", "16",
         "--prior-dim", "8", "--prior-layers", "2",
         "--code-shape", "20", "7", "--num-samples", "2",

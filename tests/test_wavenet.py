@@ -232,9 +232,36 @@ def test_vocoder_cli_train_and_synthesize(tmp_path, monkeypatch):
     trainer = captured["trainer"]
     assert trainer.tensor_parallel
     assert "model" in trainer.state.params["dilated_0"]["kernel"].sharding.spec
+
+    # the averaged-model (EMA) artifact is exported alongside, in the same
+    # variables layout, and carries eval_params — the reference's intended
+    # synthesis weights (hparams.py:116-118). With decay 0.9999 over a few
+    # steps the shadow stays near init, so it must differ from the live
+    # params.
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    ema_dir = ckpt + "_ema"
+    assert ckpt_mod.latest_step(ema_dir) is not None
+    template = {"params": jax.device_get(trainer.state.params)}
+    ema_vars, extra = ckpt_mod.restore(ema_dir, template)
+    want = jax.device_get(trainer.state.eval_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        ema_vars["params"], want,
+    )
+    assert extra.get("averaged") is True
+    live = np.asarray(
+        jax.device_get(trainer.state.params["dilated_0"]["kernel"])
+    )
+    ema_k = np.asarray(ema_vars["params"]["dilated_0"]["kernel"])
+    assert not np.allclose(live, ema_k)
+
+    # synthesize straight from the EMA artifact: same layout, loadable
     wav_out = str(tmp_path / "synth.wav")
     vocoder_cli.main([
-        "synthesize", "--ckpt-dir", ckpt,
+        "synthesize", "--ckpt-dir", ema_dir,
         "--mel-npy", str(out_dir / "ljspeech-mel-00001.npy"),
         "--output", wav_out, "--layers", "4", "--stacks", "2",
         "--residual-channels", "16", "--max-frames", "4",
