@@ -65,22 +65,36 @@ class ResBlock(nn.Module):
         return x + h
 
 
-def _use_phased() -> bool:
-    """Phase-decomposed stride-2 convs (opt-in: ``NSG_CONV_IMPL=phased``).
+def _use_phased(edge_channels: int | None = None) -> bool:
+    """Phase-decomposed stride-2 convs (``NSG_CONV_IMPL``).
 
-    Default is the stock XLA lowering: the same-window TPU A/B
-    (tools/ab_conv_impl.py, compile-cached, 3 blocked rounds per leg)
-    measured stock FASTER on the real chip — vqvae 393.3 vs 345.2
-    steps/s, wavevqvae 302.8 vs 259.9, vocoder a wash (69.3 vs 69.0).
-    XLA's own lowering of the LHS-dilated conv evidently already avoids
-    the zero-multiply tax the decomposition targets, and the phased
-    reshape/transpose chains add layout work instead. The decomposition
-    stays available (exact numerics, identical checkpoints — see the
-    parity tests in tests/test_models.py) for future XLA versions or
-    shapes where the trade flips. Read at trace time; every jitted
-    program bakes in one choice.
+    Modes (read at trace time; every jitted program bakes in one choice):
+
+    * ``stock`` (default) — plain XLA lowering everywhere. The
+      same-window TPU A/B (tools/ab_conv_impl.py, compile-cached, 3
+      blocked rounds per leg) measured stock FASTER than ``phased`` on
+      the real chip — vqvae 393.3 vs 345.2 steps/s, wavevqvae 302.8 vs
+      259.9, vocoder a wash (69.3 vs 69.0). XLA's own lowering of the
+      LHS-dilated conv evidently already avoids the zero-multiply tax
+      the decomposition targets, and the phased reshape/transpose
+      chains add layout work on the hot 256-channel convs.
+    * ``phased`` — decompose every supported stride conv (exact
+      numerics, identical checkpoints — see the parity tests in
+      tests/test_models.py); kept for future XLA versions or shapes
+      where the trade flips.
+    * ``edge`` — decompose ONLY convs whose MXU-critical channel dim
+      (``edge_channels``: input channels for a downsampling conv,
+      output features for a transpose conv) is <= 8: the 1-channel
+      spectrogram stem and the 1-channel audio head, where lane padding
+      wastes most of the systolic array, while the hot wide convs keep
+      the stock lowering that won the A/B.
     """
-    return os.environ.get("NSG_CONV_IMPL", "stock") == "phased"
+    mode = os.environ.get("NSG_CONV_IMPL", "stock")
+    if mode == "phased":
+        return True
+    if mode == "edge":
+        return edge_channels is not None and edge_channels <= 8
+    return False
 
 
 def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
@@ -108,7 +122,7 @@ def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
         and tuple(lhs_dilation or ones) == ones
         and tuple(rhs_dilation or ones) == ones
         and feature_group_count == 1
-        and _use_phased()
+        and _use_phased(inputs.shape[-1])
     )
     if supported_1d:
         b, t, ci = inputs.shape
@@ -130,7 +144,7 @@ def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
         and tuple(lhs_dilation or (1, 1)) == (1, 1)
         and tuple(rhs_dilation or (1, 1)) == (1, 1)
         and feature_group_count == 1
-        and _use_phased()
+        and _use_phased(inputs.shape[-1])
     )
     if not supported:
         return lax.conv_general_dilated(
@@ -188,7 +202,7 @@ class ConvTranspose(nn.ConvTranspose):
             and not self.transpose_kernel
             and self.mask is None
             and tuple(self.kernel_dilation or (1,)) == (1,)
-            and _use_phased()
+            and _use_phased(self.features)
         )
         if supported_1d:
             return self._phased_1d(x)
@@ -200,7 +214,7 @@ class ConvTranspose(nn.ConvTranspose):
             and not self.transpose_kernel
             and self.mask is None
             and tuple(self.kernel_dilation or (1, 1)) == (1, 1)
-            and _use_phased()
+            and _use_phased(self.features)
         )
         if not supported:
             return super().__call__(x)

@@ -465,6 +465,45 @@ def test_phased_conv_matches_stock(monkeypatch, maker, ci, shapes):
             )
 
 
+def test_edge_conv_mode_matches_stock(monkeypatch):
+    """NSG_CONV_IMPL=edge phase-decomposes ONLY the tiny-channel convs
+    (the 1-channel spectrogram stem / audio head, where MXU lane padding
+    dominates) and keeps the stock lowering for the wide convs. Numerics
+    must equal stock exactly at the model level, and the gate must be
+    selective."""
+    from neural_sound_generation_tpu.models import VQVAE
+    from neural_sound_generation_tpu.models import layers as L
+
+    monkeypatch.setenv("NSG_CONV_IMPL", "edge")
+    assert L._use_phased(1) and L._use_phased(8)
+    assert not L._use_phased(256) and not L._use_phased(None)
+    monkeypatch.setenv("NSG_CONV_IMPL", "stock")
+    assert not L._use_phased(1)
+
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 16, 12, 1)).astype(np.float32)
+    )
+    model = VQVAE(input_dim=1, dim=16, z_dim=8)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(v):
+        x_t, z_e, z_q = model.apply(v, x, train=False)
+        return jnp.sum(jnp.sin(x_t)) + jnp.sum(z_e * z_q)
+
+    ys = model.apply(variables, x, train=False)[0]
+    gs = jax.grad(loss)(variables)
+    monkeypatch.setenv("NSG_CONV_IMPL", "edge")
+    ye = model.apply(variables, x, train=False)[0]
+    ge = jax.grad(loss)(variables)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ye), atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(ge)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5
+        )
+
+
 @pytest.mark.parametrize(
     "k,s,lengths",
     [

@@ -1,7 +1,10 @@
 """A/B: phase-decomposed vs stock stride convs, per family, on the TPU.
 
-Usage: tools/ab_conv_impl.py <family: vqvae|wavevqvae|vocoder> <impl: phased|stock>
-Prints one JSON line {family, impl, steps_per_sec, rounds}.
+Usage: tools/ab_conv_impl.py <family: vqvae|wavevqvae|vocoder> \
+                             <impl: phased|stock|edge>
+Prints one JSON line {family, impl, steps_per_sec, rounds}. ``edge``
+decomposes only the tiny-channel stem/head convs (models/layers.py
+_use_phased).
 
 Run each impl in its OWN process (NSG_CONV_IMPL is read at trace time)
 and compare same-window medians; tunnel variance makes cross-window
