@@ -70,26 +70,31 @@ def _use_phased(edge_channels: int | None = None) -> bool:
 
     Modes (read at trace time; every jitted program bakes in one choice):
 
-    * ``stock`` (default) — plain XLA lowering everywhere. The
-      same-window TPU A/B (tools/ab_conv_impl.py, compile-cached, 3
-      blocked rounds per leg) measured stock FASTER than ``phased`` on
-      the real chip — vqvae 393.3 vs 345.2 steps/s, wavevqvae 302.8 vs
-      259.9, vocoder a wash (69.3 vs 69.0). XLA's own lowering of the
-      LHS-dilated conv evidently already avoids the zero-multiply tax
-      the decomposition targets, and the phased reshape/transpose
-      chains add layout work on the hot 256-channel convs.
+    * ``stock`` — plain XLA lowering everywhere. The same-window TPU
+      A/B (tools/ab_conv_impl.py, compile-cached, 3 blocked rounds per
+      leg) measured stock FASTER than ``phased`` on the real chip —
+      vqvae 393.3 vs 345.2 steps/s, wavevqvae 302.8 vs 259.9, vocoder a
+      wash (69.3 vs 69.0). XLA's own lowering of the LHS-dilated conv
+      evidently already avoids the zero-multiply tax the decomposition
+      targets, and the phased reshape/transpose chains add layout work
+      on the hot 256-channel convs.
     * ``phased`` — decompose every supported stride conv (exact
       numerics, identical checkpoints — see the parity tests in
       tests/test_models.py); kept for future XLA versions or shapes
       where the trade flips.
-    * ``edge`` — decompose ONLY convs whose MXU-critical channel dim
-      (``edge_channels``: input channels for a downsampling conv,
-      output features for a transpose conv) is <= 8: the 1-channel
-      spectrogram stem and the 1-channel audio head, where lane padding
+    * ``edge`` (default) — decompose ONLY 2-D convs whose MXU-critical
+      channel dim (``edge_channels``: input channels for a downsampling
+      conv, output features for a transpose conv) is <= 8: the
+      1-channel spectrogram stem and audio head, where lane padding
       wastes most of the systolic array, while the hot wide convs keep
-      the stock lowering that won the A/B.
+      the stock lowering. Measured (same-window TPU A/B, stock
+      sandwich): vqvae 401.4 vs 394.6/394.3 steps/s (+1.7%). The 1-D
+      family is NOT edge-decomposed: the same A/B measured the 1-D
+      decomposition LOSING 11% on wavevqvae (268.9 vs 301.6/299.8) —
+      the per-phase slice/stack layout work on long sequences outweighs
+      the lane-padding win — so the 1-D call sites never request edge.
     """
-    mode = os.environ.get("NSG_CONV_IMPL", "stock")
+    mode = os.environ.get("NSG_CONV_IMPL", "edge")
     if mode == "phased":
         return True
     if mode == "edge":
@@ -122,7 +127,7 @@ def _s2d_conv(inputs, kernel, strides, padding, *, lhs_dilation=None,
         and tuple(lhs_dilation or ones) == ones
         and tuple(rhs_dilation or ones) == ones
         and feature_group_count == 1
-        and _use_phased(inputs.shape[-1])
+        and _use_phased()  # 1-D: edge measured -11% (wavevqvae); phased only
     )
     if supported_1d:
         b, t, ci = inputs.shape
@@ -202,7 +207,7 @@ class ConvTranspose(nn.ConvTranspose):
             and not self.transpose_kernel
             and self.mask is None
             and tuple(self.kernel_dilation or (1,)) == (1,)
-            and _use_phased(self.features)
+            and _use_phased()  # 1-D: edge measured -11%; phased only
         )
         if supported_1d:
             return self._phased_1d(x)

@@ -220,7 +220,14 @@ def test_vqvae_bf16_compute(rng):
     from neural_sound_generation_tpu.training import create_train_state, make_train_step
 
     model = VQVAE(input_dim=1, dim=16, z_dim=32, dtype=jnp.bfloat16)
-    x = _mel_batch(rng, b=2, h=16, w=16)
+    # structured (learnable) input: pure iid noise makes the 10-step
+    # loss-decrease assertion a coin flip on bf16 accumulation order
+    # (stock vs edge conv lowering differ in the 4th decimal by step 6)
+    t = np.linspace(0, 1, 16)[None, :, None, None]
+    x = jnp.asarray(
+        (0.5 * np.sin(2 * np.pi * 4 * t)
+         + 0.1 * rng.standard_normal((2, 16, 16, 1))).astype(np.float32)
+    )
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     # params remain float32
     assert variables["params"]["encoder"]["Conv_0"]["kernel"].dtype == jnp.float32
@@ -235,7 +242,7 @@ def test_vqvae_bf16_compute(rng):
     state = create_train_state(variables, cfg.train)
     step = make_train_step(model, cfg, donate=False)
     losses = []
-    for i in range(10):
+    for i in range(40):
         state, m = step(state, {"x": x}, jax.random.PRNGKey(i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] and np.isfinite(losses[-1])
@@ -479,6 +486,10 @@ def test_edge_conv_mode_matches_stock(monkeypatch):
     assert not L._use_phased(256) and not L._use_phased(None)
     monkeypatch.setenv("NSG_CONV_IMPL", "stock")
     assert not L._use_phased(1)
+    # edge is the production default (measured +1.7% flagship, PERF.md);
+    # the 1-D call sites pass no edge_channels (measured -11% there)
+    monkeypatch.delenv("NSG_CONV_IMPL", raising=False)
+    assert L._use_phased(1) and not L._use_phased(None)
 
     x = jnp.asarray(
         np.random.default_rng(5).normal(size=(2, 16, 12, 1)).astype(np.float32)
