@@ -79,6 +79,11 @@ def parse_args(argv=None):
                         "throughput on TPU v5e, see PERF.md)")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store the fused optimizer's Adam moments in "
+                        "bfloat16 (halves the bandwidth-bound optimizer "
+                        "stage's bytes; update math stays f32 — see "
+                        "TrainConfig.bf16_moments)")
     return p.parse_args(argv)
 
 
@@ -110,6 +115,7 @@ def build_config(args) -> Config:
             seed=args.seed,
             log_interval=args.log_interval,
             nepochs=args.epochs,
+            bf16_moments=getattr(args, "bf16_moments", False),
         ),
     )
 

@@ -221,6 +221,12 @@ class TrainConfig:
     # interchangeable across values of this flag (optimizer-state layout
     # differs). Disable for tensor-parallel param shardings.
     fused_optimizer: bool = True
+    # Store the fused optimizer's Adam moments (m, v) in bfloat16. The
+    # fused update is HBM-bandwidth-bound (PERF.md step attribution), so
+    # halving the moment bytes trims the optimizer stage; the update math
+    # still runs in f32 (moments are upcast, computed, and rounded back).
+    # Params and the EMA shadow stay f32. Opt-in; fused path only.
+    bf16_moments: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,7 +99,10 @@ def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptSta
     # TrainState template can be created from donated variables (the
     # in-process checkpoint-restore pattern after donated training)
     flat, unravel = ravel_pytree(_zeros_like_tree(params))
-    zeros = jnp.zeros_like(flat, dtype=jnp.float32)
+    moment_dtype = (
+        jnp.bfloat16 if getattr(cfg, "bf16_moments", False) else jnp.float32
+    )
+    zeros = jnp.zeros_like(flat, dtype=moment_dtype)
     lr = (
         make_lr_schedule(cfg)
         if use_schedule
@@ -166,11 +169,18 @@ class TrainState(flax.struct.PyTreeNode):
         if s.wd > 0:
             flat_g = flat_g + s.wd * flat_p
         count = s.count + 1
-        m = s.b1 * s.m + (1.0 - s.b1) * flat_g
-        v = s.b2 * s.v + (1.0 - s.b2) * flat_g * flat_g
+        # moments may be stored bf16 (TrainConfig.bf16_moments — halves
+        # the bandwidth-bound optimizer stage's bytes); the update math
+        # runs in f32 either way and rounds back on store
+        m_f32 = s.b1 * s.m.astype(jnp.float32) + (1.0 - s.b1) * flat_g
+        v_f32 = (
+            s.b2 * s.v.astype(jnp.float32) + (1.0 - s.b2) * flat_g * flat_g
+        )
+        m = m_f32.astype(s.m.dtype)
+        v = v_f32.astype(s.v.dtype)
         cf = count.astype(jnp.float32)
-        m_hat = m / (1.0 - s.b1**cf)
-        v_hat = v / (1.0 - s.b2**cf)
+        m_hat = m_f32 / (1.0 - s.b1**cf)
+        v_hat = v_f32 / (1.0 - s.b2**cf)
         # optax evaluates schedules at the PRE-increment count
         # (scale_by_schedule semantics); bias correction uses count_inc
         lr = s.lr(s.count) if callable(s.lr) else s.lr

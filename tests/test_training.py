@@ -465,6 +465,57 @@ def test_fused_optimizer_matches_optax(rng):
     assert int(sf.step) == int(so.step) == 10
 
 
+def test_bf16_moments_tracks_f32(rng):
+    """TrainConfig.bf16_moments stores the fused Adam moments in bf16
+    (halving the bandwidth-bound optimizer stage's bytes, PERF.md step
+    attribution). The update math stays f32, so a single step matches
+    the f32-moment step tightly, and a 120-step training trajectory must
+    actually converge and land near the f32 one — the same evidence bar
+    as the bf16-compute parity test."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.training import FusedOptState
+
+    cfg = Config().parse("batch_size=4")
+    cfg_bf16 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16_moments=True)
+    )
+    model = VQVAE(input_dim=1, dim=16, z_dim=32)
+    t = np.linspace(0, 1, 16)[None, :, None, None]
+    x = jnp.asarray(
+        (0.5 * np.sin(2 * np.pi * 4 * t)
+         + 0.1 * rng.standard_normal((4, 16, 16, 1))).astype(np.float32)
+    )
+    batch = {"x": x}
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    s32 = create_train_state(variables, cfg.train, fused=True)
+    s16 = create_train_state(variables, cfg_bf16.train, fused=True)
+    assert isinstance(s16.opt_state, FusedOptState)
+    assert s16.opt_state.m.dtype == jnp.bfloat16
+    assert s16.opt_state.v.dtype == jnp.bfloat16
+    assert s32.opt_state.m.dtype == jnp.float32
+
+    # one step from identical init: m/v enter at zero so the first
+    # update is identical up to the bf16 store rounding of the params'
+    # update (params themselves stay f32)
+    s32_1, _ = _run_steps(model, cfg, s32, batch, n=1)
+    s16_1, _ = _run_steps(model, cfg_bf16, s16, batch, n=1)
+    _tree_allclose(s16_1.params, s32_1.params, atol=1e-5)
+
+    finals = {}
+    for name, c, s in (("f32", cfg, s32), ("bf16", cfg_bf16, s16)):
+        step = make_train_step(model, c, donate=False)
+        losses = []
+        for i in range(120):
+            s, m = step(s, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.25 * losses[0]  # must actually learn
+        finals[name] = losses[-1]
+    assert finals["bf16"] < 1.25 * finals["f32"], finals
+
+
 def test_fused_optimizer_clip_wd_schedule_parity(rng):
     """Equivalence holds with global-norm clipping, weight decay, and the
     noam schedule active (the full make_optimizer chain)."""
