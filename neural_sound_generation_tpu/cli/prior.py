@@ -177,27 +177,19 @@ def cmd_train(args):
                 out["cond"] = cond
             yield out
 
-    ema_dir = args.ckpt_dir.rstrip("/") + "_ema"
-
     def save_ckpt(state, step):
         # artifact stays the {"params": ...} variables layout the sample
-        # CLI and cli/serve.py --prior-ckpt restore into
+        # CLI and cli/serve.py --prior-ckpt restore into;
+        # save_ema_sibling exports the averaged model alongside
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
             step=int(step),
             extra={"epoch": epoch},
         )
-        if state.ema_params is not None:
-            # averaged-model export (the reference's intended sampling
-            # weights, hparams.py:116-118 / dataloader.py:246-262) as a
-            # sibling artifact; sample/serve point --prior-ckpt here
-            checkpoint.save(
-                ema_dir,
-                {"params": jax.device_get(state.eval_params)},
-                step=int(step),
-                extra={"epoch": epoch, "averaged": True},
-            )
+        checkpoint.save_ema_sibling(
+            args.ckpt_dir, state, step=int(step), extra={"epoch": epoch}
+        )
 
     for epoch in range(1, args.epochs + 1):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
@@ -210,7 +202,8 @@ def cmd_train(args):
         save_ckpt(trainer.state, int(np.asarray(jax.device_get(trainer.state.step))))
     print(f"prior saved to {args.ckpt_dir}")
     if trainer.state.ema_params is not None:
-        print(f"averaged-model (EMA) artifact saved to {ema_dir}")
+        print("averaged-model (EMA) artifact saved to "
+              f"{args.ckpt_dir.rstrip('/')}_ema")
 
 
 def cmd_sample(args):

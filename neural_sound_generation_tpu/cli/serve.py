@@ -908,8 +908,15 @@ def build_service(args):
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)
         restored, _ = checkpoint.restore(args.ckpt_dir, state)
-        # --ema serves the averaged model (eval_params falls back to the
-        # live params when the checkpoint carries no EMA shadow)
+        # --ema serves the averaged model; a checkpoint trained with EMA
+        # off has no shadow — error rather than silently serving the
+        # live weights the user explicitly asked to avoid
+        if getattr(args, "ema", False) and restored.ema_params is None:
+            raise SystemExit(
+                "--ema: checkpoint has no EMA shadow (trained with "
+                "exponential_moving_average=false); drop --ema or "
+                "retrain with EMA on"
+            )
         params = (
             restored.eval_params if getattr(args, "ema", False)
             else restored.params

@@ -158,29 +158,20 @@ def cmd_train(args):
                 out["g"] = g
             yield out
 
-    ema_dir = args.ckpt_dir.rstrip("/") + "_ema"
-
     def save_ckpt(state, step):
         # artifact stays the {"params": ...} variables layout the
-        # synthesize CLI (and serve --vocoder-ckpt) restore into
+        # synthesize CLI (and serve --vocoder-ckpt) restore into;
+        # save_ema_sibling exports the averaged model alongside
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
             step=start_step + int(step),
             extra={"epoch": epoch},
         )
-        if state.ema_params is not None:
-            # the averaged model is the reference's intended synthesis
-            # weights (hparams.py:116-118 exponential_moving_average /
-            # ema_decay; dataloader.py:246-262 clone_as_averaged_model) —
-            # exported as a sibling artifact in the same variables layout,
-            # so synthesize/serve just point --ckpt-dir/--vocoder-ckpt here
-            checkpoint.save(
-                ema_dir,
-                {"params": jax.device_get(state.eval_params)},
-                step=start_step + int(step),
-                extra={"epoch": epoch, "averaged": True},
-            )
+        checkpoint.save_ema_sibling(
+            args.ckpt_dir, state, step=start_step + int(step),
+            extra={"epoch": epoch},
+        )
 
     for epoch in range(1, args.epochs + 1):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
@@ -192,7 +183,8 @@ def cmd_train(args):
             trainer.state, int(np.asarray(jax.device_get(trainer.state.step)))
         )
     if trainer.state.ema_params is not None:
-        print(f"averaged-model (EMA) artifact saved to {ema_dir}")
+        print("averaged-model (EMA) artifact saved to "
+              f"{args.ckpt_dir.rstrip('/')}_ema")
 
 
 def _batch_to_wavenet(batch, cfg):

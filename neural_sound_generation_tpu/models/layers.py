@@ -99,6 +99,12 @@ def _use_phased(edge_channels: int | None = None) -> bool:
         return True
     if mode == "edge":
         return edge_channels is not None and edge_channels <= 8
+    if mode != "stock":
+        # a typo ('egde', 'Edge', '') silently measuring stock would
+        # corrupt the A/B methodology the default decision rests on
+        raise ValueError(
+            f"NSG_CONV_IMPL={mode!r}: expected stock|phased|edge"
+        )
     return False
 
 

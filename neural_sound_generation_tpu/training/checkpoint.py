@@ -43,6 +43,29 @@ def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None) -> 
     return path
 
 
+def save_ema_sibling(
+    ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None
+) -> Optional[str]:
+    """Export the averaged model (``state.eval_params``) as a sibling
+    ``<ckpt_dir>_ema`` artifact in the ``{"params": ...}`` variables
+    layout — the reference's intended synthesis/inference weights
+    (hparams.py:116-118 exponential_moving_average / ema_decay;
+    dataloader.py:246-262 clone_as_averaged_model). No-op (returns None)
+    when the state carries no EMA shadow. Used by the prior and vocoder
+    train CLIs; synthesize/sample/serve restore the artifact directly."""
+    if getattr(state, "ema_params", None) is None:
+        return None
+    ema_dir = ckpt_dir.rstrip("/") + "_ema"
+    payload_extra = dict(extra or {})
+    payload_extra["averaged"] = True
+    return save(
+        ema_dir,
+        {"params": jax.device_get(state.eval_params)},
+        step=step,
+        extra=payload_extra,
+    )
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -105,6 +128,28 @@ def _adapt_fused_layout(template_sd, restored_sd):
         return restored_sd
     t_fused = "m" in t_opt and "v" in t_opt
     r_fused = "m" in r_opt and "v" in r_opt
+    if t_fused and r_fused:
+        # same (fused) layout: honor the template's moment dtype
+        # (TrainConfig.bf16_moments) — from_state_dict does no casting,
+        # so without this a --resume silently keeps the checkpoint's
+        # dtype and the flag has no effect
+        out = restored_sd
+        for key in ("m", "v"):
+            t_leaf, r_leaf = t_opt.get(key), r_opt.get(key)
+            if (
+                hasattr(t_leaf, "dtype") and hasattr(r_leaf, "dtype")
+                and t_leaf.dtype != r_leaf.dtype
+            ):
+                if out is restored_sd:
+                    out = dict(restored_sd)
+                    out["opt_state"] = dict(r_opt)
+                out["opt_state"][key] = np.asarray(r_leaf, t_leaf.dtype)
+                logging.getLogger("nsg.checkpoint").info(
+                    "cast restored fused moment '%s' %s -> %s to match "
+                    "the template (TrainConfig.bf16_moments)",
+                    key, r_leaf.dtype, t_leaf.dtype,
+                )
+        return out
     if t_fused == r_fused:
         return restored_sd
 

@@ -490,6 +490,11 @@ def test_edge_conv_mode_matches_stock(monkeypatch):
     # the 1-D call sites pass no edge_channels (measured -11% there)
     monkeypatch.delenv("NSG_CONV_IMPL", raising=False)
     assert L._use_phased(1) and not L._use_phased(None)
+    # a typo must error, not silently measure stock (A/B integrity)
+    monkeypatch.setenv("NSG_CONV_IMPL", "egde")
+    with pytest.raises(ValueError, match="stock|phased|edge"):
+        L._use_phased(1)
+    monkeypatch.delenv("NSG_CONV_IMPL", raising=False)
 
     x = jnp.asarray(
         np.random.default_rng(5).normal(size=(2, 16, 12, 1)).astype(np.float32)
@@ -501,6 +506,9 @@ def test_edge_conv_mode_matches_stock(monkeypatch):
         x_t, z_e, z_q = model.apply(v, x, train=False)
         return jnp.sum(jnp.sin(x_t)) + jnp.sum(z_e * z_q)
 
+    # baseline must be STOCK explicitly — with edge as the env default,
+    # an unset env here would compare edge against edge (vacuous)
+    monkeypatch.setenv("NSG_CONV_IMPL", "stock")
     ys = model.apply(variables, x, train=False)[0]
     gs = jax.grad(loss)(variables)
     monkeypatch.setenv("NSG_CONV_IMPL", "edge")

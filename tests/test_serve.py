@@ -233,6 +233,25 @@ def test_serve_ema_flag_uses_averaged_params(tmp_path):
         np.asarray(live.variables["params"]["codebook"]),
     )
 
+    # a checkpoint trained WITHOUT EMA has no shadow: --ema must error
+    # loudly, not silently serve the live weights
+    import dataclasses
+
+    cfg_noema = dataclasses.replace(
+        Config(),
+        train=dataclasses.replace(
+            Config().train, exponential_moving_average=False
+        ),
+    )
+    s2 = create_train_state(variables, cfg_noema.train)
+    assert s2.ema_params is None
+    ck2 = str(tmp_path / "ck_noema")
+    checkpoint.save(ck2, s2, step=1)
+    with pytest.raises(SystemExit, match="no EMA shadow"):
+        build_service(argparse.Namespace(
+            preset=None, dim=8, z_dim=16, frames=16, ckpt_dir=ck2, ema=True,
+        ))
+
 
 # ------------------------- hierarchical serving -------------------------
 

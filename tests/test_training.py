@@ -578,6 +578,54 @@ def test_fused_optimizer_checkpoint_roundtrip(rng, tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_bf16_moments_applies_across_resume(rng, tmp_path):
+    """Restoring a checkpoint into a template with a different
+    TrainConfig.bf16_moments setting casts the fused Adam moments to the
+    template's dtype — so toggling --bf16-moments on --resume actually
+    takes effect (and a bf16 checkpoint resumed without the flag goes
+    back to f32), instead of silently keeping the checkpoint's dtype."""
+    import dataclasses
+
+    cfg = Config().parse("batch_size=4")
+    cfg_bf16 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16_moments=True)
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, fused=True)  # f32
+    state, _ = _run_steps(model, cfg, state, batch, n=2)
+    ckpt_dir = str(tmp_path / "ck")
+    checkpoint.save(ckpt_dir, state, step=int(state.step))
+
+    # f32 checkpoint -> bf16 template: moments come back bf16
+    t16 = create_train_state(variables, cfg_bf16.train, fused=True)
+    r16, _ = checkpoint.restore(ckpt_dir, t16)
+    assert r16.opt_state.m.dtype == jnp.bfloat16
+    assert r16.opt_state.v.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(r16.opt_state.m, np.float32),
+        np.asarray(np.asarray(state.opt_state.m).astype(jnp.bfloat16),
+                   np.float32),
+        atol=0,
+    )
+    # and training continues from the cast moments
+    r16, m = _run_steps(model, cfg_bf16, r16, batch, n=1)
+    assert np.isfinite(float(m["loss"]))
+
+    # bf16 checkpoint -> f32 template: moments come back f32
+    ckpt16 = str(tmp_path / "ck16")
+    s16, _ = _run_steps(model, cfg_bf16,
+                        create_train_state(variables, cfg_bf16.train,
+                                           fused=True), batch, n=2)
+    checkpoint.save(ckpt16, s16, step=int(s16.step))
+    r32, _ = checkpoint.restore(
+        ckpt16, create_train_state(variables, cfg.train, fused=True)
+    )
+    assert r32.opt_state.m.dtype == jnp.float32
+    assert r32.opt_state.v.dtype == jnp.float32
+
+
 @pytest.mark.parametrize("save_fused,load_fused", [(False, True), (True, False)])
 def test_checkpoint_cross_optimizer_layout_resume(rng, tmp_path, save_fused,
                                                   load_fused):

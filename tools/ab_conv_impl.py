@@ -18,6 +18,7 @@ import sys
 import time
 
 family, impl = sys.argv[1], sys.argv[2]
+assert impl in ("phased", "stock", "edge"), impl
 os.environ["NSG_CONV_IMPL"] = impl  # read at trace time by models.layers
 
 import numpy as np
