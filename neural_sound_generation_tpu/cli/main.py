@@ -79,6 +79,15 @@ def parse_args(argv=None):
                         "throughput on TPU v5e, see PERF.md)")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
+    p.add_argument("--ema-warmup", action="store_true",
+                   help="ramp the parameter-EMA decay as min(decay, "
+                        "(1+t)/(10+t)) (tf.train.ExponentialMovingAverage "
+                        "num_updates semantics). The reference's fixed "
+                        "decay (default) leaves the eval/EMA shadow near "
+                        "the init weights for ~10k steps, so short runs "
+                        "evaluate a stale averaged model — turn this on "
+                        "for runs much shorter than 1/(1-ema_decay) "
+                        "steps (TrainConfig.ema_warmup)")
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the fused optimizer's Adam moments in "
                         "bfloat16 (halves the bandwidth-bound optimizer "
@@ -116,6 +125,7 @@ def build_config(args) -> Config:
             log_interval=args.log_interval,
             nepochs=args.epochs,
             bf16_moments=getattr(args, "bf16_moments", False),
+            ema_warmup=getattr(args, "ema_warmup", False),
         ),
     )
 
@@ -312,12 +322,16 @@ def main(argv=None):
 
     last_epoch = start_epoch - 1
 
-    def save(epoch):
+    def save(epoch, block=False):
+        # per-epoch saves overlap the next epoch's compute (the loop
+        # pays only the device->host pull; the Orbax write threads);
+        # the final save blocks so exit never races an in-flight write
         checkpoint.save(
             ckpt_dir,
             trainer.state,
             step=int(np.asarray(jax.device_get(trainer.state.step))),
             extra={"epoch": epoch, "arch": args.model},
+            block=block,
         )
 
     def limit(it):
@@ -346,7 +360,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         print("Interrupted!")
     finally:
-        save(last_epoch)
+        save(last_epoch, block=True)
 
 
 if __name__ == "__main__":

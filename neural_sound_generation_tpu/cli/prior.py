@@ -44,6 +44,10 @@ def parse_args(argv=None):
                          "kernels + embeddings over the 'model' axis)")
     tr.add_argument("--multi-steps", type=int, default=1,
                     help="optimization steps per device launch (lax.scan)")
+    tr.add_argument("--ema-warmup", action="store_true",
+                    help="ramp the EMA decay min(decay, (1+t)/(10+t)) so "
+                         "short runs export a non-stale *_ema artifact "
+                         "(fixed reference decay otherwise)")
     tr.add_argument("--hier", action="store_true",
                     help="VQ-VAE checkpoint is a two-level hiervqvae")
     tr.add_argument("--hier-level", choices=["top", "bottom"], default="top",
@@ -151,7 +155,9 @@ def cmd_train(args):
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
-            cfg.train, initial_learning_rate=args.lr, batch_size=args.batch_size
+            cfg.train, initial_learning_rate=args.lr,
+            batch_size=args.batch_size,
+            ema_warmup=getattr(args, "ema_warmup", False),
         ),
     )
     tensor_parallel = args.mesh_model > 1

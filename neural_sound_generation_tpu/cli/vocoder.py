@@ -40,6 +40,10 @@ def parse_args(argv=None):
                          "skip/cond conv channels over the 'model' axis)")
     tr.add_argument("--multi-steps", type=int, default=1,
                     help="optimization steps per device launch (lax.scan)")
+    tr.add_argument("--ema-warmup", action="store_true",
+                    help="ramp the EMA decay min(decay, (1+t)/(10+t)) so "
+                         "short runs export a non-stale *_ema artifact "
+                         "(fixed reference decay otherwise)")
 
     sy = sub.add_parser("synthesize")
     sy.add_argument("--ckpt-dir", required=True)
@@ -131,7 +135,10 @@ def cmd_train(args):
     # multi-step scan, checkpoint-interval callback) instead of an
     # ad-hoc single-device loop
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size)
+        cfg, train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size,
+            ema_warmup=getattr(args, "ema_warmup", False),
+        )
     )
     tensor_parallel = args.mesh_model > 1
     state = create_train_state(

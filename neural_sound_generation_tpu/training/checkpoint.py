@@ -27,19 +27,60 @@ def _host_pytree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None) -> str:
+# one background writer: saves stay ordered, and a second async save
+# queues behind the first instead of racing it
+_WRITER = None
+_PENDING: list = []
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _WRITER = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="nsg-ckpt")
+    return _WRITER
+
+
+def wait_for_pending() -> None:
+    """Block until every async checkpoint write has landed (re-raising
+    the first failure). Called automatically by restore/latest_step so a
+    same-process resume always sees fully-written step dirs."""
+    while _PENDING:
+        _PENDING.pop(0).result()
+
+
+def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None,
+         block: bool = True) -> str:
     """Save a train state (any pytree) under ``ckpt_dir/step_{step}``.
 
     ``extra`` (e.g. {'epoch': 3, 'arch': 'vqvae'}) is stored alongside —
     the reference's checkpoint metadata surface (main.py:216-220).
+
+    ``block=False`` snapshots the state to host numpy synchronously
+    (correct even when the caller's next train step donates the
+    buffers) and runs the Orbax write on a background thread, so the
+    train loop is stalled only by the device->host pull, not the disk
+    write. ``wait_for_pending`` (or any restore/latest_step/blocking
+    save) joins outstanding writes.
     """
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    # name-based state dict (order-independent restore)
+    # name-based state dict (order-independent restore); device_get here,
+    # BEFORE returning: the values are immutable host copies after this
     payload = {"state": _host_pytree(flax.serialization.to_state_dict(state))}
     if extra:
         payload["extra"] = extra
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+
+    def _write():
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+        return path
+
+    if block:
+        wait_for_pending()  # keep step-dir creation ordered
+        return _write()
+    _PENDING.append(_writer().submit(_write))
     return path
 
 
@@ -67,6 +108,7 @@ def save_ema_sibling(
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
+    wait_for_pending()  # async writes must be visible to resume queries
     if not os.path.isdir(ckpt_dir):
         return None
     steps = [
@@ -81,6 +123,7 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     """Restore (state, extra). ``template`` is a pytree with the target
     structure (e.g. a freshly created TrainState); ``step`` defaults to the
     latest checkpoint in the directory."""
+    wait_for_pending()
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:

@@ -578,6 +578,37 @@ def test_fused_optimizer_checkpoint_roundtrip(rng, tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_async_checkpoint_save(rng, tmp_path):
+    """block=False snapshots to host synchronously and writes on a
+    background thread: a subsequent train step mutating (donating) the
+    live state must not corrupt the written checkpoint, and
+    restore/latest_step wait for in-flight writes."""
+    cfg = Config().parse("batch_size=4")
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, fused=True)
+    state, _ = _run_steps(model, cfg, state, batch, n=1)
+    snap_codebook = np.asarray(state.params["codebook"]).copy()
+
+    ckpt_dir = str(tmp_path / "async_ckpt")
+    checkpoint.save(ckpt_dir, state, step=int(state.step), block=False)
+    # keep training immediately — the async write must hold the step-1
+    # values, not these
+    state, _ = _run_steps(model, cfg, state, batch, n=2)
+
+    assert checkpoint.latest_step(ckpt_dir) == 1  # waits for the write
+    template = create_train_state(variables, cfg.train, fused=True)
+    restored, _ = checkpoint.restore(ckpt_dir, template)
+    assert int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["codebook"]), snap_codebook
+    )
+    # a second async save lands the newer step
+    checkpoint.save(ckpt_dir, state, step=int(state.step), block=False)
+    assert checkpoint.latest_step(ckpt_dir) == 3
+
+
 def test_bf16_moments_applies_across_resume(rng, tmp_path):
     """Restoring a checkpoint into a template with a different
     TrainConfig.bf16_moments setting casts the fused Adam moments to the
