@@ -66,6 +66,18 @@ def test_preprocess_cli_hparams_override(tmp_path):
     assert mel.shape[1] == 40
 
 
+def test_train_cli_flags_thread_into_config():
+    """--ema-warmup / --bf16-moments must land in TrainConfig (they once
+    existed only as unreachable config fields)."""
+    from neural_sound_generation_tpu.cli.main import build_config, parse_args
+
+    base = ["--model", "vqvae", "--dataset", "ljspeech", "--datadir", "/x"]
+    cfg = build_config(parse_args(base))
+    assert not cfg.train.ema_warmup and not cfg.train.bf16_moments
+    cfg = build_config(parse_args(base + ["--ema-warmup", "--bf16-moments"]))
+    assert cfg.train.ema_warmup and cfg.train.bf16_moments
+
+
 def test_train_cli_ljspeech_vqvae(tmp_path):
     """Full reference workflow: preprocess then train
     (``main.py --model vqvae --dataset ljspeech``), 2 epochs on a tiny
