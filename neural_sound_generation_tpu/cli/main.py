@@ -341,13 +341,25 @@ def main(argv=None):
 
         return itertools.islice(it, args.max_batches_per_epoch)
 
+    def interval_ckpt(epoch):
+        # cfg.train.checkpoint_interval-step saves inside long epochs —
+        # the reference configures this interval (hparams.py:122) but
+        # never consumes it; async so the loop keeps training
+        def cb(state, step):
+            checkpoint.save(
+                ckpt_dir, state, step=int(step),
+                extra={"epoch": epoch, "arch": args.model}, block=False,
+            )
+        return cb
+
     try:
         for epoch in range(start_epoch, args.epochs + 1):
             key, ek = jax.random.split(key)
             batches = limit(iter(train_loader)) if audio_mode else limit(
                 train_iter(epoch)
             )
-            trainer.train_epoch(batches, ek, epoch=epoch)
+            trainer.train_epoch(batches, ek, epoch=epoch,
+                                checkpoint_cb=interval_ckpt(epoch))
             test_batches = limit(iter(test_loader)) if audio_mode else limit(
                 test_iter()
             )

@@ -66,6 +66,36 @@ def test_preprocess_cli_hparams_override(tmp_path):
     assert mel.shape[1] == 40
 
 
+def test_train_cli_interval_checkpointing(tmp_path):
+    """cfg.train.checkpoint_interval-step saves fire from the train CLI
+    mid-epoch (the reference configures the interval, hparams.py:122,
+    but never consumes it) — async writes included."""
+    import json
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    preset = tmp_path / "p.json"
+    preset.write_text(json.dumps({"checkpoint_interval": 2}))
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--preset", str(preset),
+    ])
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+    steps = sorted(
+        int(d.split("_")[1]) for d in os.listdir(ckpt) if d.startswith("step_")
+    )
+    # 3 train batches -> interval saves at steps 2 (+ the epoch-end save
+    # at 3); every dir must be restorable (async writes landed)
+    assert 2 in steps and steps[-1] == 3
+    assert ckpt_mod.latest_step(ckpt) == steps[-1]
+
+
 def test_train_cli_flags_thread_into_config():
     """--ema-warmup / --bf16-moments must land in TrainConfig (they once
     existed only as unreachable config fields)."""
