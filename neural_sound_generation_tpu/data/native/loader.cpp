@@ -146,6 +146,15 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
     *err = std::string("scalar npy unsupported: ") + path;
     return false;
   }
+  // reject leftover dims: silently truncating a (N, T, C) shard to
+  // (N, T) would serve interleaved channel samples as a mono stream
+  // (the truncation size check still passes — the file is LARGER)
+  while (*s && !isdigit(*s)) s++;
+  if (*s) {
+    munmap(map, st.st_size);
+    *err = std::string("npy with >2 dims unsupported: ") + path;
+    return false;
+  }
   out->map = map;
   out->map_len = st.st_size;
   out->data = reinterpret_cast<const char*>(p) + header_off + header_len;
@@ -206,8 +215,8 @@ inline int32_t audio_i32(const NpyArray& a, int64_t i) {
 extern "C" {
 
 // paths: n audio paths then n mel paths (mel entries may be empty strings
-// for audio-only corpora). Returns nullptr on error (see nsg_corpus_error
-// on a zeroed handle — errors here are reported via stderr).
+// for audio-only corpora). Returns nullptr on error; the failure reason
+// is reported via stderr.
 void* nsg_corpus_open(const char** audio_paths, const char** mel_paths, int n) {
   auto* c = new Corpus();
   c->audio.resize(n);

@@ -634,7 +634,13 @@ class Controller {
   }
 
   void stop() {
-    running_ = false;
+    {
+      // flip under mu_: read()'s predicate checks running_ under the
+      // lock, and a notify between its predicate evaluation and
+      // cv_.wait() would otherwise be lost (reader hangs past stop)
+      std::lock_guard<std::mutex> lock(mu_);
+      running_ = false;
+    }
     cv_.notify_all();
     // Always join if joinable: the producer may have exited on its own
     // (stream exhausted) with running_ already false — destroying a
@@ -714,7 +720,11 @@ class Controller {
     Frame frame;
     while (running_) {
       if (!source_->next(next_index_, &frame)) {
-        done_ = true;
+        {
+          // under mu_ for the same lost-wakeup reason as stop()
+          std::lock_guard<std::mutex> lock(mu_);
+          done_ = true;
+        }
         cv_.notify_all();
         break;
       }
@@ -870,8 +880,21 @@ void nsg_controller_set_gesture_callback(void* ctrl, nsg_gesture_callback cb,
 // the MotionDataCollection2csv.py capability (capture joint-angle rows to
 // ./results/*.csv, src/MotionDataCollection2csv.py:119-121).
 int64_t nsg_record_csv(void* ctrl, const char* path, int64_t n_frames) {
+  // validate before allocating: a negative count would wrap huge through
+  // static_cast<size_t> and a throwing vector ctor unwinding across the
+  // extern "C"/ctypes boundary aborts the host process (std::terminate)
+  constexpr int64_t kMaxFrames = int64_t(1) << 30;  // far past any sane run
+  if (ctrl == nullptr || path == nullptr || n_frames < 0 ||
+      n_frames > kMaxFrames) {
+    return -1;
+  }
   auto* c = static_cast<Controller*>(ctrl);
-  std::vector<double> buf(static_cast<size_t>(n_frames) * kNumFeatures);
+  std::vector<double> buf;
+  try {
+    buf.resize(static_cast<size_t>(n_frames) * kNumFeatures);
+  } catch (const std::exception&) {  // bad_alloc on OOM
+    return -1;
+  }
   int64_t got = c->drain(buf.data(), n_frames);
   std::ofstream out(path);
   if (!out) return -1;

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from neural_sound_generation_tpu.models.wavenet import (
     WaveNet,
+    _draw_noise,
     _upsample_cond,
     make_chunked_generate_fn,
 )
@@ -100,8 +101,6 @@ class WaveNetStreamMux:
             model, chunk=self.chunk, dtype=dtype
         )
         self._state = init_state(self.slots)
-        scalar = model.scalar_input
-        n_noise = model.out_channels // 3 if scalar else model.out_channels
         chunk_len = self.chunk
         store_dtype = dtype or jnp.float32
 
@@ -118,18 +117,13 @@ class WaveNetStreamMux:
             c_chunk = jax.vmap(
                 lambda a, p: jax.lax.dynamic_slice_in_dim(a, p, chunk_len, 0)
             )(c_slots, pos)
-            # per-slot noise, deterministic in (key, chunk ordinal)
+            # per-slot noise, deterministic in (key, chunk ordinal);
+            # layout/eps/mixture-count semantics live in ONE place
+            # (wavenet._draw_noise) — same threefry bits at batch 1
             def noise(k, p):
                 k = jax.random.fold_in(k, p // chunk_len)
-                k1, k2 = jax.random.split(k)
-                gum = jax.random.gumbel(k1, (chunk_len, n_noise))
-                if scalar:
-                    unif = jax.random.uniform(
-                        k2, (chunk_len,), minval=1e-5, maxval=1.0 - 1e-5
-                    )
-                else:
-                    unif = jnp.zeros((chunk_len,))
-                return gum, unif
+                gum, unif = _draw_noise(model, k, chunk_len, batch_size=1)
+                return gum[:, 0, :], unif[:, 0]
 
             gum, unif = jax.vmap(noise)(keys, pos)
             gum = jnp.swapaxes(gum, 0, 1)  # (chunk, S, n)
@@ -191,6 +185,19 @@ class WaveNetStreamMux:
                 f"{self._keys.dtype}, got shape {key.shape} dtype {key.dtype}"
             )
         c = jnp.asarray(c)
+        # shed BEFORE the device work: under a request flood the
+        # upsample below costs real device time (and possibly a per-T'
+        # compile over the tunnel) — rejected requests must not burn it.
+        # The authoritative check re-runs under the lock at append time.
+        if self.max_pending is not None:
+            with self._cv:
+                free = sum(x is None for x in self._sessions)
+                backlog = len(self._pending) - free
+            if backlog >= self.max_pending:
+                raise MuxOverloaded(
+                    f"{backlog + free} sessions waiting for {free} free "
+                    f"slots (max_pending={self.max_pending}); retry later"
+                )
         c_up = self._upsample(self._variables, c[None])[0]
         length = int(c_up.shape[0])
         if length > self.l_max:
@@ -320,9 +327,10 @@ class WaveNetStreamMux:
                     final = s.pos >= s.length
                     deliveries.append((slot, s, valid, final))
                     if final:
+                        # no notify: the worker thread itself is the only
+                        # _cv waiter (open() only ever notifies)
                         with self._cv:
                             self._sessions[slot] = None
-                            self._cv.notify_all()
                     else:
                         self._pos[slot] = s.pos
                 cur = (out, deliveries)
@@ -342,7 +350,10 @@ class WaveNetStreamMux:
                 out_p, deliveries_p = prev_out
                 arr = np.asarray(out_p)
                 for slot, s, valid, final in deliveries_p:
-                    s.queue.put(arr[slot, :valid])
+                    # copy: a view would pin the whole (slots, chunk)
+                    # batch buffer for as long as ANY consumer holds its
+                    # delivered chunk
+                    s.queue.put(arr[slot, :valid].copy())
                     if final:
                         s.queue.put(None)
             prev_out = cur

@@ -232,6 +232,35 @@ def test_truncated_shard_errors_not_sigbus(tmp_path):
         NativeCorpus([bogus], [mp[0]])
 
 
+def test_3d_shard_rejected_not_truncated(tmp_path):
+    """A (N, T, C) shard must be REJECTED: silently parsing it as its
+    first two dims would serve interleaved channel samples as a mono
+    stream (the truncation check passes — the file is larger)."""
+    ap, mp, _, _ = _write_corpus(tmp_path, n=2)
+    three_d = os.path.join(str(tmp_path), "stereo.npy")
+    np.save(three_d, np.zeros((4, 8, 2), np.float32))
+    with pytest.raises(OSError):
+        NativeCorpus([ap[0], three_d], [mp[0], mp[1]])
+
+
+def test_record_csv_rejects_bad_frame_counts(tmp_path):
+    """Negative/absurd n_frames must error cleanly through the C ABI —
+    never a throwing std::vector ctor unwinding into ctypes (process
+    abort)."""
+    from neural_sound_generation_tpu.motion.capture import (
+        scripted_gesture_controller,
+    )
+
+    ctrl = scripted_gesture_controller(fps=200.0)
+    out = os.path.join(str(tmp_path), "x.csv")
+    with pytest.raises(IOError):
+        ctrl.record_csv(out, -1)
+    with pytest.raises(IOError):
+        ctrl.record_csv(out, 1 << 40)
+    # the handle still works after the rejected calls
+    assert ctrl.record_csv(out, 3) == 3
+
+
 def test_pipeline_native_multispeaker_and_buckets(tmp_path):
     """Native loader through MelFrameLoader with speaker ids and bucketed
     frame counts matches the Python path batch-for-batch."""
