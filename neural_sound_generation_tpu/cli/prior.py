@@ -30,8 +30,15 @@ def parse_args(argv=None):
     tr.add_argument("--ckpt-dir", default="./models/prior")
     tr.add_argument("--dim", type=int, default=256, help="vqvae hidden width")
     tr.add_argument("--z-dim", type=int, default=512, help="codebook size")
+    tr.add_argument("--arch", choices=["pixelcnn", "transformer"],
+                    default="pixelcnn",
+                    help="prior family: the reference's GatedPixelCNN, or "
+                         "the causal-attention TransformerPrior (MXU-"
+                         "shaped training, KV-cached sampling)")
     tr.add_argument("--prior-dim", type=int, default=64)
     tr.add_argument("--prior-layers", type=int, default=15)
+    tr.add_argument("--prior-heads", type=int, default=8,
+                    help="attention heads (transformer arch only)")
     tr.add_argument("--n-classes", type=int, default=10)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--epochs", type=int, default=10)
@@ -60,8 +67,11 @@ def parse_args(argv=None):
     sa.add_argument("--output-dir", default="./results/prior")
     sa.add_argument("--dim", type=int, default=256)
     sa.add_argument("--z-dim", type=int, default=512)
+    sa.add_argument("--arch", choices=["pixelcnn", "transformer"],
+                    default="pixelcnn")
     sa.add_argument("--prior-dim", type=int, default=64)
     sa.add_argument("--prior-layers", type=int, default=15)
+    sa.add_argument("--prior-heads", type=int, default=8)
     sa.add_argument("--n-classes", type=int, default=10)
     sa.add_argument("--code-shape", type=int, nargs=2, default=[20, 28])
     sa.add_argument("--num-samples", type=int, default=4)
@@ -72,6 +82,31 @@ def parse_args(argv=None):
                          "top prior, --bottom-ckpt the conditional bottom")
     sa.add_argument("--bottom-ckpt", default=None)
     return p.parse_args(argv)
+
+
+def _build_prior(args, spatial_cond: bool):
+    """Prior module from the CLI surface: the reference's GatedPixelCNN
+    (src/models.py:285-341) or the TPU-first TransformerPrior."""
+    from neural_sound_generation_tpu.models import (
+        GatedPixelCNN, TransformerPrior,
+    )
+
+    if getattr(args, "arch", "pixelcnn") == "transformer":
+        return TransformerPrior(
+            input_dim=args.z_dim,
+            dim=args.prior_dim,
+            n_layers=args.prior_layers,
+            n_heads=args.prior_heads,
+            n_classes=args.n_classes,
+            spatial_cond=spatial_cond,
+        )
+    return GatedPixelCNN(
+        input_dim=args.z_dim,
+        dim=args.prior_dim,
+        n_layers=args.prior_layers,
+        n_classes=args.n_classes,
+        spatial_cond=spatial_cond,
+    )
 
 
 def _load_vqvae(args, sample_x):
@@ -97,7 +132,7 @@ def _load_vqvae(args, sample_x):
 def cmd_train(args):
     from neural_sound_generation_tpu.config import Config
     from neural_sound_generation_tpu.data import get_audio_data_loaders
-    from neural_sound_generation_tpu.models import VQVAE, GatedPixelCNN
+    from neural_sound_generation_tpu.models import VQVAE
     from neural_sound_generation_tpu.training import checkpoint
 
     cfg = Config()
@@ -129,13 +164,7 @@ def cmd_train(args):
         def encode(x):
             return model.apply(vq_vars, x, train=False, method=VQVAE.encode), None
 
-    prior = GatedPixelCNN(
-        input_dim=args.z_dim,
-        dim=args.prior_dim,
-        n_layers=args.prior_layers,
-        n_classes=args.n_classes,
-        spatial_cond=bottom_level,
-    )
+    prior = _build_prior(args, spatial_cond=bottom_level)
     codes0, cond0 = encode(jnp.asarray(sample["x"]))
     labels0 = jnp.asarray(
         sample.get("g", np.zeros(codes0.shape[0], np.int32)), jnp.int32
@@ -214,9 +243,9 @@ def cmd_train(args):
 
 def cmd_sample(args):
     from neural_sound_generation_tpu.config import Config
-    from neural_sound_generation_tpu.inference import codes_to_audio
-    from neural_sound_generation_tpu.models import GatedPixelCNN
-    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+    from neural_sound_generation_tpu.inference import (
+        codes_to_audio, prior_generate,
+    )
     from neural_sound_generation_tpu.ops import dsp
     from neural_sound_generation_tpu.training import checkpoint
 
@@ -232,15 +261,8 @@ def cmd_sample(args):
         # code_shape names the TOP grid for hier; input is 8x that
         sample_x = jnp.zeros((1, h * 8, w * 8, 1))
         model, vq_vars = _load_vqvae(args, sample_x)
-        top = GatedPixelCNN(
-            input_dim=args.z_dim, dim=args.prior_dim,
-            n_layers=args.prior_layers, n_classes=args.n_classes,
-        )
-        bottom = GatedPixelCNN(
-            input_dim=args.z_dim, dim=args.prior_dim,
-            n_layers=args.prior_layers, n_classes=args.n_classes,
-            spatial_cond=True,
-        )
+        top = _build_prior(args, spatial_cond=False)
+        bottom = _build_prior(args, spatial_cond=True)
         lab0 = jnp.zeros((1,), jnp.int32)
         tv = top.init(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0
@@ -267,12 +289,7 @@ def cmd_sample(args):
     sample_x = jnp.zeros((1, h * 4, w * 4, 1))
     model, vq_vars = _load_vqvae(args, sample_x)
 
-    prior = GatedPixelCNN(
-        input_dim=args.z_dim,
-        dim=args.prior_dim,
-        n_layers=args.prior_layers,
-        n_classes=args.n_classes,
-    )
+    prior = _build_prior(args, spatial_cond=False)
     codes0 = jnp.zeros((1, h, w), jnp.int32)
     template = prior.init(jax.random.PRNGKey(0), codes0, jnp.zeros((1,), jnp.int32))
     pvars, _ = checkpoint.restore(args.prior_ckpt, template)
@@ -280,7 +297,7 @@ def cmd_sample(args):
 
     labels = jnp.full((args.num_samples,), args.label, jnp.int32)
     key = jax.random.PRNGKey(args.seed)
-    codes = fast_generate(
+    codes = prior_generate(
         prior, pvars, labels, key, shape=(h, w), batch_size=args.num_samples
     )
     wavs = codes_to_audio(model, vq_vars, codes, cfg.audio, key)

@@ -959,7 +959,23 @@ def build_service(args):
     service = InferenceService(cfg, model, variables, args.frames,
                                vocoder=vocoder)
     if getattr(args, "prior_ckpt", None):
-        from neural_sound_generation_tpu.models import GatedPixelCNN
+        from neural_sound_generation_tpu.models import (
+            GatedPixelCNN, TransformerPrior,
+        )
+
+        def build_prior(spatial_cond):
+            if getattr(args, "prior_arch", "pixelcnn") == "transformer":
+                return TransformerPrior(
+                    input_dim=args.z_dim, dim=args.prior_dim,
+                    n_layers=args.prior_layers,
+                    n_heads=getattr(args, "prior_heads", 8),
+                    n_classes=args.n_classes, spatial_cond=spatial_cond,
+                )
+            return GatedPixelCNN(
+                input_dim=args.z_dim, dim=args.prior_dim,
+                n_layers=args.prior_layers, n_classes=args.n_classes,
+                spatial_cond=spatial_cond,
+            )
 
         hier = args.model == "hiervqvae"
         if hier:
@@ -967,10 +983,7 @@ def build_service(args):
         else:
             h, w = cfg.audio.num_mels // 4, args.frames // 4
         lab0 = jnp.zeros((1,), jnp.int32)
-        top = GatedPixelCNN(
-            input_dim=args.z_dim, dim=args.prior_dim,
-            n_layers=args.prior_layers, n_classes=args.n_classes,
-        )
+        top = build_prior(False)
         tv = top.init(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0
         )
@@ -981,11 +994,7 @@ def build_service(args):
             if not args.bottom_ckpt:
                 raise SystemExit("--model hiervqvae /sample needs "
                                  "--bottom-ckpt too")
-            bottom = GatedPixelCNN(
-                input_dim=args.z_dim, dim=args.prior_dim,
-                n_layers=args.prior_layers, n_classes=args.n_classes,
-                spatial_cond=True,
-            )
+            bottom = build_prior(True)
             bv = bottom.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 2 * h, 2 * w), jnp.int32), lab0,
@@ -1070,8 +1079,13 @@ def parse_args(argv=None):
                         "/sample (top prior for --model hiervqvae)")
     p.add_argument("--bottom-ckpt", default=None,
                    help="bottom prior checkpoint (hiervqvae /sample)")
+    p.add_argument("--prior-arch", choices=["pixelcnn", "transformer"],
+                   default="pixelcnn",
+                   help="prior family the --prior-ckpt artifact was "
+                        "trained with (cli/prior.py --arch)")
     p.add_argument("--prior-dim", type=int, default=64)
     p.add_argument("--prior-layers", type=int, default=15)
+    p.add_argument("--prior-heads", type=int, default=8)
     p.add_argument("--n-classes", type=int, default=10)
     return p.parse_args(argv)
 

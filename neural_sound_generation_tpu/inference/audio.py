@@ -92,6 +92,25 @@ def codes_to_audio(
     return dsp.inv_mel_spectrogram_batch(mel, cfg, keys)
 
 
+def prior_generate(prior, prior_variables, labels, key, *, shape,
+                   batch_size, cond_map=None):
+    """Ancestral sampling dispatched on the prior family: PixelCNN's
+    row-cached incremental sampler, or the Transformer's KV-cached one.
+    Every synthesis surface (CLI sample, serving /sample, the hier chain)
+    routes through this so new prior families plug in at one place."""
+    from neural_sound_generation_tpu.models import TransformerPrior
+    from neural_sound_generation_tpu.models.transformer_prior import (
+        generate as transformer_generate,
+    )
+
+    gen = (
+        transformer_generate
+        if isinstance(prior, TransformerPrior) else pixelcnn_generate
+    )
+    return gen(prior, prior_variables, labels, key, shape=shape,
+               batch_size=batch_size, cond_map=cond_map)
+
+
 def sample_prior_mels(
     model: VQVAE,
     variables,
@@ -102,12 +121,12 @@ def sample_prior_mels(
     key: jax.Array,
     g: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """PixelCNN samples code grids -> decoder. Returns (code grids,
+    """The prior samples code grids -> decoder. Returns (code grids,
     mel batch (B, num_mels, frames)) — the synthesis backend (Griffin-Lim
     or a trained vocoder) is the caller's choice. ``g``: (B,) speaker ids
     for multi-speaker decoders (the decoder was trained WITH the speaker
     embedding; omitting it decodes degraded/wrong-speaker audio)."""
-    codes = pixelcnn_generate(
+    codes = prior_generate(
         prior, prior_variables, labels, key,
         shape=code_shape, batch_size=int(labels.shape[0]),
     )
@@ -191,18 +210,16 @@ def sample_hier_mels(
     decode both levels. Returns (idx_top, idx_bottom, mel batch); the
     synthesis backend is the caller's choice. ``bottom_prior`` must be
     built with ``spatial_cond=True``."""
-    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
-
     B = int(labels.shape[0])
     Ht, Wt = top_shape
     # 3-way split with the third (Griffin-Lim) key unused, so samples are
     # bit-identical to sample_hier_audio's under the same key
     k_t, k_b, _ = jax.random.split(key, 3)
-    idx_t = fast_generate(
+    idx_t = prior_generate(
         top_prior, top_variables, labels, k_t, shape=(Ht, Wt), batch_size=B
     )
     cond = _hier_cond_fn()(vqvae_variables, idx_t)
-    idx_b = fast_generate(
+    idx_b = prior_generate(
         bottom_prior, bottom_variables, labels, k_b,
         shape=(2 * Ht, 2 * Wt), batch_size=B, cond_map=cond,
     )

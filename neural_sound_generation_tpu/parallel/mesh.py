@@ -109,6 +109,30 @@ _TP_RULES = (
         ),
         -1,
     ),
+    # TransformerPrior (Megatron layout): qkv/mlp-in kernels shard output
+    # channels, the paired out-projections shard INPUT channels (-2) so
+    # each block pays one all-reduce per residual join; embeddings, the
+    # conditioning projection and the vocab head shard their feature axis
+    (
+        re.compile(
+            r"\['block_\d+'\]\['(attn_qkv|mlp_in)'\]\['kernel'\]$"
+        ),
+        -1,
+    ),
+    (
+        re.compile(
+            r"\['block_\d+'\]\['(attn_out|mlp_out)'\]\['kernel'\]$"
+        ),
+        -2,
+    ),
+    (
+        re.compile(
+            r"\['(head|cond_proj)'\]\['kernel'\]$|"
+            r"\['(tok_embed|class_embed|row_embed|col_embed)'\]"
+            r"\['embedding'\]$"
+        ),
+        -1,
+    ),
 )
 
 

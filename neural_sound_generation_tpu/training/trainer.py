@@ -25,6 +25,7 @@ from neural_sound_generation_tpu.models import (
     VQVAE,
     GatedPixelCNN,
     HierVQVAE,
+    TransformerPrior,
     WaveNet,
     WaveVQVAE,
 )
@@ -127,9 +128,10 @@ def _hier_vqvae_loss_fn(model: HierVQVAE, beta: float):
     return loss_fn
 
 
-def _pixelcnn_loss_fn(model: GatedPixelCNN):
-    """Prior NLL over code grids. Batch: {"codes": (B, H, W) int,
-    "labels": (B,) int[, "cond": (B, H, W, C) for the spatially
+def _pixelcnn_loss_fn(model):
+    """Prior NLL over code grids — shared by GatedPixelCNN and
+    TransformerPrior (same call signature). Batch: {"codes": (B, H, W)
+    int, "labels": (B,) int[, "cond": (B, H, W, C) for the spatially
     conditioned bottom prior]}. The reference ships the GatedPixelCNN
     with no training loop at all (src/models.py:285-341, SURVEY §8)."""
 
@@ -201,7 +203,7 @@ def make_train_step(
         loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
     elif isinstance(model, VAE):
         loss_fn = _vae_loss_fn(model)
-    elif isinstance(model, GatedPixelCNN):
+    elif isinstance(model, (GatedPixelCNN, TransformerPrior)):
         loss_fn = _pixelcnn_loss_fn(model)
     elif isinstance(model, WaveNet):
         loss_fn = _wavenet_loss_fn(model, cfg)
@@ -428,7 +430,7 @@ def make_eval_step(model, cfg: Config, mesh=None, use_ema: bool = True,
             )
             metrics["perplexity"] = codebook_perplexity(indices, model.z_dim)
             return x_tilde, metrics
-        if isinstance(model, GatedPixelCNN):
+        if isinstance(model, (GatedPixelCNN, TransformerPrior)):
             args = (batch["codes"], batch["labels"])
             if model.spatial_cond:
                 args = args + (batch["cond"],)
