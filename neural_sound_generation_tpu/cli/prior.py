@@ -37,8 +37,11 @@ def parse_args(argv=None):
                          "shaped training, KV-cached sampling)")
     tr.add_argument("--prior-dim", type=int, default=64)
     tr.add_argument("--prior-layers", type=int, default=15)
-    tr.add_argument("--prior-heads", type=int, default=8,
-                    help="attention heads (transformer arch only)")
+    tr.add_argument("--prior-heads", type=int, default=None,
+                    help="attention heads (transformer arch only); "
+                         "default sizes heads to 64 channels each — "
+                         "narrower heads under-fill the 128-wide MXU "
+                         "(measured sweep in PERF.md)")
     tr.add_argument("--n-classes", type=int, default=10)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--epochs", type=int, default=10)
@@ -71,7 +74,7 @@ def parse_args(argv=None):
                     default="pixelcnn")
     sa.add_argument("--prior-dim", type=int, default=64)
     sa.add_argument("--prior-layers", type=int, default=15)
-    sa.add_argument("--prior-heads", type=int, default=8)
+    sa.add_argument("--prior-heads", type=int, default=None)
     sa.add_argument("--n-classes", type=int, default=10)
     sa.add_argument("--code-shape", type=int, nargs=2, default=[20, 28])
     sa.add_argument("--num-samples", type=int, default=4)
@@ -92,11 +95,12 @@ def _build_prior(args, spatial_cond: bool):
     )
 
     if getattr(args, "arch", "pixelcnn") == "transformer":
+        heads = args.prior_heads or max(1, args.prior_dim // 64)
         return TransformerPrior(
             input_dim=args.z_dim,
             dim=args.prior_dim,
             n_layers=args.prior_layers,
-            n_heads=args.prior_heads,
+            n_heads=heads,
             n_classes=args.n_classes,
             spatial_cond=spatial_cond,
         )

@@ -36,6 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from neural_sound_generation_tpu.ops.pallas.attention import (
+    causal_attention,
+)
+
 __all__ = ["TransformerPrior", "generate", "incremental_logits"]
 
 
@@ -61,22 +65,21 @@ class _Block(nn.Module):
                                name="mlp_in")
         self.mlp_out = nn.Dense(d, dtype=self.dtype, name="mlp_out")
 
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, T, D); mask: (T, T) additive (0 / -inf)."""
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, T, D); causal self-attention over T."""
         b, t, d = x.shape
         hd = d // self.n_heads
         h = self.ln1(x).astype(self.dtype)
         qkv = self.attn_qkv(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, self.n_heads, hd)
-        k = k.reshape(b, t, self.n_heads, hd)
-        v = v.reshape(b, t, self.n_heads, hd)
-        # attention logits in f32: bf16 loses too much around the max
-        att = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32,
-        ) * (1.0 / np.sqrt(hd)) + mask
-        att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, d)
+        # (B, Hh, T, hd) — the layout ops/pallas/attention.py expects;
+        # logits are computed in f32 inside both backends (bf16 loses
+        # too much around the max)
+        q = q.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, self.n_heads, hd).transpose(0, 2, 1, 3)
+        o = causal_attention(q, k, v, scale=1.0 / np.sqrt(hd))
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + self.attn_out(o).astype(x.dtype)
         h = self.ln2(x).astype(self.dtype)
         x = x + self.mlp_out(nn.gelu(self.mlp_in(h))).astype(x.dtype)
@@ -124,7 +127,9 @@ class TransformerPrior(nn.Module):
     input_dim: int = 512        # codebook size K
     dim: int = 256
     n_layers: int = 6
-    n_heads: int = 8
+    # 64-wide heads: narrower heads under-fill the 128-wide MXU on the
+    # QK^T/PV contractions (measured head-width sweep, PERF.md)
+    n_heads: int = 4
     n_classes: int = 10
     mlp_ratio: int = 4
     spatial_cond: bool = False
@@ -181,11 +186,8 @@ class TransformerPrior(nn.Module):
                 raise ValueError("spatial_cond model needs cond_map")
             x = x + self.cond_proj(
                 cond_map.reshape(b, t, cond_map.shape[-1]))
-        mask = jnp.where(
-            jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf
-        ).astype(jnp.float32)
         for blk in self.blocks:
-            x = blk(x, mask)
+            x = blk(x)
         logits = self.head(self.ln_f(x).astype(self.dtype))
         return logits.reshape(b, h, w, self.input_dim).astype(jnp.float32)
 

@@ -83,7 +83,7 @@ elif arch == "transformer":
     from neural_sound_generation_tpu.models import TransformerPrior
     from neural_sound_generation_tpu.models.transformer_prior import generate
 
-    model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=8,
+    model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
                              n_classes=N_CLASSES)
     sample_fn = generate
 else:
