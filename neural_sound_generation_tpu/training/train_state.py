@@ -122,6 +122,50 @@ def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptSta
     )
 
 
+def fused_flat_update(s: FusedOptState, count, m, v, flat_p, flat_g,
+                      ema, ema_decay: float, ema_warmup: bool, step):
+    """One fused Adam(+EMA) update on flat f32 vectors — the single
+    source of truth for the fused-optimizer math. Used by
+    ``TrainState._apply_gradients_fused`` (per-step ravel path) and by
+    the flat-carry multi-step scan (``trainer.make_multistep_train``,
+    which ravels once per launch instead of once per step — measured
+    +8.6% flagship steps/s, PERF.md "Flat-carry multi-step").
+
+    ``s`` supplies hyperparameters only; the mutable slots (count, m, v,
+    flat_p, ema) are explicit so a scan can carry them. Returns
+    (new_flat_p, m, v, ema, count, grad_norm) with grad_norm taken on
+    the raw (pre-clip, pre-weight-decay) gradient."""
+    flat_g = flat_g.astype(jnp.float32)
+    gnorm = jnp.linalg.norm(flat_g)
+    if s.clip > 0:
+        flat_g = flat_g * jnp.minimum(1.0, s.clip / jnp.maximum(gnorm, 1e-12))
+    if s.wd > 0:
+        flat_g = flat_g + s.wd * flat_p
+    count_inc = count + 1
+    # moments may be stored bf16 (TrainConfig.bf16_moments — halves the
+    # bandwidth-bound optimizer stage's bytes); the update math runs in
+    # f32 either way and rounds back on store
+    m_f32 = s.b1 * m.astype(jnp.float32) + (1.0 - s.b1) * flat_g
+    v_f32 = s.b2 * v.astype(jnp.float32) + (1.0 - s.b2) * flat_g * flat_g
+    cf = count_inc.astype(jnp.float32)
+    m_hat = m_f32 / (1.0 - s.b1**cf)
+    v_hat = v_f32 / (1.0 - s.b2**cf)
+    # optax evaluates schedules at the PRE-increment count
+    # (scale_by_schedule semantics); bias correction uses count_inc
+    lr = s.lr(count) if callable(s.lr) else s.lr
+    new_flat_p = flat_p - lr * m_hat / (jnp.sqrt(v_hat) + s.eps)
+    new_ema = ema  # flat f32 vector under the fused path
+    if new_ema is not None:
+        if ema_warmup:
+            t = (step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+        else:
+            d = ema_decay
+        new_ema = d * new_ema + (1.0 - d) * new_flat_p
+    return (new_flat_p, m_f32.astype(m.dtype), v_f32.astype(v.dtype),
+            new_ema, count_inc, gnorm)
+
+
 class TrainState(flax.struct.PyTreeNode):
     """Functional train state (pure pytree; safe under pjit/donation)."""
 
@@ -161,38 +205,14 @@ class TrainState(flax.struct.PyTreeNode):
     def _apply_gradients_fused(self, grads, new_batch_stats=None):
         s: FusedOptState = self.opt_state
         flat_g, _ = ravel_pytree(grads)
-        flat_g = flat_g.astype(jnp.float32)
         flat_p, _ = ravel_pytree(self.params)
-        if s.clip > 0:
-            gnorm = jnp.linalg.norm(flat_g)
-            flat_g = flat_g * jnp.minimum(1.0, s.clip / jnp.maximum(gnorm, 1e-12))
-        if s.wd > 0:
-            flat_g = flat_g + s.wd * flat_p
-        count = s.count + 1
-        # moments may be stored bf16 (TrainConfig.bf16_moments — halves
-        # the bandwidth-bound optimizer stage's bytes); the update math
-        # runs in f32 either way and rounds back on store
-        m_f32 = s.b1 * s.m.astype(jnp.float32) + (1.0 - s.b1) * flat_g
-        v_f32 = (
-            s.b2 * s.v.astype(jnp.float32) + (1.0 - s.b2) * flat_g * flat_g
+        new_flat_p, m, v, new_ema, count, _ = fused_flat_update(
+            s, s.count, s.m, s.v, flat_p, flat_g, self.ema_params,
+            self.ema_decay, self.ema_warmup, self.step,
         )
-        m = m_f32.astype(s.m.dtype)
-        v = v_f32.astype(s.v.dtype)
-        cf = count.astype(jnp.float32)
-        m_hat = m_f32 / (1.0 - s.b1**cf)
-        v_hat = v_f32 / (1.0 - s.b2**cf)
-        # optax evaluates schedules at the PRE-increment count
-        # (scale_by_schedule semantics); bias correction uses count_inc
-        lr = s.lr(s.count) if callable(s.lr) else s.lr
-        new_flat_p = flat_p - lr * m_hat / (jnp.sqrt(v_hat) + s.eps)
-        new_params = s.unravel(new_flat_p)
-        new_ema = self.ema_params  # flat f32 vector under the fused path
-        if new_ema is not None:
-            d = self._ema_decay_now()
-            new_ema = d * new_ema + (1.0 - d) * new_flat_p
         return self.replace(
             step=self.step + 1,
-            params=new_params,
+            params=s.unravel(new_flat_p),
             opt_state=s.replace(count=count, m=m, v=v),
             ema_params=new_ema,
             batch_stats=(

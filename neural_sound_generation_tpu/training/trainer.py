@@ -42,7 +42,11 @@ from neural_sound_generation_tpu.training.losses import (
     masked_cross_entropy,
     vqvae_loss,
 )
-from neural_sound_generation_tpu.training.train_state import TrainState
+from neural_sound_generation_tpu.training.train_state import (
+    FusedOptState,
+    TrainState,
+    fused_flat_update,
+)
 
 
 def _vqvae_loss_fn(model: VQVAE, beta: float):
@@ -177,6 +181,36 @@ def _wavenet_loss_fn(model: WaveNet, cfg: Config):
     return loss_fn
 
 
+def _select_loss_fn(model, cfg: Config, remat: bool = False):
+    """Per-family loss closure (params, batch_stats, batch, rng) ->
+    (loss, (metrics, new_batch_stats, z_e))."""
+    if isinstance(model, WaveVQVAE):
+        loss_fn = _wave_vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, HierVQVAE):
+        loss_fn = _hier_vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, VQVAE):
+        loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
+    elif isinstance(model, VAE):
+        loss_fn = _vae_loss_fn(model)
+    elif isinstance(model, (GatedPixelCNN, TransformerPrior)):
+        loss_fn = _pixelcnn_loss_fn(model)
+    elif isinstance(model, WaveNet):
+        loss_fn = _wavenet_loss_fn(model, cfg)
+    else:
+        raise TypeError(f"unsupported model: {type(model)}")
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
+    return loss_fn
+
+
+def _uses_ema_codebook(model, cfg: Config) -> bool:
+    # EMA codebook updates are wired for the single-codebook families;
+    # the hierarchical model trains its two codebooks by gradient
+    return bool(
+        cfg.model.ema_codebook and isinstance(model, (VQVAE, WaveVQVAE))
+    )
+
+
 def make_train_step(
     model,
     cfg: Config,
@@ -195,28 +229,8 @@ def make_train_step(
     ``remat`` wraps the forward in ``jax.checkpoint`` — activations are
     recomputed in the backward pass, trading ~1/3 more FLOPs for O(depth)
     less HBM (the standard lever for fitting larger models/batches)."""
-    if isinstance(model, WaveVQVAE):
-        loss_fn = _wave_vqvae_loss_fn(model, cfg.model.beta)
-    elif isinstance(model, HierVQVAE):
-        loss_fn = _hier_vqvae_loss_fn(model, cfg.model.beta)
-    elif isinstance(model, VQVAE):
-        loss_fn = _vqvae_loss_fn(model, cfg.model.beta)
-    elif isinstance(model, VAE):
-        loss_fn = _vae_loss_fn(model)
-    elif isinstance(model, (GatedPixelCNN, TransformerPrior)):
-        loss_fn = _pixelcnn_loss_fn(model)
-    elif isinstance(model, WaveNet):
-        loss_fn = _wavenet_loss_fn(model, cfg)
-    else:
-        raise TypeError(f"unsupported model: {type(model)}")
-    if remat:
-        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
-
-    # EMA codebook updates are wired for the single-codebook families;
-    # the hierarchical model trains its two codebooks by gradient
-    ema_codebook = cfg.model.ema_codebook and isinstance(
-        model, (VQVAE, WaveVQVAE)
-    )
+    loss_fn = _select_loss_fn(model, cfg, remat)
+    ema_codebook = _uses_ema_codebook(model, cfg)
 
     def train_step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -324,12 +338,69 @@ def make_multistep_train(
     With ``mesh``, each scanned step is data-parallel: the super-batch is
     expected sharded as (scan, 'data', ...) and GSPMD emits one gradient
     all-reduce per inner step, all inside the single launch.
+
+    Fused-optimizer states scan a FLAT carry: params/moments/EMA ride
+    the loop as flat f32 vectors (autodiff emits the flat gradient
+    directly), and the tree<->flat ravels run once per LAUNCH instead of
+    once per step. The per-step ravel/unravel copies were ~8.6% of the
+    flagship step (measured, PERF.md "Flat-carry multi-step"); the
+    tree-state path below remains for legacy optimizers and the
+    EMA-codebook families (which edit the params tree mid-step).
     """
     inner = make_train_step(model, cfg, donate=False)
     # unwrap: use the underlying python callable so scan traces it inline
     inner_fn = inner.__wrapped__
+    loss_fn = _select_loss_fn(model, cfg)
+    ema_codebook = _uses_ema_codebook(model, cfg)
+
+    def multi_flat(state: TrainState, batches, rng):
+        from jax.flatten_util import ravel_pytree
+
+        s = state.opt_state
+        flat_p, _ = ravel_pytree(state.params)
+
+        def flat_loss(flat, bs, batch, sub):
+            return loss_fn(s.unravel(flat), bs, batch, sub)
+
+        has_ema = state.ema_params is not None
+
+        def body(carry, batch):
+            flat, bs, m, v, ema, count, step, rng = carry
+            rng, sub = jax.random.split(rng)
+            (_, (metrics, new_bs, _)), flat_g = jax.value_and_grad(
+                flat_loss, has_aux=True
+            )(flat, bs, batch, sub)
+            flat, m, v, ema, count, gnorm = fused_flat_update(
+                s, count, m, v, flat, flat_g,
+                ema if has_ema else None,
+                state.ema_decay, state.ema_warmup, step,
+            )
+            metrics["grad_norm"] = gnorm
+            return (
+                flat, new_bs if new_bs is not None else bs,
+                m, v, ema if has_ema else carry[4], count, step + 1, rng,
+            ), metrics
+
+        carry0 = (
+            flat_p, state.batch_stats, s.m, s.v,
+            state.ema_params if has_ema else jnp.zeros((), jnp.float32),
+            s.count, state.step, rng,
+        )
+        (flat_p, bs, m, v, ema, count, step, _), metrics = jax.lax.scan(
+            body, carry0, batches
+        )
+        new_state = state.replace(
+            step=step,
+            params=s.unravel(flat_p),
+            batch_stats=bs,
+            opt_state=s.replace(count=count, m=m, v=v),
+            ema_params=ema if has_ema else None,
+        )
+        return new_state, metrics
 
     def multi(state, batches, rng):
+        if isinstance(state.opt_state, FusedOptState) and not ema_codebook:
+            return multi_flat(state, batches, rng)
         def body(carry, batch):
             state, rng = carry
             rng, sub = jax.random.split(rng)
