@@ -168,12 +168,17 @@ class TransformerPrior(nn.Module):
         cols = self.col_embed(jnp.arange(w))                 # (W, D)
         return (rows[:, None, :] + cols[None, :, :]).reshape(h * w, self.dim)
 
-    def __call__(
+    def embed_sequence(
         self,
         codes: jnp.ndarray,
         label: jnp.ndarray,
         cond_map: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """Block-stack input: shifted token embeddings + positional +
+        class (+ spatial conditioning). (B, H, W) int -> (B, T, D).
+        Split out from ``__call__`` so the pipeline-parallel path
+        (parallel/pipeline.py) can run the embedding outside the staged
+        block loop."""
         b, h, w = codes.shape
         t = h * w
         tok = self.tok_embed(codes.reshape(b, t))            # (B, T, D)
@@ -186,10 +191,24 @@ class TransformerPrior(nn.Module):
                 raise ValueError("spatial_cond model needs cond_map")
             x = x + self.cond_proj(
                 cond_map.reshape(b, t, cond_map.shape[-1]))
+        return x
+
+    def head_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Final LayerNorm + vocab head: (B, T, D) -> (B, T, K) f32."""
+        return self.head(self.ln_f(x).astype(self.dtype)).astype(jnp.float32)
+
+    def __call__(
+        self,
+        codes: jnp.ndarray,
+        label: jnp.ndarray,
+        cond_map: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        b, h, w = codes.shape
+        x = self.embed_sequence(codes, label, cond_map)
         for blk in self.blocks:
             x = blk(x)
-        logits = self.head(self.ln_f(x).astype(self.dtype))
-        return logits.reshape(b, h, w, self.input_dim).astype(jnp.float32)
+        logits = self.head_logits(x)
+        return logits.reshape(b, h, w, self.input_dim)
 
     def embed_step(self, prev_tok, label, t, h: int, w: int, cond_row=None):
         """Input activation for position t during sampling: embedding of

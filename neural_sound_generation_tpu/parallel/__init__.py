@@ -16,3 +16,10 @@ from neural_sound_generation_tpu.parallel.sequence import (  # noqa: F401
     halo_conv1d,
     sharded_conv1d,
 )
+from neural_sound_generation_tpu.parallel.pipeline import (  # noqa: F401
+    make_pp_mesh,
+    pipeline_blocks,
+    prior_pp_logits,
+    stack_layer_params,
+    unstack_layer_params,
+)

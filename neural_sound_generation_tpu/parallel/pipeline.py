@@ -1,0 +1,225 @@
+"""Pipeline parallelism: GPipe-style staged execution of a uniform
+block stack over a 'pipe' mesh axis.
+
+The reference has no pipeline engine (SURVEY §2a: its only parallelism
+artifacts are a dead NCCL config and an unwired rank-sliced sampler).
+This module is the TPU-native construction for the case its models
+never reach but this framework's priors can: a layer stack too large
+for one chip's HBM. The design follows the standard JAX/TPU recipe
+(scaling-book pipelining chapter) rather than a torch-style stage
+scheduler:
+
+* Per-layer parameters are STACKED on a leading axis and sharded over
+  the mesh's ``pipe`` axis — each device physically holds only its
+  ``L/S`` layers' weights (the point of PP: weight memory scales down
+  with stages).
+* Inside ``shard_map``, microbatches flow through stages with a
+  ``lax.scan`` over ``M + S - 1`` ticks; the activation hand-off
+  between neighboring stages is a ``ppermute`` ring shift over ICI.
+* The whole schedule is one traced program: jit-compatible,
+  reverse-differentiable (``ppermute``'s transpose is the inverse
+  permutation, so gradients flow stage-to-stage backwards over the
+  same ring), and composable with the ``data`` axis for DP x PP.
+
+The bubble cost is the textbook ``(S-1)/(M+S-1)`` idle fraction —
+every stage computes every tick, with results masked outside the
+valid window. Single-chip runs (this environment's reality) execute
+S=1 with zero bubble, which is how the CPU-mesh tests pin parity
+against the unpipelined forward.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = [
+    "stack_layer_params",
+    "unstack_layer_params",
+    "pipeline_blocks",
+    "prior_pp_logits",
+    "make_pp_mesh",
+]
+
+
+def make_pp_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
+    """Mesh with ('data', 'pipe') axes — DP x PP. The 'pipe' axis is
+    innermost so neighboring stages sit on ICI-adjacent devices."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_pipe
+    assert need <= len(devices), f"need {need} devices, have {len(devices)}"
+    grid = np.asarray(devices[:need]).reshape(n_data, n_pipe)
+    return Mesh(grid, ("data", "pipe"))
+
+
+def stack_layer_params(params, n_layers: int, prefix: str = "block_"):
+    """``{f"{prefix}{i}": tree_i}`` -> one tree with a leading
+    (n_layers,) axis on every leaf. The per-layer trees must be
+    structurally identical (uniform block stacks are the precondition
+    for pipelining them)."""
+    blocks = [params[f"{prefix}{i}"] for i in range(n_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def unstack_layer_params(stacked, n_layers: int, prefix: str = "block_"):
+    """Inverse of :func:`stack_layer_params` — back to the checkpoint
+    layout (``block_i`` subtrees), e.g. to save a PP-trained prior in
+    the artifact format ``cli/prior.py sample`` restores."""
+    return {
+        f"{prefix}{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
+        for i in range(n_layers)
+    }
+
+
+def pipeline_blocks(
+    block_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params,
+    x_micro: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "pipe",
+    data_axis: Optional[str] = "data",
+):
+    """Run ``x_micro`` through the full stacked layer stack, pipelined
+    over ``mesh.shape[axis]`` stages.
+
+    ``block_fn(layer_params, act) -> act`` applies ONE layer.
+    ``stacked_params``: leaves with leading dim L (L % n_stages == 0);
+    stage s holds layers [s*L/S, (s+1)*L/S) — weights are sharded, not
+    replicated. ``x_micro``: (M, mb, ...) microbatches; the mb axis is
+    additionally sharded over ``data_axis`` when the mesh has one
+    (DP x PP). Returns (M, mb, ...), numerically identical to folding
+    ``block_fn`` over all L layers per microbatch.
+    """
+    n_stages = mesh.shape[axis]
+    leading = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(stacked_params)}
+    assert len(leading) == 1, f"inconsistent stacked leading dims: {leading}"
+    n_layers = leading.pop()
+    assert n_layers % n_stages == 0, (
+        f"{n_layers} layers do not stage evenly over {n_stages} pipe shards"
+    )
+    n_micro = x_micro.shape[0]
+
+    data_in_mesh = data_axis is not None and data_axis in mesh.shape
+    x_spec = P(None, data_axis) if data_in_mesh else P(None)
+    p_spec = P(axis)
+
+    def staged(p_local, x):
+        # p_local leaves: (n_layers/S, ...) — this stage's layer slab
+        stage = lax.axis_index(axis)
+
+        def local_stack(act):
+            def one(a, p):
+                return block_fn(p, a), None
+
+            out, _ = lax.scan(one, act, p_local)
+            return out
+
+        ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            buf, y = carry
+            # stage 0 ingests microbatch t (clamped into range during
+            # the drain ticks; the result of those is masked out below)
+            inp = lax.dynamic_index_in_dim(
+                x, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+            )
+            act = jnp.where(stage == 0, inp, buf)
+            out = local_stack(act)
+            # the LAST stage completes microbatch t-(S-1) at tick t
+            oidx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+            cur = lax.dynamic_index_in_dim(y, oidx, 0, keepdims=False)
+            keep = jnp.where(t >= n_stages - 1, out, cur)
+            y = lax.dynamic_update_index_in_dim(y, keep, oidx, 0)
+            buf = lax.ppermute(out, axis, ring) if n_stages > 1 else out
+            return (buf, y), None
+
+        # the carries become pipe-varying after the first tick's
+        # stage-dependent masking; the zero inits must enter the scan
+        # already marked as such (jax >= 0.8 varying-manual-axes typing)
+        def _pipe_varying(a):
+            try:
+                return lax.pcast(a, (axis,), to="varying")
+            except (AttributeError, TypeError):  # pragma: no cover
+                return lax.pvary(a, (axis,))
+
+        buf0 = _pipe_varying(jnp.zeros_like(x[0]))
+        y0 = _pipe_varying(jnp.zeros_like(x))
+        (_, y), _ = lax.scan(
+            tick, (buf0, y0), jnp.arange(n_micro + n_stages - 1)
+        )
+        # outputs live on the last stage; mask+psum replicates them over
+        # the ring (one broadcast at the end, not per tick). Run it at
+        # S=1 too: it is free there and discharges the pipe-varying
+        # typing the carries acquired (out_specs promise replication)
+        y = jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y))
+        return lax.psum(y, axis)
+
+    return shard_map(
+        staged,
+        mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: p_spec, stacked_params),
+                  x_spec),
+        out_specs=x_spec,
+    )(stacked_params, x_micro)
+
+
+def prior_pp_logits(
+    model,
+    params,
+    codes: jnp.ndarray,
+    label: jnp.ndarray,
+    mesh: Mesh,
+    n_micro: int,
+    cond_map: Optional[jnp.ndarray] = None,
+    axis: str = "pipe",
+):
+    """TransformerPrior forward with the block stack pipeline-parallel.
+
+    Same contract as ``model.apply(variables, codes, label[, cond_map])``
+    — (B, H, W) int codes -> (B, H, W, K) f32 logits — but the
+    ``block_i`` weights are staged over the mesh's ``pipe`` axis and
+    microbatched GPipe-style (``n_micro`` must divide B). Embedding and
+    head run replicated outside the staged loop (they are tiny); grads
+    flow through the whole thing, so a standard ``value_and_grad`` train
+    step on top is pipeline-parallel training.
+    """
+    from neural_sound_generation_tpu.models.transformer_prior import (
+        TransformerPrior, _Block,
+    )
+
+    if "params" in params:
+        params = params["params"]
+    b, h, w = codes.shape
+    assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
+    mb = b // n_micro
+
+    x = model.apply(
+        {"params": params}, codes, label, cond_map,
+        method=TransformerPrior.embed_sequence,
+    )                                                     # (B, T, D)
+    xm = x.reshape(n_micro, mb, *x.shape[1:])
+
+    stacked = stack_layer_params(params, model.n_layers)
+    block = _Block(dim=model.dim, n_heads=model.n_heads,
+                   mlp_ratio=model.mlp_ratio, dtype=model.dtype)
+
+    def block_fn(p, a):
+        return block.apply({"params": p}, a)
+
+    ym = pipeline_blocks(block_fn, stacked, xm, mesh, axis=axis)
+    y = ym.reshape(b, *x.shape[1:])
+    logits = model.apply(
+        {"params": params}, y, method=TransformerPrior.head_logits
+    )
+    return logits.reshape(b, h, w, model.input_dim)

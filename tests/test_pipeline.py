@@ -1,0 +1,177 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-device virtual
+CPU mesh: the GPipe-staged block stack must match the unpipelined
+forward bit-for-bit-ish (f32 tolerance), gradients must flow through the
+ppermute ring, and a full pipeline-parallel train step must move the
+loss. The reference has no pipeline engine at all (SURVEY §2a) — this
+is framework-native capability, tested the way the DP/TP/SP axes are."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_sound_generation_tpu.models.transformer_prior import (
+    TransformerPrior,
+)
+from neural_sound_generation_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    pipeline_blocks,
+    prior_pp_logits,
+    stack_layer_params,
+    unstack_layer_params,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _prior(n_layers=4, dim=32, k=16):
+    model = TransformerPrior(
+        input_dim=k, dim=dim, n_layers=n_layers, n_heads=2, n_classes=4,
+        max_rows=8, max_cols=8,
+    )
+    codes = jnp.asarray(
+        np.random.default_rng(1).integers(0, k, size=(8, 4, 6)), jnp.int32
+    )
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), codes, labels)
+    return model, variables, codes, labels
+
+
+def test_stack_unstack_roundtrip():
+    model, variables, _, _ = _prior()
+    params = variables["params"]
+    stacked = stack_layer_params(params, model.n_layers)
+    # every leaf gains the leading (n_layers,) axis
+    for leaf in jax.tree_util.tree_leaves(stacked):
+        assert leaf.shape[0] == model.n_layers
+    back = unstack_layer_params(stacked, model.n_layers)
+    for i in range(model.n_layers):
+        a = jax.tree_util.tree_leaves(back[f"block_{i}"])
+        b = jax.tree_util.tree_leaves(params[f"block_{i}"])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("n_pipe,n_micro", [(1, 1), (2, 4), (4, 2), (4, 8)])
+def test_pipeline_blocks_matches_sequential(rng, n_pipe, n_micro):
+    """The staged schedule (incl. bubble masking) equals folding the
+    layers sequentially, for stage counts from degenerate S=1 up to
+    S=4 and microbatch counts below/above S."""
+    L, mb, t, d = 4, 2, 6, 8
+    params = jnp.asarray(
+        rng.standard_normal((L, d, d)).astype(np.float32) * 0.3
+    )
+    x = jnp.asarray(
+        rng.standard_normal((n_micro, mb, t, d)).astype(np.float32)
+    )
+
+    def block_fn(p, a):
+        return jnp.tanh(a @ p)
+
+    mesh = make_pp_mesh(n_pipe)
+    got = jax.jit(
+        lambda p, xx: pipeline_blocks(block_fn, p, xx, mesh)
+    )(params, x)
+
+    want = x
+    for i in range(L):
+        want = jnp.tanh(want @ params[i])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pipeline_blocks_grad_flows_over_ring(rng):
+    """Gradients w.r.t. EVERY stage's weights must match the sequential
+    program — the ppermute transpose carries them backwards across
+    stages."""
+    L, n_micro, mb, t, d = 4, 4, 2, 5, 8
+    params = jnp.asarray(
+        rng.standard_normal((L, d, d)).astype(np.float32) * 0.3
+    )
+    x = jnp.asarray(
+        rng.standard_normal((n_micro, mb, t, d)).astype(np.float32)
+    )
+
+    def block_fn(p, a):
+        return jnp.tanh(a @ p)
+
+    mesh = make_pp_mesh(4)
+
+    def loss_pp(p):
+        return jnp.sum(pipeline_blocks(block_fn, p, x, mesh) ** 2)
+
+    def loss_seq(p):
+        a = x
+        for i in range(L):
+            a = jnp.tanh(a @ p[i])
+        return jnp.sum(a**2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_seq = jax.jit(jax.grad(loss_seq))(params)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_seq),
+                               atol=1e-4)
+    # no stage's gradient is silently zero
+    per_layer = np.abs(np.asarray(g_pp)).reshape(L, -1).max(axis=1)
+    assert (per_layer > 0).all()
+
+
+def test_prior_pp_logits_matches_model(rng):
+    """TransformerPrior through the PP path == model.apply, pipe=4."""
+    model, variables, codes, labels = _prior()
+    mesh = make_pp_mesh(4)
+    want = model.apply(variables, codes, labels)
+    got = jax.jit(
+        lambda v: prior_pp_logits(model, v, codes, labels, mesh, n_micro=4)
+    )(variables)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_prior_pp_logits_dp_x_pp(rng):
+    """DP x PP composition: ('data', 'pipe') = (2, 4) over 8 devices,
+    microbatches sharded over 'data' inside the staged loop."""
+    model, variables, codes, labels = _prior()
+    mesh = make_pp_mesh(n_pipe=4, n_data=2)
+    want = model.apply(variables, codes, labels)
+    got = jax.jit(
+        lambda v: prior_pp_logits(model, v, codes, labels, mesh, n_micro=2)
+    )(variables)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_pp_train_step_learns(rng):
+    """A full pipeline-parallel training step: masked-CE loss on the PP
+    logits, grads through embed + staged blocks + head, plain Adam.
+    The loss must drop — PP training end-to-end, stage weights sharded."""
+    import optax
+
+    model, variables, codes, labels = _prior(n_layers=4, dim=32)
+    mesh = make_pp_mesh(4)
+    params = variables["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        logits = prior_pp_logits(
+            model, p, codes, labels, mesh, n_micro=4
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    step = jax.jit(
+        lambda p, o: (lambda l, g: (l, *tx.update(g, o, p)))(
+            *jax.value_and_grad(loss_fn)(p)
+        )
+    )
+
+    losses = []
+    for _ in range(30):
+        loss, updates, opt = step(params, opt)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.7 * losses[0], losses[::10]

@@ -551,6 +551,70 @@ def test_fused_optimizer_clip_wd_schedule_parity(rng):
     _tree_allclose(sf.params, so.params, atol=1e-6)
 
 
+def test_multistep_flat_carry_full_knob_parity(rng):
+    """The flat-carry multi-step scan (fused states ride the loop as
+    flat vectors, ravel once per launch) must match N sequential
+    single steps with EVERY optimizer knob active: global-norm clip,
+    weight decay, the noam schedule (callable lr evaluated at the
+    scanned count), and the ema_warmup ramp (decay depends on the
+    scanned step). Catches carry-threading bugs the default-config
+    multistep test can't see."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.training import FusedOptState
+    from neural_sound_generation_tpu.training.trainer import (
+        make_multistep_train,
+        stack_batches,
+    )
+
+    cfg = Config().parse("batch_size=4")
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, clip_thresh=0.05, weight_decay=1e-4,
+            ema_decay=0.9999, ema_warmup=True,
+        ),
+    )
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    batch = _mel_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch["x"], train=False)
+    state = create_train_state(variables, cfg.train, use_schedule=True)
+    assert isinstance(state.opt_state, FusedOptState)
+    assert state.ema_params is not None and state.ema_warmup
+
+    n = 4
+    multi = make_multistep_train(model, cfg, n, donate=False)
+    s_multi, metrics = multi(
+        state, stack_batches([batch] * n), jax.random.PRNGKey(7)
+    )
+
+    step = make_train_step(model, cfg, donate=False)
+    s_seq = state
+    key = jax.random.PRNGKey(7)
+    seq_gnorms = []
+    for _ in range(n):
+        key, sub = jax.random.split(key)
+        s_seq, m = step(s_seq, batch, sub)
+        seq_gnorms.append(float(m["grad_norm"]))
+
+    # both paths call fused_flat_update with the same carry discipline:
+    # params, EMA shadow (warmup-ramped), moments, count all line up
+    _tree_allclose(s_multi.params, s_seq.params, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_multi.ema_params), np.asarray(s_seq.ema_params),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_multi.opt_state.m), np.asarray(s_seq.opt_state.m),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics["grad_norm"]), np.asarray(seq_gnorms), rtol=1e-4
+    )
+    assert int(s_multi.step) == int(s_seq.step) == n
+    assert int(s_multi.opt_state.count) == n
+
+
 def test_fused_optimizer_checkpoint_roundtrip(rng, tmp_path):
     """FusedOptState (flat moments + flat EMA) round-trips through the
     orbax checkpoint path."""

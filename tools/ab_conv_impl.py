@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 family, impl = sys.argv[1], sys.argv[2]
 assert impl in ("phased", "stock", "edge"), impl
 os.environ["NSG_CONV_IMPL"] = impl  # read at trace time by models.layers
