@@ -42,6 +42,11 @@ def parse_args(argv=None):
                          "default sizes heads to 64 channels each — "
                          "narrower heads under-fill the 128-wide MXU "
                          "(measured sweep in PERF.md)")
+    tr.add_argument("--moe-experts", type=int, default=0,
+                    help="transformer arch only: switch-MoE feed-forwards "
+                         "with this many experts (0 = dense); expert "
+                         "weights shard over --mesh-model (expert "
+                         "parallelism)")
     tr.add_argument("--n-classes", type=int, default=10)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--epochs", type=int, default=10)
@@ -75,6 +80,7 @@ def parse_args(argv=None):
     sa.add_argument("--prior-dim", type=int, default=64)
     sa.add_argument("--prior-layers", type=int, default=15)
     sa.add_argument("--prior-heads", type=int, default=None)
+    sa.add_argument("--moe-experts", type=int, default=0)
     sa.add_argument("--n-classes", type=int, default=10)
     sa.add_argument("--code-shape", type=int, nargs=2, default=[20, 28])
     sa.add_argument("--num-samples", type=int, default=4)
@@ -102,6 +108,7 @@ def _build_prior(args, spatial_cond: bool):
             n_layers=args.prior_layers,
             n_heads=heads,
             n_classes=args.n_classes,
+            n_experts=getattr(args, "moe_experts", 0),
             spatial_cond=spatial_cond,
         )
     return GatedPixelCNN(

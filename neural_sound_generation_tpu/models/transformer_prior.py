@@ -53,6 +53,10 @@ class _Block(nn.Module):
     dim: int
     n_heads: int
     mlp_ratio: int = 4
+    # n_experts > 0 swaps the dense MLP for a switch-routed MoE
+    # (models/moe.py) — expert weights shard over 'model' (EP)
+    n_experts: int = 0
+    capacity_factor: float = 1.25
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -61,9 +65,25 @@ class _Block(nn.Module):
         self.ln2 = nn.LayerNorm(dtype=jnp.float32, name="ln2")
         self.attn_qkv = nn.Dense(3 * d, dtype=self.dtype, name="attn_qkv")
         self.attn_out = nn.Dense(d, dtype=self.dtype, name="attn_out")
-        self.mlp_in = nn.Dense(self.mlp_ratio * d, dtype=self.dtype,
-                               name="mlp_in")
-        self.mlp_out = nn.Dense(d, dtype=self.dtype, name="mlp_out")
+        if self.n_experts > 0:
+            from neural_sound_generation_tpu.models.moe import SwitchMoE
+
+            self.moe = SwitchMoE(
+                dim=d, n_experts=self.n_experts,
+                mlp_ratio=self.mlp_ratio,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype, name="moe",
+            )
+        else:
+            self.mlp_in = nn.Dense(self.mlp_ratio * d, dtype=self.dtype,
+                                   name="mlp_in")
+            self.mlp_out = nn.Dense(d, dtype=self.dtype, name="mlp_out")
+
+    def _mlp(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Post-ln2 feed-forward: dense pair or routed experts."""
+        if self.n_experts > 0:
+            return self.moe(h)
+        return self.mlp_out(nn.gelu(self.mlp_in(h)))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, T, D); causal self-attention over T."""
@@ -82,7 +102,7 @@ class _Block(nn.Module):
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + self.attn_out(o).astype(x.dtype)
         h = self.ln2(x).astype(self.dtype)
-        x = x + self.mlp_out(nn.gelu(self.mlp_in(h))).astype(x.dtype)
+        x = x + self._mlp(h).astype(x.dtype)
         return x
 
     def decode_step(self, x, k_cache, v_cache, t):
@@ -111,7 +131,11 @@ class _Block(nn.Module):
         o = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, d)
         x = x + self.attn_out(o).astype(x.dtype)
         h = self.ln2(x).astype(self.dtype)
-        x = x + self.mlp_out(nn.gelu(self.mlp_in(h))).astype(x.dtype)
+        # MoE routes the single position as a length-1 sequence
+        if self.n_experts > 0:
+            x = x + self._mlp(h[:, None, :])[:, 0].astype(x.dtype)
+        else:
+            x = x + self._mlp(h).astype(x.dtype)
         return x, k_cache, v_cache
 
 
@@ -132,6 +156,10 @@ class TransformerPrior(nn.Module):
     n_heads: int = 4
     n_classes: int = 10
     mlp_ratio: int = 4
+    # n_experts > 0: switch-MoE feed-forwards (models/moe.py); expert
+    # weights shard over 'model' — the framework's expert parallelism
+    n_experts: int = 0
+    capacity_factor: float = 1.25
     spatial_cond: bool = False
     dtype: Any = jnp.float32
     # positional tables cover any grid up to (max_rows, max_cols); they
@@ -151,7 +179,8 @@ class TransformerPrior(nn.Module):
             self.cond_proj = nn.Dense(self.dim, name="cond_proj")
         self.blocks = [
             _Block(dim=self.dim, n_heads=self.n_heads,
-                   mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                   mlp_ratio=self.mlp_ratio, n_experts=self.n_experts,
+                   capacity_factor=self.capacity_factor, dtype=self.dtype,
                    name=f"block_{i}")
             for i in range(self.n_layers)
         ]

@@ -133,6 +133,16 @@ _TP_RULES = (
         ),
         -1,
     ),
+    # Switch-MoE expert weights/biases (E, D, F)/(E, F, D)/(E, F):
+    # shard the EXPERT axis over 'model' — expert parallelism; GSPMD
+    # turns the dispatch/combine einsums into the expert all-to-alls.
+    # The router stays replicated (every token scores every expert).
+    (
+        re.compile(
+            r"\['block_\d+'\]\['moe'\]\['(w_in|w_out|b_in|b_out)'\]$"
+        ),
+        0,
+    ),
 )
 
 

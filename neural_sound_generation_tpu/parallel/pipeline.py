@@ -198,6 +198,11 @@ def prior_pp_logits(
         TransformerPrior, _Block,
     )
 
+    if getattr(model, "n_experts", 0) > 0:
+        raise ValueError(
+            "pipeline path does not collect the MoE load-balance loss; "
+            "train routed priors on the DP/TP(EP) mesh instead"
+        )
     if "params" in params:
         params = params["params"]
     b, h, w = codes.shape

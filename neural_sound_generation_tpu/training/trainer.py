@@ -139,15 +139,30 @@ def _pixelcnn_loss_fn(model):
     conditioned bottom prior]}. The reference ships the GatedPixelCNN
     with no training loop at all (src/models.py:285-341, SURVEY §8)."""
 
+    routed = getattr(model, "n_experts", 0) > 0
+    aux_weight = 0.01  # Switch-paper default load-balance coefficient
+
     def loss_fn(params, batch_stats, batch, rng):
         args = (batch["codes"], batch["labels"])
         if model.spatial_cond:
             args = args + (batch["cond"],)
-        logits = model.apply({"params": params}, *args)
+        if routed:
+            # MoE blocks sow their load-balance terms into 'moe_losses'
+            logits, muts = model.apply(
+                {"params": params}, *args, mutable=["moe_losses"]
+            )
+        else:
+            logits = model.apply({"params": params}, *args)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, batch["codes"][..., None], axis=-1)
-        loss = jnp.mean(nll)
-        metrics = {"loss": loss, "nll_per_code": loss}
+        nll = jnp.mean(nll)
+        loss = nll
+        metrics = {"loss": nll, "nll_per_code": nll}
+        if routed:
+            aux_terms = jax.tree_util.tree_leaves(muts["moe_losses"])
+            aux = sum(aux_terms) / max(1, len(aux_terms))
+            loss = nll + aux_weight * aux
+            metrics["moe_load_balance"] = aux
         return loss, (metrics, batch_stats, None)
 
     return loss_fn
