@@ -86,6 +86,16 @@ elif arch == "transformer":
     model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
                              n_classes=N_CLASSES)
     sample_fn = generate
+elif arch == "transformer-moe":
+    # switch-MoE feed-forwards (--moe-experts 4): 4x the MLP parameters
+    # at ~cf x the per-token MLP FLOPs; single-chip (no EP sharding
+    # here — this measures the routing/dispatch overhead itself)
+    from neural_sound_generation_tpu.models import TransformerPrior
+    from neural_sound_generation_tpu.models.transformer_prior import generate
+
+    model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
+                             n_classes=N_CLASSES, n_experts=4)
+    sample_fn = generate
 else:
     raise SystemExit(f"unknown arch {arch!r}")
 

@@ -103,7 +103,8 @@ total_steps = (launches - 1) * MULTI
 # resume check: restore the final checkpoint into a fresh template and
 # step it (the donated state is unusable; the template path must carry)
 template = create_train_state(variables, cfg.train)
-restored, rstep = checkpoint.restore(CKPT_DIR, template)
+restored, _extra = checkpoint.restore(CKPT_DIR, template)
+rstep = int(np.asarray(restored.step))
 restored, m2 = run(restored, super_batch, jax.random.PRNGKey(7))
 resume_loss = float(m2["loss"][-1])
 resume_ok = bool(np.isfinite(resume_loss))
