@@ -231,3 +231,45 @@ def test_prior_cli_train_and_sample(tmp_path, monkeypatch):
     ])
     wavs = [f for f in os.listdir(sample_dir) if f.endswith(".wav")]
     assert len(wavs) == 2
+
+
+def test_prior_cli_transformer_moe(tmp_path):
+    """--arch transformer --moe-experts: the routed prior trains and
+    samples through the production CLI (train reports the load-balance
+    metric path internally; sample restores the artifact through the
+    same layout the pixelcnn arch uses)."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=6)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    vq_ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+
+    prior_ckpt = str(tmp_path / "prior_moe")
+    prior_cli.main([
+        "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+        "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+        "--arch", "transformer", "--moe-experts", "2",
+        "--prior-dim", "16", "--prior-layers", "2",
+        "--batch-size", "2", "--epochs", "1", "--max-batches-per-epoch", "2",
+    ])
+    sample_dir = str(tmp_path / "prior_moe_samples")
+    prior_cli.main([
+        "sample", "--vqvae-ckpt", vq_ckpt, "--prior-ckpt", prior_ckpt,
+        "--output-dir", sample_dir, "--dim", "8", "--z-dim", "16",
+        "--arch", "transformer", "--moe-experts", "2",
+        "--prior-dim", "16", "--prior-layers", "2",
+        "--code-shape", "20", "7", "--num-samples", "1",
+    ])
+    wavs = [f for f in os.listdir(sample_dir) if f.endswith(".wav")]
+    assert len(wavs) == 1
