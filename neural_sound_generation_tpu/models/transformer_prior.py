@@ -105,12 +105,18 @@ class _Block(nn.Module):
         x = x + self._mlp(h).astype(x.dtype)
         return x
 
-    def decode_step(self, x, k_cache, v_cache, t):
+    def decode_step(self, x, k_cache, v_cache, t, moe_counts=None,
+                    moe_cap: int = 0):
         """One position with a KV cache.
 
         x: (B, D) input at position t; k_cache/v_cache: (B, T, Hh, hd)
-        with positions < t filled; t: () int32. Returns
-        (y (B, D), k_cache, v_cache) with position t written."""
+        with positions < t filled; t: () int32. Routed blocks
+        (n_experts > 0) additionally carry ``moe_counts`` (B, E) int32 —
+        per-expert dispatch counts so sampling reproduces the
+        teacher-forced capacity drops — and need the static ``moe_cap``
+        for the full sequence length. Returns
+        (y (B, D), k_cache, v_cache, moe_counts) with position t
+        written."""
         b, d = x.shape
         hd = d // self.n_heads
         h = self.ln1(x).astype(self.dtype)
@@ -131,12 +137,12 @@ class _Block(nn.Module):
         o = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, d)
         x = x + self.attn_out(o).astype(x.dtype)
         h = self.ln2(x).astype(self.dtype)
-        # MoE routes the single position as a length-1 sequence
         if self.n_experts > 0:
-            x = x + self._mlp(h[:, None, :])[:, 0].astype(x.dtype)
+            y, moe_counts = self.moe.step(h, moe_counts, moe_cap)
+            x = x + y.astype(x.dtype)
         else:
             x = x + self._mlp(h).astype(x.dtype)
-        return x, k_cache, v_cache
+        return x, k_cache, v_cache, moe_counts
 
 
 class TransformerPrior(nn.Module):
@@ -255,16 +261,27 @@ class TransformerPrior(nn.Module):
             x = x + self.cond_proj(cond_row)
         return x
 
-    def decode_step(self, x, caches, t):
+    def decode_step(self, x, caches, t, moe_cap: int = 0):
         """One cached position through all blocks.
 
         x: (B, D) position-t input from :meth:`embed_step`; caches: tuple
-        of (k, v) pairs, each (B, T, Hh, hd). Returns
-        (logits (B, K) f32, caches)."""
+        of (k, v[, moe_counts]) per block, k/v (B, T, Hh, hd), the
+        counts (B, E) int32 for routed models (see
+        :meth:`_Block.decode_step`). ``moe_cap`` must be
+        ``SwitchMoE.capacity(T)`` of the full sequence when routed.
+        Returns (logits (B, K) f32, caches)."""
         new_caches = []
-        for blk, (k_c, v_c) in zip(self.blocks, caches):
-            x, k_c, v_c = blk.decode_step(x, k_c, v_c, t)
-            new_caches.append((k_c, v_c))
+        for blk, cache in zip(self.blocks, caches):
+            if self.n_experts > 0:
+                k_c, v_c, counts = cache
+            else:
+                (k_c, v_c), counts = cache, None
+            x, k_c, v_c, counts = blk.decode_step(
+                x, k_c, v_c, t, counts, moe_cap
+            )
+            new_caches.append(
+                (k_c, v_c, counts) if self.n_experts > 0 else (k_c, v_c)
+            )
         logits = self.head(self.ln_f(x).astype(self.dtype))
         return logits.astype(jnp.float32), tuple(new_caches)
 
@@ -284,12 +301,29 @@ def _unwrap(params):
 def _init_caches(model: TransformerPrior, batch: int, t: int):
     hd = model.dim // model.n_heads
     zeros = jnp.zeros((batch, t, model.n_heads, hd), jnp.float32)
+    if model.n_experts > 0:
+        counts = jnp.zeros((batch, model.n_experts), jnp.int32)
+        return tuple(
+            (zeros, zeros, counts) for _ in range(model.n_layers)
+        )
     return tuple((zeros, zeros) for _ in range(model.n_layers))
+
+
+def _moe_cap(model: TransformerPrior, t: int) -> int:
+    """SwitchMoE.capacity(T) without binding the module — the static
+    capacity the cached decode must apply to match teacher forcing."""
+    if model.n_experts <= 0:
+        return 0
+    return max(
+        1, int(np.ceil(model.capacity_factor * t / model.n_experts))
+    )
 
 
 def _sample_fn(model: TransformerPrior, H: int, W: int, batch_size: int,
                temperature: float):
     T = H * W
+
+    cap = _moe_cap(model, T)
 
     def sample_fn(params, label, key, cond_map=None):
         cond_flat = (
@@ -305,7 +339,7 @@ def _sample_fn(model: TransformerPrior, H: int, W: int, batch_size: int,
                 method=TransformerPrior.embed_step,
             )
             logits, caches = model.apply(
-                {"params": params}, x, caches, t,
+                {"params": params}, x, caches, t, cap,
                 method=TransformerPrior.decode_step,
             )
             tok = jax.random.categorical(
@@ -362,6 +396,8 @@ def incremental_logits(model: TransformerPrior, params, codes, label,
         if cond_map is not None else None
     )
 
+    cap = _moe_cap(model, T)
+
     def body(t, carry):
         caches, out = carry
         prev = seq[:, jnp.maximum(t - 1, 0)]   # ignored at t=0 (BOS)
@@ -371,7 +407,7 @@ def incremental_logits(model: TransformerPrior, params, codes, label,
             method=TransformerPrior.embed_step,
         )
         logits, caches = model.apply(
-            {"params": params}, x, caches, t,
+            {"params": params}, x, caches, t, cap,
             method=TransformerPrior.decode_step,
         )
         out = lax.dynamic_update_slice(out, logits[:, None, :], (0, t, 0))

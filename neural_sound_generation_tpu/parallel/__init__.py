@@ -18,7 +18,10 @@ from neural_sound_generation_tpu.parallel.sequence import (  # noqa: F401
 )
 from neural_sound_generation_tpu.parallel.pipeline import (  # noqa: F401
     make_pp_mesh,
+    make_pp_prior_train_step,
     pipeline_blocks,
+    pp_prior_partition,
+    pp_prior_unpartition,
     prior_pp_logits,
     stack_layer_params,
     unstack_layer_params,

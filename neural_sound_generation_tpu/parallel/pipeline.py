@@ -47,6 +47,9 @@ __all__ = [
     "unstack_layer_params",
     "pipeline_blocks",
     "prior_pp_logits",
+    "pp_prior_partition",
+    "pp_prior_unpartition",
+    "make_pp_prior_train_step",
     "make_pp_mesh",
 ]
 
@@ -193,6 +196,14 @@ def prior_pp_logits(
     head run replicated outside the staged loop (they are tiny); grads
     flow through the whole thing, so a standard ``value_and_grad`` train
     step on top is pipeline-parallel training.
+
+    CONVENIENCE path: it takes the ordinary (replicated) params tree
+    and restacks per call, so the caller still holds every layer —
+    right for parity tests and drop-in use, NOT for a stack that
+    exceeds one chip's HBM. For the memory-real layout (each device
+    persistently holding only its L/S layers, per-stage optimizer
+    state) use :func:`pp_prior_partition` +
+    :func:`make_pp_prior_train_step`.
     """
     from neural_sound_generation_tpu.models.transformer_prior import (
         TransformerPrior, _Block,
@@ -205,17 +216,33 @@ def prior_pp_logits(
         )
     if "params" in params:
         params = params["params"]
+    rest = {k: v for k, v in params.items() if not k.startswith("block_")}
+    stacked = stack_layer_params(params, model.n_layers)
+    return _pp_logits_core(
+        model, rest, stacked, codes, label, mesh, n_micro, cond_map, axis
+    )
+
+
+def _pp_logits_core(model, rest, stacked, codes, label, mesh, n_micro,
+                    cond_map=None, axis="pipe"):
+    """Shared forward for the convenience (`prior_pp_logits`) and
+    partitioned (`make_pp_prior_train_step`) paths. ``rest`` holds the
+    embed/head params (replicated; `embed_sequence`/`head_logits` touch
+    only these), ``stacked`` the block stack with leading layer axis."""
+    from neural_sound_generation_tpu.models.transformer_prior import (
+        TransformerPrior, _Block,
+    )
+
     b, h, w = codes.shape
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
     mb = b // n_micro
 
     x = model.apply(
-        {"params": params}, codes, label, cond_map,
+        {"params": rest}, codes, label, cond_map,
         method=TransformerPrior.embed_sequence,
     )                                                     # (B, T, D)
     xm = x.reshape(n_micro, mb, *x.shape[1:])
 
-    stacked = stack_layer_params(params, model.n_layers)
     block = _Block(dim=model.dim, n_heads=model.n_heads,
                    mlp_ratio=model.mlp_ratio, dtype=model.dtype)
 
@@ -225,6 +252,80 @@ def prior_pp_logits(
     ym = pipeline_blocks(block_fn, stacked, xm, mesh, axis=axis)
     y = ym.reshape(b, *x.shape[1:])
     logits = model.apply(
-        {"params": params}, y, method=TransformerPrior.head_logits
+        {"params": rest}, y, method=TransformerPrior.head_logits
     )
     return logits.reshape(b, h, w, model.input_dim)
+
+
+def pp_prior_partition(model, params, mesh: Mesh, axis: str = "pipe"):
+    """Partition a TransformerPrior params tree into the PERSISTENT
+    pipeline layout: ``(rest, stacked)`` where ``rest`` (embeddings,
+    final LN, head) is replicated and ``stacked`` (the block stack,
+    leading layer axis) is PLACED with its layer axis sharded over
+    ``axis`` — after this call each device physically holds only its
+    ``n_layers/S`` layers' weights. This is what realizes PP's memory
+    claim; `prior_pp_logits` alone keeps the full tree replicated and
+    restacks per call (fine for parity tests, not for a model that
+    exceeds one chip's HBM)."""
+    if "params" in params:
+        params = params["params"]
+    rest = {k: v for k, v in params.items() if not k.startswith("block_")}
+    stacked = stack_layer_params(params, model.n_layers)
+    from jax.sharding import NamedSharding
+
+    staged_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(axis)), stacked
+    )
+    rep = NamedSharding(mesh, P())
+    rest = jax.device_put(rest, jax.tree_util.tree_map(lambda _: rep, rest))
+    stacked = jax.device_put(stacked, staged_sh)
+    return rest, stacked
+
+
+def pp_prior_unpartition(model, rest, stacked):
+    """Back to the checkpoint layout ``{..., block_i: ...}`` (gathers
+    the stacked shards; use for artifact export, not in the hot loop)."""
+    params = dict(rest)
+    params.update(
+        unstack_layer_params(jax.device_get(stacked), model.n_layers)
+    )
+    return params
+
+
+def make_pp_prior_train_step(model, mesh: Mesh, n_micro: int, tx,
+                             axis: str = "pipe"):
+    """Pipeline-parallel training step over the partitioned layout.
+
+    ``tx`` is an optax transform. Returns ``(init_fn, step_fn)``:
+    ``init_fn(rest, stacked) -> opt_state`` (moments inherit the layer
+    sharding — per-stage optimizer state, each device updates only its
+    layers), ``step_fn(rest, stacked, opt_state, batch) -> (rest,
+    stacked, opt_state, metrics)``, jitted with the partitioned args
+    donated so weights update in place in their shards. Batch:
+    ``{"codes": (B, H, W) int, "labels": (B,) int}``."""
+
+    def loss_fn(rest, stacked, batch):
+        logits = _pp_logits_core(
+            model, rest, stacked, batch["codes"], batch["labels"],
+            mesh, n_micro, axis=axis,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, batch["codes"][..., None], axis=-1
+        )
+        return jnp.mean(nll)
+
+    def init_fn(rest, stacked):
+        return tx.init((rest, stacked))
+
+    def step(rest, stacked, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rest, stacked, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, (rest, stacked))
+        import optax
+
+        rest, stacked = optax.apply_updates((rest, stacked), updates)
+        return rest, stacked, opt_state, {"loss": loss}
+
+    return init_fn, jax.jit(step, donate_argnums=(0, 1, 2))

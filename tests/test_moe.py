@@ -169,6 +169,37 @@ def test_moe_expert_parallel_sharding(rng):
     )
 
 
+def test_moe_incremental_matches_teacher_forced(rng):
+    """The cached decode path must remain the parity oracle for ROUTED
+    priors too: SwitchMoE.step carries per-expert queue counts so
+    sampling applies the same capacity drops the teacher-forced forward
+    applies. (Before this path existed, a trained-imbalanced router made
+    cached decode sample from a measurably different conditional —
+    max logit diff 0.43 vs the dense arch's ~0.02 numerics floor.)"""
+    from neural_sound_generation_tpu.models.transformer_prior import (
+        incremental_logits,
+    )
+
+    # a low capacity factor makes drops common even at random init
+    model = TransformerPrior(
+        input_dim=16, dim=16, n_layers=2, n_heads=2, n_classes=4,
+        n_experts=2, capacity_factor=0.5, max_rows=8, max_cols=8,
+    )
+    codes = jnp.asarray(rng.integers(0, 16, size=(4, 4, 6)), jnp.int32)
+    labels = jnp.asarray(np.arange(4) % 4, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), codes, labels)
+    params = {"params": variables["params"]}
+
+    want = model.apply(params, codes, labels)
+    got = incremental_logits(model, params, codes, labels)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-2
+    )
+    # drops must actually occur in this config or the test proves nothing
+    cap = max(1, int(np.ceil(0.5 * 24 / 2)))
+    assert cap < 24 // 2
+
+
 def test_moe_sampler_runs(rng):
     """KV-cached ancestral sampling routes single positions (T=1
     sequences) through the experts without sowing errors."""

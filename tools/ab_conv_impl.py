@@ -17,8 +17,6 @@ import os
 import sys
 import time
 
-import os
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 family, impl = sys.argv[1], sys.argv[2]

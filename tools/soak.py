@@ -81,6 +81,7 @@ losses.append(float(m["loss"][-1]))
 gnorms.append(float(m["grad_norm"][-1]))
 log(f"[soak] compiled; first-window loss={losses[0]:.6f}")
 
+launches = max(2, launches)  # >=1 timed launch after the compile launch
 t0 = time.perf_counter()
 for i in range(1, launches):
     key = jax.random.fold_in(key, i)
