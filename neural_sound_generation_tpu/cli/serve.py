@@ -969,7 +969,9 @@ def build_service(args):
                     input_dim=args.z_dim, dim=args.prior_dim,
                     n_layers=args.prior_layers,
                     n_heads=getattr(args, "prior_heads", 8),
-                    n_classes=args.n_classes, spatial_cond=spatial_cond,
+                    n_classes=args.n_classes,
+                    n_experts=getattr(args, "prior_moe_experts", 0),
+                    spatial_cond=spatial_cond,
                 )
             return GatedPixelCNN(
                 input_dim=args.z_dim, dim=args.prior_dim,
@@ -1086,6 +1088,9 @@ def parse_args(argv=None):
     p.add_argument("--prior-dim", type=int, default=64)
     p.add_argument("--prior-layers", type=int, default=15)
     p.add_argument("--prior-heads", type=int, default=8)
+    p.add_argument("--prior-moe-experts", type=int, default=0,
+                   help="transformer prior trained with --moe-experts N "
+                        "(0 = dense)")
     p.add_argument("--n-classes", type=int, default=10)
     return p.parse_args(argv)
 

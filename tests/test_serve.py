@@ -371,6 +371,49 @@ def test_sample_endpoint_returns_wav(sample_server):
     assert np.isfinite(wav.astype(np.float64)).all()
 
 
+def test_sample_endpoint_moe_transformer_prior():
+    """/sample through a routed TransformerPrior (--prior-arch
+    transformer --prior-moe-experts): the MoE decode path (causal
+    capacity counts in the KV caches) runs under the serving jit."""
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import VQVAE, TransformerPrior
+    from scipy.io import wavfile
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    service = InferenceService(cfg, model, variables, frames=16)
+    prior = TransformerPrior(
+        input_dim=16, dim=16, n_layers=2, n_heads=2, n_classes=4,
+        n_experts=2,
+    )
+    pv = prior.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 20, 4), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    service.attach_prior(prior, {"params": pv["params"]})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        body = json.dumps({"n": 1, "label": 2, "seed": 5}).encode()
+        with _post(url + "/sample", body,
+                   {"Content-Type": "application/json"}) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            data = r.read()
+        sr, wav = wavfile.read(io.BytesIO(data))
+        assert sr == 22050 and wav.ndim == 1 and len(wav) > 1000
+        assert np.isfinite(wav.astype(np.float64)).all()
+    finally:
+        httpd.shutdown()
+
+
 def test_sample_endpoint_rejects_bad_n(sample_server):
     body = json.dumps({"n": 99}).encode()
     with pytest.raises(urllib.error.HTTPError) as ei:
