@@ -25,4 +25,6 @@ from neural_sound_generation_tpu.parallel.pipeline import (  # noqa: F401
     prior_pp_logits,
     stack_layer_params,
     unstack_layer_params,
+    wavenet_pp_logits,
+    wavenet_stack_params,
 )

@@ -50,6 +50,8 @@ __all__ = [
     "pp_prior_partition",
     "pp_prior_unpartition",
     "make_pp_prior_train_step",
+    "wavenet_stack_params",
+    "wavenet_pp_logits",
     "make_pp_mesh",
 ]
 
@@ -86,9 +88,9 @@ def unstack_layer_params(stacked, n_layers: int, prefix: str = "block_"):
 
 
 def pipeline_blocks(
-    block_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    block_fn: Callable[[Any, Any], Any],
     stacked_params,
-    x_micro: jnp.ndarray,
+    x_micro,
     mesh: Mesh,
     axis: str = "pipe",
     data_axis: Optional[str] = "data",
@@ -96,14 +98,19 @@ def pipeline_blocks(
     """Run ``x_micro`` through the full stacked layer stack, pipelined
     over ``mesh.shape[axis]`` stages.
 
-    ``block_fn(layer_params, act) -> act`` applies ONE layer.
-    ``stacked_params``: leaves with leading dim L (L % n_stages == 0);
-    stage s holds layers [s*L/S, (s+1)*L/S) — weights are sharded, not
-    replicated. ``x_micro``: (M, mb, ...) microbatches; the mb axis is
-    additionally sharded over ``data_axis`` when the mesh has one
-    (DP x PP). Returns (M, mb, ...), numerically identical to folding
+    ``block_fn(layer_params, act) -> act`` applies ONE layer. ``act``
+    may be a single array or a PYTREE of arrays sharing the same
+    leading (M, mb) axes (e.g. WaveNet's (residual, skip-sum,
+    conditioning) triple) — the whole tree rides the ppermute ring
+    between stages. ``stacked_params``: leaves with leading dim L
+    (L % n_stages == 0); stage s holds layers [s*L/S, (s+1)*L/S) —
+    weights are sharded, not replicated. ``x_micro``: (M, mb, ...)
+    microbatch leaves; the mb axis is additionally sharded over
+    ``data_axis`` when the mesh has one (DP x PP). Returns the same
+    tree of (M, mb, ...) leaves, numerically identical to folding
     ``block_fn`` over all L layers per microbatch.
     """
+    tmap = jax.tree_util.tree_map
     n_stages = mesh.shape[axis]
     leading = {leaf.shape[0] for leaf in jax.tree_util.tree_leaves(stacked_params)}
     assert len(leading) == 1, f"inconsistent stacked leading dims: {leading}"
@@ -111,7 +118,7 @@ def pipeline_blocks(
     assert n_layers % n_stages == 0, (
         f"{n_layers} layers do not stage evenly over {n_stages} pipe shards"
     )
-    n_micro = x_micro.shape[0]
+    n_micro = jax.tree_util.tree_leaves(x_micro)[0].shape[0]
 
     data_in_mesh = data_axis is not None and data_axis in mesh.shape
     x_spec = P(None, data_axis) if data_in_mesh else P(None)
@@ -134,17 +141,33 @@ def pipeline_blocks(
             buf, y = carry
             # stage 0 ingests microbatch t (clamped into range during
             # the drain ticks; the result of those is masked out below)
-            inp = lax.dynamic_index_in_dim(
-                x, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+            inp = tmap(
+                lambda a: lax.dynamic_index_in_dim(
+                    a, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
+                ),
+                x,
             )
-            act = jnp.where(stage == 0, inp, buf)
+            act = tmap(lambda i, b: jnp.where(stage == 0, i, b), inp, buf)
             out = local_stack(act)
             # the LAST stage completes microbatch t-(S-1) at tick t
             oidx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
-            cur = lax.dynamic_index_in_dim(y, oidx, 0, keepdims=False)
-            keep = jnp.where(t >= n_stages - 1, out, cur)
-            y = lax.dynamic_update_index_in_dim(y, keep, oidx, 0)
-            buf = lax.ppermute(out, axis, ring) if n_stages > 1 else out
+            y = tmap(
+                lambda yy, oo: lax.dynamic_update_index_in_dim(
+                    yy,
+                    jnp.where(
+                        t >= n_stages - 1,
+                        oo,
+                        lax.dynamic_index_in_dim(yy, oidx, 0, keepdims=False),
+                    ),
+                    oidx,
+                    0,
+                ),
+                y,
+                out,
+            )
+            buf = (
+                lax.ppermute(out, axis, ring) if n_stages > 1 else out
+            )
             return (buf, y), None
 
         # the carries become pipe-varying after the first tick's
@@ -156,8 +179,8 @@ def pipeline_blocks(
             except (AttributeError, TypeError):  # pragma: no cover
                 return lax.pvary(a, (axis,))
 
-        buf0 = _pipe_varying(jnp.zeros_like(x[0]))
-        y0 = _pipe_varying(jnp.zeros_like(x))
+        buf0 = tmap(lambda a: _pipe_varying(jnp.zeros_like(a[0])), x)
+        y0 = tmap(lambda a: _pipe_varying(jnp.zeros_like(a)), x)
         (_, y), _ = lax.scan(
             tick, (buf0, y0), jnp.arange(n_micro + n_stages - 1)
         )
@@ -165,15 +188,18 @@ def pipeline_blocks(
         # the ring (one broadcast at the end, not per tick). Run it at
         # S=1 too: it is free there and discharges the pipe-varying
         # typing the carries acquired (out_specs promise replication)
-        y = jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y))
+        y = tmap(
+            lambda a: jnp.where(stage == n_stages - 1, a, jnp.zeros_like(a)),
+            y,
+        )
         return lax.psum(y, axis)
 
     return shard_map(
         staged,
         mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: p_spec, stacked_params),
-                  x_spec),
-        out_specs=x_spec,
+        in_specs=(tmap(lambda _: p_spec, stacked_params),
+                  tmap(lambda _: x_spec, x_micro)),
+        out_specs=tmap(lambda _: x_spec, x_micro),
     )(stacked_params, x_micro)
 
 
@@ -290,6 +316,149 @@ def pp_prior_unpartition(model, rest, stacked):
         unstack_layer_params(jax.device_get(stacked), model.n_layers)
     )
     return params
+
+
+def wavenet_stack_params(model, params, mesh: Mesh = None,
+                         axis: str = "pipe"):
+    """Stack the WaveNet's per-layer params PER STACK: leading axes
+    (n_stacks, layers_per_stack, ...). The dilation schedule repeats
+    identically within every stack (2^0..2^(per-1), models/wavenet.py
+    _dilations), so staging per stack keeps every dilation STATIC in
+    the stage program — no traced conv dilations. With ``mesh``, the
+    n_stacks axis is placed sharded over ``axis`` (the persistent PP
+    layout). Returns (rest, stacked): rest = first_conv/upsampler/post
+    (+embeddings), replicated."""
+    if "params" in params:
+        params = params["params"]
+    L, S = model.layers, model.stacks
+    per = L // S
+    groups = {"dilated": True, "res": True, "skip": True}
+    if model.cin_channels > 0:
+        groups["cond"] = True
+    if model.gin_channels > 0:
+        groups["g"] = True
+
+    def stack_group(name):
+        per_layer = [params[f"{name}_{i}"] for i in range(L)]
+        # (S, per, ...) — inner stack over layers within a stack, outer
+        # over stacks
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(
+                [jnp.stack(xs[s * per:(s + 1) * per]) for s in range(S)]
+            ),
+            *per_layer,
+        )
+
+    stacked = {name: stack_group(name) for name in groups}
+    rest = {
+        k: v for k, v in params.items()
+        if not any(k.startswith(f"{n}_") and k[len(n) + 1:].isdigit()
+                   for n in groups)
+    }
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        stacked = jax.device_put(
+            stacked,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P(axis)), stacked
+            ),
+        )
+        rep = NamedSharding(mesh, P())
+        rest = jax.device_put(
+            rest, jax.tree_util.tree_map(lambda _: rep, rest)
+        )
+    return rest, stacked
+
+
+def _wavenet_stage_fn(model):
+    """block_fn over ONE stack of WaveNet residual layers.
+
+    ``p`` leaves: (per, ...) — this stack's layers; act = (h, skips,
+    c_up) with c_up riding the carry unchanged (every stage needs the
+    conditioning). The layer math mirrors WaveNet.__call__ exactly
+    (models/wavenet.py:170-176): z = dilated(h) + cond(c); gated =
+    tanh(a)*sigmoid(b); skips += skip(gated); h += res(gated)."""
+    K = model.kernel_size
+    per = model.layers // model.stacks
+
+    def causal_dilated(h, kern, bias, d):
+        y = lax.conv_general_dilated(
+            h, kern, window_strides=(1,),
+            padding=[((K - 1) * d, 0)], rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+    def stage_fn(p, act):
+        h, skips, c_up = act
+        for j in range(per):
+            d = 2 ** j
+            z = causal_dilated(
+                h, p["dilated"]["kernel"][j], p["dilated"]["bias"][j], d
+            )
+            if "cond" in p:
+                z = z + c_up @ p["cond"]["kernel"][j][0]
+            a, b = jnp.split(z, 2, axis=-1)
+            gated = jnp.tanh(a) * jax.nn.sigmoid(b)
+            skips = skips + (
+                gated @ p["skip"]["kernel"][j][0] + p["skip"]["bias"][j]
+            )
+            h = h + gated @ p["res"]["kernel"][j][0] + p["res"]["bias"][j]
+        return (h, skips, c_up)
+
+    return stage_fn
+
+
+def wavenet_pp_logits(
+    model,
+    rest,
+    stacked,
+    x: jnp.ndarray,
+    c: jnp.ndarray,
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "pipe",
+):
+    """WaveNet teacher-forced forward with the residual stacks
+    pipeline-parallel: (B, T, 1) scalar inputs + (B, T', cin) mels ->
+    (B, T, out_channels), numerically identical to
+    ``model.apply(variables, x, c)``. Stage s holds stack s's layers
+    (static dilations 1..2^(per-1) inside the stage program); the
+    (h, skips, c_up) triple rides the microbatch ring. first_conv,
+    the conditioning upsampler, and the post head run replicated
+    outside the staged loop. Speaker conditioning (gin_channels) is
+    not threaded through this path."""
+    import flax.linen as nn
+
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+
+    assert model.gin_channels <= 0, (
+        "wavenet_pp_logits does not thread speaker embeddings; "
+        "train speaker-conditioned vocoders on the DP/TP mesh"
+    )
+    b = x.shape[0]
+    assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
+    mb = b // n_micro
+
+    h = model.apply({"params": rest}, x, method=WaveNet._embed)
+    c_up = model.apply(
+        {"params": rest}, c, method=lambda m, cc: m.upsampler(cc)
+    )[:, : h.shape[1], :]
+
+    def mstack(a):
+        return a.reshape(n_micro, mb, *a.shape[1:])
+
+    skips0 = jnp.zeros(h.shape[:-1] + (model.skip_out_channels,), h.dtype)
+    act = (mstack(h), mstack(skips0), mstack(c_up))
+    stage_fn = _wavenet_stage_fn(model)
+    _, skips, _ = pipeline_blocks(stage_fn, stacked, act, mesh, axis=axis)
+    skips = skips.reshape(b, *skips.shape[2:])
+
+    def post(m, s):
+        return m.post2(nn.relu(m.post1(nn.relu(s))))
+
+    return model.apply({"params": rest}, skips, method=post)
 
 
 def make_pp_prior_train_step(model, mesh: Mesh, n_micro: int, tx,

@@ -201,6 +201,83 @@ def test_pp_partitioned_train_step(rng):
     assert "pipe" in mu_stacked["attn_qkv"]["kernel"].sharding.spec
 
 
+def _wavenet(rng, layers=8, stacks=4):
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+
+    model = WaveNet(
+        out_channels=30, layers=layers, stacks=stacks,
+        residual_channels=8, gate_channels=8, skip_out_channels=8,
+        kernel_size=3, cin_channels=4, gin_channels=-1,
+        upsample_scales=(4, 4), scalar_input=True,
+    )
+    b, t = 4, 64
+    x = jnp.asarray(rng.standard_normal((b, t, 1)).astype(np.float32) * 0.1)
+    c = jnp.asarray(
+        rng.standard_normal((b, t // 16, 4)).astype(np.float32) * 0.1
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, c)
+    return model, variables, x, c
+
+
+def test_wavenet_pp_matches_model(rng):
+    """The per-STACK staged WaveNet forward (static dilations inside
+    each stage program, (h, skips, c_up) riding the ring) equals the
+    plain teacher-forced forward."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c = _wavenet(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    # persistent layout: each device holds 1 of the 4 stacks
+    leaf = stacked["dilated"]["kernel"]          # (stacks, per, K, R, G)
+    assert leaf.shape[:2] == (4, 2)
+    for shard in leaf.addressable_shards:
+        assert shard.data.shape[0] == 1
+
+    want = model.apply(variables, x, c)
+    got = jax.jit(
+        lambda r, s: wavenet_pp_logits(model, r, s, x, c, mesh, n_micro=2)
+    )(rest, stacked)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_wavenet_pp_grads_flow(rng):
+    """MoL-style scalar loss on the PP logits: every stack's dilated
+    kernels receive the same gradient as the unpipelined program."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c = _wavenet(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+
+    def loss_pp(s):
+        return jnp.mean(
+            wavenet_pp_logits(model, rest, s, x, c, mesh, n_micro=2) ** 2
+        )
+
+    g = jax.jit(jax.grad(loss_pp))(stacked)
+    gk = np.asarray(g["dilated"]["kernel"])       # (4, 2, K, R, G)
+    per_stack = np.abs(gk).reshape(4, -1).max(axis=1)
+    assert (per_stack > 0).all(), per_stack
+
+    # reference gradient through the plain model, mapped to the stacks
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, x, c) ** 2)
+
+    gref = jax.grad(loss_ref)(variables["params"])
+    for i in range(model.layers):
+        np.testing.assert_allclose(
+            gk[i // 2, i % 2],
+            np.asarray(gref[f"dilated_{i}"]["kernel"]),
+            atol=1e-5,
+        )
+
+
 def test_pp_train_step_learns(rng):
     """A full pipeline-parallel training step: masked-CE loss on the PP
     logits, grads through embed + staged blocks + head, plain Adam.
