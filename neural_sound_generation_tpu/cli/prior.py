@@ -42,6 +42,10 @@ def parse_args(argv=None):
                          "default sizes heads to 64 channels each — "
                          "narrower heads under-fill the 128-wide MXU "
                          "(measured sweep in PERF.md)")
+    tr.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute for the transformer arch "
+                         "(params stay f32; +28%% steps/s measured, "
+                         "PERF.md); ignored for pixelcnn")
     tr.add_argument("--moe-experts", type=int, default=0,
                     help="transformer arch only: switch-MoE feed-forwards "
                          "with this many experts (0 = dense); expert "
@@ -80,6 +84,7 @@ def parse_args(argv=None):
     sa.add_argument("--prior-dim", type=int, default=64)
     sa.add_argument("--prior-layers", type=int, default=15)
     sa.add_argument("--prior-heads", type=int, default=None)
+    sa.add_argument("--bf16", action="store_true")
     sa.add_argument("--moe-experts", type=int, default=0)
     sa.add_argument("--n-classes", type=int, default=10)
     sa.add_argument("--code-shape", type=int, nargs=2, default=[20, 28])
@@ -101,6 +106,8 @@ def _build_prior(args, spatial_cond: bool):
     )
 
     if getattr(args, "arch", "pixelcnn") == "transformer":
+        import jax.numpy as jnp
+
         heads = args.prior_heads or max(1, args.prior_dim // 64)
         return TransformerPrior(
             input_dim=args.z_dim,
@@ -110,6 +117,8 @@ def _build_prior(args, spatial_cond: bool):
             n_classes=args.n_classes,
             n_experts=getattr(args, "moe_experts", 0),
             spatial_cond=spatial_cond,
+            dtype=jnp.bfloat16 if getattr(args, "bf16", False)
+            else jnp.float32,
         )
     return GatedPixelCNN(
         input_dim=args.z_dim,

@@ -300,7 +300,11 @@ def _unwrap(params):
 
 def _init_caches(model: TransformerPrior, batch: int, t: int):
     hd = model.dim // model.n_heads
-    zeros = jnp.zeros((batch, t, model.n_heads, hd), jnp.float32)
+    # caches hold the qkv projections, which come out in the compute
+    # dtype (bf16 under --bf16) — f32 caches would fail the
+    # dynamic_update_slice dtype check; attention reads accumulate in
+    # f32 via preferred_element_type either way
+    zeros = jnp.zeros((batch, t, model.n_heads, hd), model.dtype)
     if model.n_experts > 0:
         counts = jnp.zeros((batch, model.n_experts), jnp.int32)
         return tuple(

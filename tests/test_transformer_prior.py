@@ -140,6 +140,37 @@ def test_generate_spatial_cond_responds_to_map(rng):
     assert (ga != gb).any()
 
 
+def test_bf16_forward_and_sampler(rng):
+    """dtype=bfloat16 (the prior CLI's --bf16): teacher-forced logits
+    track the f32 model from the SAME params, and the KV-cached sampler
+    runs with bf16 caches (regression: f32-allocated caches crashed
+    dynamic_update_slice under bf16 compute)."""
+    from neural_sound_generation_tpu.models.transformer_prior import (
+        generate,
+    )
+
+    kw = dict(input_dim=16, dim=32, n_layers=2, n_heads=2, n_classes=4,
+              max_rows=8, max_cols=8)
+    model32 = TransformerPrior(**kw)
+    model16 = TransformerPrior(dtype=jnp.bfloat16, **kw)
+    codes = jnp.asarray(rng.integers(0, 16, size=(4, 4, 6)), jnp.int32)
+    labels = jnp.asarray(np.arange(4) % 4, jnp.int32)
+    variables = model32.init(jax.random.PRNGKey(0), codes, labels)
+
+    l32 = model32.apply(variables, codes, labels)
+    l16 = model16.apply(variables, codes, labels)
+    assert l16.dtype == jnp.float32  # head casts back
+    np.testing.assert_allclose(
+        np.asarray(l16), np.asarray(l32), atol=0.15
+    )
+
+    out = generate(model16, variables, labels, jax.random.PRNGKey(1),
+                   shape=(4, 6), batch_size=4)
+    out = np.asarray(out)
+    assert out.shape == (4, 4, 6)
+    assert (out >= 0).all() and (out < 16).all()
+
+
 def test_trainer_loss_path_learns(rng):
     """make_train_step dispatches TransformerPrior through the shared
     prior NLL; a few steps on one repeated batch must cut the loss."""

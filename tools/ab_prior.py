@@ -86,6 +86,15 @@ elif arch == "transformer":
     model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
                              n_classes=N_CLASSES)
     sample_fn = generate
+elif arch == "transformer-bf16":
+    # bf16 compute (params stay f32): the fused-attention sweep showed
+    # bf16 QK^T/PV run the MXU at full rate (PERF.md head-width table)
+    from neural_sound_generation_tpu.models import TransformerPrior
+    from neural_sound_generation_tpu.models.transformer_prior import generate
+
+    model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
+                             n_classes=N_CLASSES, dtype=jnp.bfloat16)
+    sample_fn = generate
 elif arch == "transformer-moe":
     # switch-MoE feed-forwards (--moe-experts 4): 4x the MLP parameters
     # at ~cf x the per-token MLP FLOPs; single-chip (no EP sharding
