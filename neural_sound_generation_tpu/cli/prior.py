@@ -43,9 +43,9 @@ def parse_args(argv=None):
                          "narrower heads under-fill the 128-wide MXU "
                          "(measured sweep in PERF.md)")
     tr.add_argument("--bf16", action="store_true",
-                    help="bfloat16 compute for the transformer arch "
-                         "(params stay f32; +28%% steps/s measured, "
-                         "PERF.md); ignored for pixelcnn")
+                    help="bfloat16 compute (params stay f32); measured "
+                         "+27%% transformer / +10%% pixelcnn steps/s "
+                         "(PERF.md)")
     tr.add_argument("--moe-experts", type=int, default=0,
                     help="transformer arch only: switch-MoE feed-forwards "
                          "with this many experts (0 = dense); expert "
@@ -120,12 +120,16 @@ def _build_prior(args, spatial_cond: bool):
             dtype=jnp.bfloat16 if getattr(args, "bf16", False)
             else jnp.float32,
         )
+    import jax.numpy as jnp
+
     return GatedPixelCNN(
         input_dim=args.z_dim,
         dim=args.prior_dim,
         n_layers=args.prior_layers,
         n_classes=args.n_classes,
         spatial_cond=spatial_cond,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False)
+        else jnp.float32,
     )
 
 

@@ -374,6 +374,33 @@ def test_pixelcnn_fast_generate_matches_naive(pixelcnn_setup):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pixelcnn_bf16_forward_and_fast_sampler(pixelcnn_setup):
+    """dtype=bfloat16 (prior CLI --bf16): logits from the SAME f32
+    params track the f32 model, the incremental path casts once at
+    entry and still matches its own parallel forward, and fast_generate
+    produces valid grids."""
+    from neural_sound_generation_tpu.models.pixelcnn import (
+        fast_generate, incremental_logits,
+    )
+
+    model32, variables, x, label = pixelcnn_setup
+    model16 = GatedPixelCNN(input_dim=32, dim=16, n_layers=4, n_classes=5,
+                            dtype=jnp.bfloat16)
+    l32 = np.asarray(model32.apply(variables, x, label))
+    l16 = np.asarray(model16.apply(variables, x, label))
+    assert model16.apply(variables, x, label).dtype == jnp.float32
+    np.testing.assert_allclose(l16, l32, atol=0.25)
+    # incremental-vs-parallel parity holds WITHIN bf16 (same rounding)
+    inc16 = np.asarray(incremental_logits(model16, variables, x, label))
+    np.testing.assert_allclose(inc16, l16, atol=2e-2)
+    out = np.asarray(
+        fast_generate(model16, variables, label, jax.random.PRNGKey(3),
+                      shape=(8, 8), batch_size=2)
+    )
+    assert out.shape == (2, 8, 8)
+    assert (out >= 0).all() and (out < 32).all()
+
+
 def test_pixelcnn_fast_generate_nonsquare_and_conditioned(pixelcnn_setup):
     from neural_sound_generation_tpu.models.pixelcnn import fast_generate
 

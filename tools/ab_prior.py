@@ -86,6 +86,13 @@ elif arch == "transformer":
     model = TransformerPrior(input_dim=K, dim=128, n_layers=4, n_heads=2,
                              n_classes=N_CLASSES)
     sample_fn = generate
+elif arch == "pixelcnn-bf16":
+    from neural_sound_generation_tpu.models import GatedPixelCNN
+    from neural_sound_generation_tpu.models.pixelcnn import fast_generate
+
+    model = GatedPixelCNN(input_dim=K, dim=64, n_layers=15,
+                          n_classes=N_CLASSES, dtype=jnp.bfloat16)
+    sample_fn = fast_generate
 elif arch == "transformer-bf16":
     # bf16 compute (params stay f32): the fused-attention sweep showed
     # bf16 QK^T/PV run the MXU at full rate (PERF.md head-width table)
