@@ -40,6 +40,9 @@ def parse_args(argv=None):
                          "skip/cond conv channels over the 'model' axis)")
     tr.add_argument("--multi-steps", type=int, default=1,
                     help="optimization steps per device launch (lax.scan)")
+    tr.add_argument("--bf16", action="store_true",
+                    help="bfloat16 teacher-forced compute (params stay "
+                         "f32, loss logits f32; measured in PERF.md)")
     tr.add_argument("--ema-warmup", action="store_true",
                     help="ramp the EMA decay min(decay, (1+t)/(10+t)) so "
                          "short runs export a non-stale *_ema artifact "
@@ -87,6 +90,8 @@ def build_model(cfg, args):
         upsample_scales=tuple(arch.upsample_scales),
         scalar_input=scalar,
         quantize_channels=cfg.audio.quantize_channels,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False)
+        else jnp.float32,
     )
 
 

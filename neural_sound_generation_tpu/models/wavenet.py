@@ -22,7 +22,7 @@ model itself lives in an external submodule that is empty on disk
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -78,11 +78,14 @@ class WaveNet(nn.Module):
     upsample_scales: Tuple[int, ...] = (4, 4, 4, 4)
     scalar_input: bool = True  # raw/mulaw in [-1,1]; else one-hot ints
     quantize_channels: int = 256
+    # bf16 teacher-forced compute (params stay f32; the MoL/CE loss head
+    # returns f32 logits) — cli/vocoder.py train --bf16
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.first_conv = nn.Conv(
             self.residual_channels, (1,), kernel_init=conv_kernel_init,
-            name="first_conv",
+            dtype=self.dtype, name="first_conv",
         )
         if not self.scalar_input:
             self.input_embed = nn.Embed(
@@ -97,18 +100,19 @@ class WaveNet(nn.Module):
                 kernel_dilation=(d,),
                 padding=(((self.kernel_size - 1) * d, 0),),  # causal
                 kernel_init=conv_kernel_init,
+                dtype=self.dtype,
                 name=f"dilated_{i}",
             )
             for i, d in enumerate(dil)
         ]
         self.res_convs = [
             nn.Conv(self.residual_channels, (1,), kernel_init=conv_kernel_init,
-                    name=f"res_{i}")
+                    dtype=self.dtype, name=f"res_{i}")
             for i in range(self.layers)
         ]
         self.skip_convs = [
             nn.Conv(self.skip_out_channels, (1,), kernel_init=conv_kernel_init,
-                    name=f"skip_{i}")
+                    dtype=self.dtype, name=f"skip_{i}")
             for i in range(self.layers)
         ]
         if self.cin_channels > 0:
@@ -117,20 +121,24 @@ class WaveNet(nn.Module):
             )
             self.cond_convs = [
                 nn.Conv(self.gate_channels, (1,), use_bias=False,
-                        kernel_init=conv_kernel_init, name=f"cond_{i}")
+                        kernel_init=conv_kernel_init, dtype=self.dtype,
+                        name=f"cond_{i}")
                 for i in range(self.layers)
             ]
         if self.gin_channels > 0:
             self.speaker_embed = nn.Embed(self.n_speakers, self.gin_channels)
             self.g_convs = [
                 nn.Conv(self.gate_channels, (1,), use_bias=False,
-                        kernel_init=conv_kernel_init, name=f"g_{i}")
+                        kernel_init=conv_kernel_init, dtype=self.dtype,
+                        name=f"g_{i}")
                 for i in range(self.layers)
             ]
         self.post1 = nn.Conv(self.skip_out_channels, (1,),
-                             kernel_init=conv_kernel_init, name="post1")
+                             kernel_init=conv_kernel_init, dtype=self.dtype,
+                             name="post1")
         self.post2 = nn.Conv(self.out_channels, (1,),
-                             kernel_init=conv_kernel_init, name="post2")
+                             kernel_init=conv_kernel_init, dtype=self.dtype,
+                             name="post2")
 
     def _embed(self, x):
         if self.scalar_input:
@@ -177,7 +185,8 @@ class WaveNet(nn.Module):
 
         out = nn.relu(skips)
         out = nn.relu(self.post1(out))
-        return self.post2(out)
+        # the MoL/CE loss is numerically sensitive — logits return f32
+        return self.post2(out).astype(jnp.float32)
 
     @staticmethod
     def shift_inputs(targets: jnp.ndarray, scalar: bool) -> jnp.ndarray:

@@ -437,6 +437,10 @@ def wavenet_pp_logits(
         "wavenet_pp_logits does not thread speaker embeddings; "
         "train speaker-conditioned vocoders on the DP/TP mesh"
     )
+    assert model.dtype == jnp.float32, (
+        "the staged layer math runs f32; parity holds against the f32 "
+        "model only"
+    )
     b = x.shape[0]
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
     mb = b // n_micro

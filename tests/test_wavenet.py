@@ -54,6 +54,50 @@ def test_forward_shapes(rng):
     assert y.shape == (2, 64, 12)
 
 
+def test_bf16_forward_tracks_f32_and_trains(rng):
+    """dtype=bfloat16 (vocoder CLI train --bf16): logits from the SAME
+    f32 params track the f32 model and return f32 (the MoL loss head),
+    and a short MoL training run still converges."""
+    import optax
+
+    model32 = WaveNet(**TINY)
+    model16 = WaveNet(dtype=jnp.bfloat16, **TINY)
+    x = jnp.asarray(rng.standard_normal((2, 64, 1)).astype(np.float32) * 0.3)
+    v = model32.init(jax.random.PRNGKey(0), x)
+    y32 = model32.apply(v, x)
+    y16 = model16.apply(v, x)
+    assert y16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(y16), np.asarray(y32), atol=0.1
+    )
+
+    target = jnp.asarray(
+        (0.4 * np.sin(np.linspace(0, 6.28 * 3, 64)))[None, :, None]
+        .astype(np.float32)
+    ).repeat(2, axis=0)
+    inp = WaveNet.shift_inputs(target, scalar=True)
+    params = v["params"]
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        out = model16.apply({"params": p}, inp)
+        return discretized_mix_logistic_loss(out, target)
+
+    step = jax.jit(
+        lambda p, o: (lambda l, g: (l, *tx.update(g, o, p)))(
+            *jax.value_and_grad(loss_fn)(p)
+        )
+    )
+    losses = []
+    for _ in range(60):
+        loss, updates, opt = step(params, opt)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 1.0, (losses[0], losses[-1])
+
+
 def test_causality(rng):
     """Output at t must not depend on inputs after t."""
     model = WaveNet(**TINY)
