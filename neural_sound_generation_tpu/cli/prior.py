@@ -105,9 +105,10 @@ def _build_prior(args, spatial_cond: bool):
         GatedPixelCNN, TransformerPrior,
     )
 
+    dtype = (
+        jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    )
     if getattr(args, "arch", "pixelcnn") == "transformer":
-        import jax.numpy as jnp
-
         heads = args.prior_heads or max(1, args.prior_dim // 64)
         return TransformerPrior(
             input_dim=args.z_dim,
@@ -117,19 +118,15 @@ def _build_prior(args, spatial_cond: bool):
             n_classes=args.n_classes,
             n_experts=getattr(args, "moe_experts", 0),
             spatial_cond=spatial_cond,
-            dtype=jnp.bfloat16 if getattr(args, "bf16", False)
-            else jnp.float32,
+            dtype=dtype,
         )
-    import jax.numpy as jnp
-
     return GatedPixelCNN(
         input_dim=args.z_dim,
         dim=args.prior_dim,
         n_layers=args.prior_layers,
         n_classes=args.n_classes,
         spatial_cond=spatial_cond,
-        dtype=jnp.bfloat16 if getattr(args, "bf16", False)
-        else jnp.float32,
+        dtype=dtype,
     )
 
 

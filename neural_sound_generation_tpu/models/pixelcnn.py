@@ -125,8 +125,8 @@ class GatedPixelCNN(nn.Module):
     n_layers: int = 15
     n_classes: int = 10
     spatial_cond: bool = False
-    # bf16 compute (params stay f32): +27%% measured on the transformer
-    # prior; same pattern here (cli/prior.py --bf16)
+    # bf16 compute (params stay f32): +10% measured, PERF.md; the
+    # prior CLI's --bf16 selects it
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -368,6 +368,10 @@ def _run_incremental(
     if model.spatial_cond:
         if cond_map is None:
             raise ValueError("spatial_cond model requires cond_map")
+        # cond_map arrives f32 from the caller; einsum-ing it against
+        # the (possibly bf16-cast) kernel would promote the whole cond
+        # path back to f32 and break the convs' same-dtype requirement
+        cond_map = cond_map.astype(emb_table.dtype)
         cond = [
             c[:, None, None, :]
             + jnp.einsum(

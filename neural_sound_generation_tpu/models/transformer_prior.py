@@ -134,7 +134,10 @@ class _Block(nn.Module):
         pos = jnp.arange(k_cache.shape[1])
         att = jnp.where(pos[None, None, :] <= t, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhk,bkhd->bhd", att, v_cache).reshape(b, d)
+        o = jnp.einsum(
+            "bhk,bkhd->bhd", att, v_cache,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, d)
         x = x + self.attn_out(o).astype(x.dtype)
         h = self.ln2(x).astype(self.dtype)
         if self.n_experts > 0:
@@ -302,8 +305,8 @@ def _init_caches(model: TransformerPrior, batch: int, t: int):
     hd = model.dim // model.n_heads
     # caches hold the qkv projections, which come out in the compute
     # dtype (bf16 under --bf16) — f32 caches would fail the
-    # dynamic_update_slice dtype check; attention reads accumulate in
-    # f32 via preferred_element_type either way
+    # dynamic_update_slice dtype check; both attention reads (QK^T and
+    # PV) accumulate in f32 via preferred_element_type
     zeros = jnp.zeros((batch, t, model.n_heads, hd), model.dtype)
     if model.n_experts > 0:
         counts = jnp.zeros((batch, model.n_experts), jnp.int32)

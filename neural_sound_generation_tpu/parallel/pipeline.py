@@ -88,27 +88,41 @@ def unstack_layer_params(stacked, n_layers: int, prefix: str = "block_"):
 
 
 def pipeline_blocks(
-    block_fn: Callable[[Any, Any], Any],
+    block_fn: Callable[..., Any],
     stacked_params,
     x_micro,
     mesh: Mesh,
     axis: str = "pipe",
     data_axis: Optional[str] = "data",
+    broadcast=None,
+    out_fn: Optional[Callable[[Any], Any]] = None,
 ):
     """Run ``x_micro`` through the full stacked layer stack, pipelined
     over ``mesh.shape[axis]`` stages.
 
-    ``block_fn(layer_params, act) -> act`` applies ONE layer. ``act``
-    may be a single array or a PYTREE of arrays sharing the same
-    leading (M, mb) axes (e.g. WaveNet's (residual, skip-sum,
-    conditioning) triple) — the whole tree rides the ppermute ring
+    ``block_fn(layer_params, act[, bcast]) -> act`` applies ONE layer.
+    ``act`` may be a single array or a PYTREE of arrays sharing the
+    same leading (M, mb) axes — the whole tree rides the ppermute ring
     between stages. ``stacked_params``: leaves with leading dim L
     (L % n_stages == 0); stage s holds layers [s*L/S, (s+1)*L/S) —
     weights are sharded, not replicated. ``x_micro``: (M, mb, ...)
     microbatch leaves; the mb axis is additionally sharded over
-    ``data_axis`` when the mesh has one (DP x PP). Returns the same
-    tree of (M, mb, ...) leaves, numerically identical to folding
-    ``block_fn`` over all L layers per microbatch.
+    ``data_axis`` when the mesh has one (DP x PP).
+
+    ``broadcast`` (optional): a tree of (M, mb, ...) leaves that every
+    layer reads but no layer writes (e.g. WaveNet's upsampled mel
+    conditioning). It does NOT ride the ring: each stage indexes its
+    CURRENT microbatch ``t - stage`` locally and passes the slice as
+    ``block_fn``'s third argument — saving one full tree of ICI
+    traffic per tick.
+
+    ``out_fn`` (optional): maps the final act tree to the leaves the
+    caller actually wants (default: identity). Only the filtered tree
+    is carried per tick and psum-broadcast at the end — e.g. WaveNet
+    keeps only the skip sum, not (residual, skips).
+
+    Returns ``out_fn(act)`` stacked back to (M, mb, ...), numerically
+    identical to folding ``block_fn`` over all L layers per microbatch.
     """
     tmap = jax.tree_util.tree_map
     n_stages = mesh.shape[axis]
@@ -119,38 +133,51 @@ def pipeline_blocks(
         f"{n_layers} layers do not stage evenly over {n_stages} pipe shards"
     )
     n_micro = jax.tree_util.tree_leaves(x_micro)[0].shape[0]
+    if out_fn is None:
+        out_fn = lambda act: act  # noqa: E731
 
     data_in_mesh = data_axis is not None and data_axis in mesh.shape
     x_spec = P(None, data_axis) if data_in_mesh else P(None)
     p_spec = P(axis)
 
-    def staged(p_local, x):
+    def staged(p_local, x, bcast):
         # p_local leaves: (n_layers/S, ...) — this stage's layer slab
         stage = lax.axis_index(axis)
 
-        def local_stack(act):
+        def local_stack(act, bc):
             def one(a, p):
-                return block_fn(p, a), None
+                return (
+                    block_fn(p, a) if bcast is None else block_fn(p, a, bc)
+                ), None
 
             out, _ = lax.scan(one, act, p_local)
             return out
 
         ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
+        def _index_micro(tree, idx):
+            return tmap(
+                lambda a: lax.dynamic_index_in_dim(
+                    a, jnp.clip(idx, 0, n_micro - 1), 0, keepdims=False
+                ),
+                tree,
+            )
+
         def tick(carry, t):
             buf, y = carry
             # stage 0 ingests microbatch t (clamped into range during
             # the drain ticks; the result of those is masked out below)
-            inp = tmap(
-                lambda a: lax.dynamic_index_in_dim(
-                    a, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False
-                ),
-                x,
-            )
+            inp = _index_micro(x, t)
             act = tmap(lambda i, b: jnp.where(stage == 0, i, b), inp, buf)
-            out = local_stack(act)
+            # broadcast leaves: stage s is processing microbatch t-s —
+            # read it locally instead of shipping it around the ring
+            bc = (
+                None if bcast is None else _index_micro(bcast, t - stage)
+            )
+            out = local_stack(act, bc)
             # the LAST stage completes microbatch t-(S-1) at tick t
             oidx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+            kept = out_fn(out)
             y = tmap(
                 lambda yy, oo: lax.dynamic_update_index_in_dim(
                     yy,
@@ -163,7 +190,7 @@ def pipeline_blocks(
                     0,
                 ),
                 y,
-                out,
+                kept,
             )
             buf = (
                 lax.ppermute(out, axis, ring) if n_stages > 1 else out
@@ -180,7 +207,7 @@ def pipeline_blocks(
                 return lax.pvary(a, (axis,))
 
         buf0 = tmap(lambda a: _pipe_varying(jnp.zeros_like(a[0])), x)
-        y0 = tmap(lambda a: _pipe_varying(jnp.zeros_like(a)), x)
+        y0 = tmap(lambda a: _pipe_varying(jnp.zeros_like(a)), out_fn(x))
         (_, y), _ = lax.scan(
             tick, (buf0, y0), jnp.arange(n_micro + n_stages - 1)
         )
@@ -194,13 +221,26 @@ def pipeline_blocks(
         )
         return lax.psum(y, axis)
 
+    # a dummy scalar stands in when no broadcast tree is given (the
+    # traced branch never reads it — `bcast is None` is resolved at
+    # trace time from the OUTER broadcast binding)
+    bcast_arg = broadcast if broadcast is not None else jnp.zeros(())
+    bcast_spec = (
+        tmap(lambda _: x_spec, broadcast)
+        if broadcast is not None else P()
+    )
+
+    def staged_outer(p_local, x, bc):
+        return staged(p_local, x, bc if broadcast is not None else None)
+
     return shard_map(
-        staged,
+        staged_outer,
         mesh=mesh,
         in_specs=(tmap(lambda _: p_spec, stacked_params),
-                  tmap(lambda _: x_spec, x_micro)),
-        out_specs=tmap(lambda _: x_spec, x_micro),
-    )(stacked_params, x_micro)
+                  tmap(lambda _: x_spec, x_micro),
+                  bcast_spec),
+        out_specs=tmap(lambda _: x_spec, out_fn(x_micro)),
+    )(stacked_params, x_micro, bcast_arg)
 
 
 def prior_pp_logits(
@@ -331,6 +371,10 @@ def wavenet_stack_params(model, params, mesh: Mesh = None,
     if "params" in params:
         params = params["params"]
     L, S = model.layers, model.stacks
+    assert L % S == 0, (
+        f"layers={L} does not divide into stacks={S}; the trailing "
+        f"layers would be silently dropped"
+    )
     per = L // S
     groups = {"dilated": True, "res": True, "skip": True}
     if model.cin_channels > 0:
@@ -374,9 +418,9 @@ def wavenet_stack_params(model, params, mesh: Mesh = None,
 def _wavenet_stage_fn(model):
     """block_fn over ONE stack of WaveNet residual layers.
 
-    ``p`` leaves: (per, ...) — this stack's layers; act = (h, skips,
-    c_up) with c_up riding the carry unchanged (every stage needs the
-    conditioning). The layer math mirrors WaveNet.__call__ exactly
+    ``p`` leaves: (per, ...) — this stack's layers; act = (h, skips),
+    with the conditioning arriving as the stage-local broadcast slice.
+    The layer math mirrors WaveNet.__call__ exactly
     (models/wavenet.py:170-176): z = dilated(h) + cond(c); gated =
     tanh(a)*sigmoid(b); skips += skip(gated); h += res(gated)."""
     K = model.kernel_size
@@ -390,8 +434,8 @@ def _wavenet_stage_fn(model):
         )
         return y + bias
 
-    def stage_fn(p, act):
-        h, skips, c_up = act
+    def stage_fn(p, act, c_up):
+        h, skips = act
         for j in range(per):
             d = 2 ** j
             z = causal_dilated(
@@ -405,7 +449,7 @@ def _wavenet_stage_fn(model):
                 gated @ p["skip"]["kernel"][j][0] + p["skip"]["bias"][j]
             )
             h = h + gated @ p["res"]["kernel"][j][0] + p["res"]["bias"][j]
-        return (h, skips, c_up)
+        return (h, skips)
 
     return stage_fn
 
@@ -425,7 +469,9 @@ def wavenet_pp_logits(
     (B, T, out_channels), numerically identical to
     ``model.apply(variables, x, c)``. Stage s holds stack s's layers
     (static dilations 1..2^(per-1) inside the stage program); the
-    (h, skips, c_up) triple rides the microbatch ring. first_conv,
+    (residual, skip-sum) pair rides the microbatch ring while the
+    upsampled conditioning is stage-locally indexed (``broadcast``)
+    and only the skip sum is carried out (``out_fn``). first_conv,
     the conditioning upsampler, and the post head run replicated
     outside the staged loop. Speaker conditioning (gin_channels) is
     not threaded through this path."""
@@ -441,6 +487,10 @@ def wavenet_pp_logits(
         "the staged layer math runs f32; parity holds against the f32 "
         "model only"
     )
+    assert model.cin_channels > 0 and c is not None, (
+        "wavenet_pp_logits requires mel conditioning (cin_channels > 0 "
+        "and c); unconditioned vocoders train on the DP/TP mesh"
+    )
     b = x.shape[0]
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
     mb = b // n_micro
@@ -454,9 +504,14 @@ def wavenet_pp_logits(
         return a.reshape(n_micro, mb, *a.shape[1:])
 
     skips0 = jnp.zeros(h.shape[:-1] + (model.skip_out_channels,), h.dtype)
-    act = (mstack(h), mstack(skips0), mstack(c_up))
+    act = (mstack(h), mstack(skips0))
     stage_fn = _wavenet_stage_fn(model)
-    _, skips, _ = pipeline_blocks(stage_fn, stacked, act, mesh, axis=axis)
+    # conditioning is read-only per stage -> `broadcast` keeps it off
+    # the ppermute ring; only the skip sum is carried out (`out_fn`)
+    skips = pipeline_blocks(
+        stage_fn, stacked, act, mesh, axis=axis,
+        broadcast=mstack(c_up), out_fn=lambda a: a[1],
+    )
     skips = skips.reshape(b, *skips.shape[2:])
 
     def post(m, s):

@@ -401,6 +401,36 @@ def test_pixelcnn_bf16_forward_and_fast_sampler(pixelcnn_setup):
     assert (out >= 0).all() and (out < 32).all()
 
 
+def test_pixelcnn_bf16_spatial_cond_incremental(rng):
+    """bf16 + spatial_cond (the hier bottom prior under --bf16): the
+    incremental path must cast cond_map with the params — an f32
+    cond_map einsum-ed against the bf16-cast kernel promoted the cond
+    path to f32 and crashed the next conv's same-dtype check."""
+    from neural_sound_generation_tpu.models.pixelcnn import (
+        fast_generate, incremental_logits,
+    )
+
+    model = GatedPixelCNN(input_dim=32, dim=16, n_layers=3, n_classes=5,
+                          spatial_cond=True, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.integers(0, 32, (2, 8, 8)), jnp.int32)
+    label = jnp.asarray([1, 3], jnp.int32)
+    cond = jnp.asarray(
+        rng.standard_normal((2, 8, 8, 4)).astype(np.float32) * 0.2
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, label, cond)
+    ref = np.asarray(model.apply(variables, x, label, cond))
+    inc = np.asarray(
+        incremental_logits(model, variables, x, label, cond_map=cond)
+    )
+    np.testing.assert_allclose(inc, ref, atol=2e-2)
+    out = np.asarray(
+        fast_generate(model, variables, label, jax.random.PRNGKey(3),
+                      shape=(8, 8), batch_size=2, cond_map=cond)
+    )
+    assert out.shape == (2, 8, 8)
+    assert (out >= 0).all() and (out < 32).all()
+
+
 def test_pixelcnn_fast_generate_nonsquare_and_conditioned(pixelcnn_setup):
     from neural_sound_generation_tpu.models.pixelcnn import fast_generate
 
