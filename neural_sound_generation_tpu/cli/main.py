@@ -354,10 +354,17 @@ def main(argv=None):
 
     try:
         for epoch in range(start_epoch, args.epochs + 1):
-            key, ek = jax.random.split(key)
-            batches = limit(iter(train_loader)) if audio_mode else limit(
-                train_iter(epoch)
-            )
+            # epoch-derived (not a sequential split chain, which would
+            # restart at --resume): epoch N's key is the same whether or
+            # not the run was interrupted
+            ek = jax.random.fold_in(key, epoch)
+            if audio_mode:
+                # data order is f(seed, epoch): a resumed run sees the
+                # batches an uninterrupted run's epoch-N pass would
+                train_loader.set_epoch(epoch - 1)
+                batches = limit(iter(train_loader))
+            else:
+                batches = limit(train_iter(epoch))
             trainer.train_epoch(batches, ek, epoch=epoch,
                                 checkpoint_cb=interval_ckpt(epoch))
             test_batches = limit(iter(test_loader)) if audio_mode else limit(

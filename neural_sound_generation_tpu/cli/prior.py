@@ -51,6 +51,12 @@ def parse_args(argv=None):
                          "with this many experts (0 = dense); expert "
                          "weights shard over --mesh-model (expert "
                          "parallelism)")
+    tr.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in "
+                         "--ckpt-dir: params, step numbering, epoch "
+                         "count, and the epoch's shuffle order all "
+                         "resume (the prior is the longest stage of "
+                         "the pipeline — it must survive preemption)")
     tr.add_argument("--n-classes", type=int, default=10)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--epochs", type=int, default=10)
@@ -193,6 +199,15 @@ def cmd_train(args):
     init_args = (codes0, labels0) + ((cond0,) if bottom_level else ())
     pvars = prior.init(jax.random.PRNGKey(args.seed), *init_args)
 
+    start_step, start_epoch = 0, 1
+    if getattr(args, "resume", False) and (
+        checkpoint.latest_step(args.ckpt_dir) is not None
+    ):
+        pvars, extra = checkpoint.restore(args.ckpt_dir, pvars)
+        start_step = checkpoint.latest_step(args.ckpt_dir)
+        start_epoch = int((extra or {}).get("epoch", 0)) + 1
+        print(f"resumed from step {start_step}, epoch {start_epoch}")
+
     # the prior is the longest training stage of a real VQ-VAE pipeline —
     # it runs on the same mesh-aware Trainer as the autoencoder
     # (dp batch sharding; --mesh-model N tensor-shards layer kernels and
@@ -240,14 +255,19 @@ def cmd_train(args):
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
-            step=int(step),
+            step=start_step + int(step),
             extra={"epoch": epoch},
         )
         checkpoint.save_ema_sibling(
-            args.ckpt_dir, state, step=int(step), extra={"epoch": epoch}
+            args.ckpt_dir, state, step=start_step + int(step),
+            extra={"epoch": epoch},
         )
 
-    for epoch in range(1, args.epochs + 1):
+    epoch = start_epoch - 1  # save_ckpt's epoch if resume is already done
+    for epoch in range(start_epoch, args.epochs + 1):
+        # shuffle order is f(seed, epoch): --resume replays the exact
+        # batch order an uninterrupted run's epoch-N pass would see
+        loaders["train"].set_epoch(epoch - 1)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         means = trainer.train_epoch(
             epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt

@@ -130,10 +130,12 @@ def cmd_train(args):
     variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
     start_step = 0
 
+    start_epoch = 1
     if args.resume and checkpoint.latest_step(args.ckpt_dir) is not None:
-        variables, _ = checkpoint.restore(args.ckpt_dir, variables)
+        variables, extra = checkpoint.restore(args.ckpt_dir, variables)
         start_step = checkpoint.latest_step(args.ckpt_dir)
-        print(f"resumed from step {start_step}")
+        start_epoch = int((extra or {}).get("epoch", 0)) + 1
+        print(f"resumed from step {start_step}, epoch {start_epoch}")
 
     # the vocoder trains on the same mesh-aware Trainer as the other
     # families (dp batch sharding, --mesh-model N tensor parallelism,
@@ -185,7 +187,11 @@ def cmd_train(args):
             extra={"epoch": epoch},
         )
 
-    for epoch in range(1, args.epochs + 1):
+    epoch = start_epoch - 1  # save_ckpt's epoch if resume is already done
+    for epoch in range(start_epoch, args.epochs + 1):
+        # shuffle order is f(seed, epoch): --resume replays the exact
+        # batch order an uninterrupted run's epoch-N pass would see
+        loaders["train"].set_epoch(epoch - 1)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         means = trainer.train_epoch(
             epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt

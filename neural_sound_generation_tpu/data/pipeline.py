@@ -85,6 +85,11 @@ class MelFrameLoader:
         # (4 for the flat VQ-VAE, 8 for the two-level hierarchy)
         self.latent_stride = latent_stride
         self.drop_last = drop_last
+        # Epoch counter driving the shuffle seed: the batch order of one
+        # pass is a pure function of (seed, _epoch). __iter__ advances it;
+        # set_epoch() pins it so a resumed run replays the exact order an
+        # uninterrupted run would have seen (the reference's samplers are
+        # process-stateful and cannot resume, dataloader.py:158-202).
         self._epoch = 0
         # native fast path: mmap'd shards + GIL-free batch assembly
         # (data/native_loader.py); None = auto-detect, with silent
@@ -97,6 +102,14 @@ class MelFrameLoader:
                 if use_native is True:
                     raise
                 self._native = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch for the NEXT pass (torch's
+        ``DistributedSampler.set_epoch`` convention). Epoch ``e`` of a
+        1-based training loop corresponds to ``set_epoch(e - 1)`` — the
+        order an uninterrupted run's ``e``-th pass would use. Train CLIs
+        call this every epoch so data order survives ``--resume``."""
+        self._epoch = int(epoch)
 
     def _open_native(self):
         from neural_sound_generation_tpu.data.native_loader import NativeCorpus

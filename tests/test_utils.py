@@ -273,3 +273,47 @@ def test_prior_cli_transformer_moe(tmp_path):
     ])
     wavs = [f for f in os.listdir(sample_dir) if f.endswith(".wav")]
     assert len(wavs) == 1
+
+
+def test_prior_cli_resume(tmp_path, capsys):
+    """--resume on the prior CLI (new — the reference cannot resume any
+    stage): params + step numbering + epoch count come back from the
+    latest checkpoint and training continues, with the loader's shuffle
+    order pinned to the resumed epoch (set_epoch)."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    vq_ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+
+    prior_ckpt = str(tmp_path / "prior")
+    base = [
+        "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+        "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+        "--prior-dim", "8", "--prior-layers", "2",
+        "--batch-size", "2", "--max-batches-per-epoch", "2",
+    ]
+    prior_cli.main(base + ["--epochs", "1"])
+    step1 = ckpt_mod.latest_step(prior_ckpt)
+    assert step1 and step1 > 0
+
+    capsys.readouterr()
+    prior_cli.main(base + ["--epochs", "2", "--resume"])
+    out = capsys.readouterr().out
+    assert f"resumed from step {step1}, epoch 2" in out
+    assert "prior epoch 2:" in out
+    assert "prior epoch 1:" not in out  # completed epochs are not re-run
+    step2 = ckpt_mod.latest_step(prior_ckpt)
+    assert step2 > step1  # numbering continues, never overwrites

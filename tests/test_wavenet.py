@@ -420,3 +420,36 @@ def test_pallas_uniform_bits_unbiased():
     # unbiased: mean ~0.5, and the clip floor captures almost nothing
     assert abs(float(u.mean()) - 0.5) < 0.02
     assert float((u <= 1e-6).mean()) < 1e-3
+
+
+def test_vocoder_cli_resume(tmp_path, capsys):
+    """--resume on the vocoder CLI continues the epoch count (previously
+    only params/step came back and epochs restarted at 1, replaying
+    epoch-1 shuffle order): the resumed run trains exactly the epochs an
+    uninterrupted run had left, and checkpoint numbering advances."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+
+    ckpt = str(tmp_path / "wn")
+    base = [
+        "train", "--datadir", str(out_dir), "--ckpt-dir", ckpt,
+        "--batch-size", "2", "--layers", "2", "--stacks", "1",
+        "--residual-channels", "8", "--max-batches-per-epoch", "2",
+    ]
+    vocoder_cli.main(base + ["--epochs", "1"])
+    step1 = ckpt_mod.latest_step(ckpt)
+    assert step1 and step1 > 0
+
+    capsys.readouterr()
+    vocoder_cli.main(base + ["--epochs", "2", "--resume"])
+    out = capsys.readouterr().out
+    assert f"resumed from step {step1}, epoch 2" in out
+    assert "wavenet epoch 2:" in out
+    assert "wavenet epoch 1:" not in out  # completed epochs not re-run
+    assert ckpt_mod.latest_step(ckpt) > step1
