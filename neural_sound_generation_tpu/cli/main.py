@@ -344,11 +344,15 @@ def main(argv=None):
     def interval_ckpt(epoch):
         # cfg.train.checkpoint_interval-step saves inside long epochs —
         # the reference configures this interval (hparams.py:122) but
-        # never consumes it; async so the loop keeps training
+        # never consumes it; async so the loop keeps training.
+        # Stored epoch is the last COMPLETED one (epoch - 1): --resume
+        # computes start_epoch = stored + 1, so a run preempted
+        # mid-epoch replays the interrupted epoch with its pinned
+        # shuffle order instead of silently skipping its remainder.
         def cb(state, step):
             checkpoint.save(
                 ckpt_dir, state, step=int(step),
-                extra={"epoch": epoch, "arch": args.model}, block=False,
+                extra={"epoch": epoch - 1, "arch": args.model}, block=False,
             )
         return cb
 

@@ -53,10 +53,11 @@ def parse_args(argv=None):
                          "parallelism)")
     tr.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in "
-                         "--ckpt-dir: params, step numbering, epoch "
-                         "count, and the epoch's shuffle order all "
-                         "resume (the prior is the longest stage of "
-                         "the pipeline — it must survive preemption)")
+                         "--ckpt-dir: params, Adam moments, EMA, step "
+                         "numbering, epoch count, and the epoch's "
+                         "shuffle order all resume via the *_train "
+                         "sibling (older artifact-only checkpoints "
+                         "resume params + EMA; moments restart)")
     tr.add_argument("--n-classes", type=int, default=10)
     tr.add_argument("--batch-size", type=int, default=32)
     tr.add_argument("--epochs", type=int, default=10)
@@ -67,6 +68,19 @@ def parse_args(argv=None):
     tr.add_argument("--mesh-model", type=int, default=1,
                     help="tensor-parallel shards for the prior (layer "
                          "kernels + embeddings over the 'model' axis)")
+    tr.add_argument("--mesh-pipe", type=int, default=1,
+                    help="GPipe pipeline-parallel stages for the "
+                         "transformer prior's block stack: layer weights "
+                         "AND Adam moments live sharded over the 'pipe' "
+                         "axis (each device holds n_layers/N layers); "
+                         "composes with --mesh-data as DPxPP; "
+                         "checkpoints export dense so a pp-N run "
+                         "resumes at any other width and `sample` "
+                         "restores the artifact directly")
+    tr.add_argument("--pp-microbatches", type=int, default=None,
+                    help="GPipe microbatches per step (default: "
+                         "--mesh-pipe); must divide --batch-size; "
+                         "bubble fraction is (N-1)/(M+N-1)")
     tr.add_argument("--multi-steps", type=int, default=1,
                     help="optimization steps per device launch (lax.scan)")
     tr.add_argument("--ema-warmup", action="store_true",
@@ -199,15 +213,6 @@ def cmd_train(args):
     init_args = (codes0, labels0) + ((cond0,) if bottom_level else ())
     pvars = prior.init(jax.random.PRNGKey(args.seed), *init_args)
 
-    start_step, start_epoch = 0, 1
-    if getattr(args, "resume", False) and (
-        checkpoint.latest_step(args.ckpt_dir) is not None
-    ):
-        pvars, extra = checkpoint.restore(args.ckpt_dir, pvars)
-        start_step = checkpoint.latest_step(args.ckpt_dir)
-        start_epoch = int((extra or {}).get("epoch", 0)) + 1
-        print(f"resumed from step {start_step}, epoch {start_epoch}")
-
     # the prior is the longest training stage of a real VQ-VAE pipeline —
     # it runs on the same mesh-aware Trainer as the autoencoder
     # (dp batch sharding; --mesh-model N tensor-shards layer kernels and
@@ -229,6 +234,32 @@ def cmd_train(args):
     state = create_train_state(
         pvars, cfg.train, fused=False if tensor_parallel else None
     )
+
+    start_step, start_epoch = 0, 1
+    train_dir = args.ckpt_dir.rstrip("/") + "_train"
+    if getattr(args, "resume", False):
+        if checkpoint.latest_step(train_dir) is not None:
+            # full-fidelity resume: params, Adam moments, step counter
+            # and the running EMA all continue (the *_train sibling is
+            # written alongside every artifact save below)
+            state, extra = checkpoint.restore(train_dir, state)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed train state from step "
+                  f"{int(np.asarray(state.step))}, epoch {start_epoch}")
+        elif checkpoint.latest_step(args.ckpt_dir) is not None:
+            # artifact-only checkpoint (older runs): params + the EMA
+            # sibling resume; optimizer moments restart at zero
+            restored, extra = checkpoint.restore(
+                args.ckpt_dir, {"params": state.params}
+            )
+            state = state.replace(params=restored["params"])
+            state = checkpoint.restore_ema_sibling(args.ckpt_dir, state)
+            start_step = checkpoint.latest_step(args.ckpt_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed params from step {start_step}, "
+                  f"epoch {start_epoch} (no *_train sibling: Adam "
+                  f"moments restart)")
+
     mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
     trainer = Trainer(
         prior, cfg, state, mesh=mesh, tensor_parallel=tensor_parallel,
@@ -248,34 +279,43 @@ def cmd_train(args):
                 out["cond"] = cond
             yield out
 
-    def save_ckpt(state, step):
+    def save_ckpt(state, step, completed_epoch):
         # artifact stays the {"params": ...} variables layout the sample
         # CLI and cli/serve.py --prior-ckpt restore into;
-        # save_ema_sibling exports the averaged model alongside
+        # save_ema_sibling exports the averaged model alongside and the
+        # *_train sibling carries the full state for --resume fidelity.
+        # completed_epoch is the last FINISHED epoch — interval saves
+        # inside epoch N store N-1 so a preempted run replays epoch N
+        # with its pinned shuffle order rather than skipping its tail.
+        at = start_step + int(step)
+        extra = {"epoch": completed_epoch}
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
-            step=start_step + int(step),
-            extra={"epoch": epoch},
+            step=at, extra=extra,
         )
-        checkpoint.save_ema_sibling(
-            args.ckpt_dir, state, step=start_step + int(step),
-            extra={"epoch": epoch},
-        )
+        checkpoint.save_ema_sibling(args.ckpt_dir, state, step=at, extra=extra)
+        checkpoint.save(train_dir, state, step=at, extra=extra, block=False)
 
-    epoch = start_epoch - 1  # save_ckpt's epoch if resume is already done
     for epoch in range(start_epoch, args.epochs + 1):
         # shuffle order is f(seed, epoch): --resume replays the exact
         # batch order an uninterrupted run's epoch-N pass would see
         loaders["train"].set_epoch(epoch - 1)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         means = trainer.train_epoch(
-            epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt
+            epoch_batches(), key, epoch=epoch,
+            checkpoint_cb=lambda s, st, e=epoch: save_ckpt(
+                s, st, completed_epoch=e - 1
+            ),
         )
         nll = means.get("loss", float("nan"))
         print(f"prior epoch {epoch}: nll/code {nll:.4f} "
               f"(ppl {np.exp(nll):.1f} of {args.z_dim})")
-        save_ckpt(trainer.state, int(np.asarray(jax.device_get(trainer.state.step))))
+        save_ckpt(
+            trainer.state,
+            int(np.asarray(jax.device_get(trainer.state.step))),
+            completed_epoch=epoch,
+        )
     print(f"prior saved to {args.ckpt_dir}")
     if trainer.state.ema_params is not None:
         print("averaged-model (EMA) artifact saved to "

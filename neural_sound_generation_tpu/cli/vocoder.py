@@ -33,7 +33,13 @@ def parse_args(argv=None):
     tr.add_argument("--residual-channels", type=int, default=None)
     tr.add_argument("--max-batches-per-epoch", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
-    tr.add_argument("--resume", action="store_true")
+    tr.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in "
+                         "--ckpt-dir: params, Adam moments, EMA, step "
+                         "numbering, epoch count, and the epoch's "
+                         "shuffle order all resume via the *_train "
+                         "sibling (older artifact-only checkpoints "
+                         "resume params + EMA; moments restart)")
     tr.add_argument("--mesh-data", type=int, default=None)
     tr.add_argument("--mesh-model", type=int, default=1,
                     help="tensor-parallel shards for the vocoder (res/"
@@ -128,14 +134,6 @@ def cmd_train(args):
     g = _batch_speakers(sample)
     x = WaveNet.shift_inputs(targets, scalar)
     variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
-    start_step = 0
-
-    start_epoch = 1
-    if args.resume and checkpoint.latest_step(args.ckpt_dir) is not None:
-        variables, extra = checkpoint.restore(args.ckpt_dir, variables)
-        start_step = checkpoint.latest_step(args.ckpt_dir)
-        start_epoch = int((extra or {}).get("epoch", 0)) + 1
-        print(f"resumed from step {start_step}, epoch {start_epoch}")
 
     # the vocoder trains on the same mesh-aware Trainer as the other
     # families (dp batch sharding, --mesh-model N tensor parallelism,
@@ -151,6 +149,32 @@ def cmd_train(args):
     state = create_train_state(
         variables, cfg.train, fused=False if tensor_parallel else None
     )
+
+    start_step, start_epoch = 0, 1
+    train_dir = args.ckpt_dir.rstrip("/") + "_train"
+    if args.resume:
+        if checkpoint.latest_step(train_dir) is not None:
+            # full-fidelity resume: params, Adam moments, step counter
+            # and the running EMA all continue (the *_train sibling is
+            # written alongside every artifact save below)
+            state, extra = checkpoint.restore(train_dir, state)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed train state from step "
+                  f"{int(np.asarray(state.step))}, epoch {start_epoch}")
+        elif checkpoint.latest_step(args.ckpt_dir) is not None:
+            # artifact-only checkpoint (older runs): params + the EMA
+            # sibling resume; optimizer moments restart at zero
+            restored, extra = checkpoint.restore(
+                args.ckpt_dir, {"params": state.params}
+            )
+            state = state.replace(params=restored["params"])
+            state = checkpoint.restore_ema_sibling(args.ckpt_dir, state)
+            start_step = checkpoint.latest_step(args.ckpt_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed params from step {start_step}, "
+                  f"epoch {start_epoch} (no *_train sibling: Adam "
+                  f"moments restart)")
+
     mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
     trainer = Trainer(
         model, cfg, state, mesh=mesh, tensor_parallel=tensor_parallel,
@@ -172,33 +196,40 @@ def cmd_train(args):
                 out["g"] = g
             yield out
 
-    def save_ckpt(state, step):
+    def save_ckpt(state, step, completed_epoch):
         # artifact stays the {"params": ...} variables layout the
         # synthesize CLI (and serve --vocoder-ckpt) restore into;
-        # save_ema_sibling exports the averaged model alongside
+        # save_ema_sibling exports the averaged model alongside and the
+        # *_train sibling carries the full state for --resume fidelity.
+        # completed_epoch is the last FINISHED epoch — interval saves
+        # inside epoch N store N-1 so a preempted run replays epoch N
+        # with its pinned shuffle order rather than skipping its tail.
+        at = start_step + int(step)
+        extra = {"epoch": completed_epoch}
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
-            step=start_step + int(step),
-            extra={"epoch": epoch},
+            step=at, extra=extra,
         )
-        checkpoint.save_ema_sibling(
-            args.ckpt_dir, state, step=start_step + int(step),
-            extra={"epoch": epoch},
-        )
+        checkpoint.save_ema_sibling(args.ckpt_dir, state, step=at, extra=extra)
+        checkpoint.save(train_dir, state, step=at, extra=extra, block=False)
 
-    epoch = start_epoch - 1  # save_ckpt's epoch if resume is already done
     for epoch in range(start_epoch, args.epochs + 1):
         # shuffle order is f(seed, epoch): --resume replays the exact
         # batch order an uninterrupted run's epoch-N pass would see
         loaders["train"].set_epoch(epoch - 1)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
         means = trainer.train_epoch(
-            epoch_batches(), key, epoch=epoch, checkpoint_cb=save_ckpt
+            epoch_batches(), key, epoch=epoch,
+            checkpoint_cb=lambda s, st, e=epoch: save_ckpt(
+                s, st, completed_epoch=e - 1
+            ),
         )
         print(f"wavenet epoch {epoch}: loss {means.get('loss', float('nan')):.4f}")
         save_ckpt(
-            trainer.state, int(np.asarray(jax.device_get(trainer.state.step)))
+            trainer.state,
+            int(np.asarray(jax.device_get(trainer.state.step))),
+            completed_epoch=epoch,
         )
     if trainer.state.ema_params is not None:
         print("averaged-model (EMA) artifact saved to "

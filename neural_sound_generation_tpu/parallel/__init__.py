@@ -19,12 +19,17 @@ from neural_sound_generation_tpu.parallel.sequence import (  # noqa: F401
 from neural_sound_generation_tpu.parallel.pipeline import (  # noqa: F401
     make_pp_mesh,
     make_pp_prior_train_step,
+    make_pp_wavenet_train_step,
     pipeline_blocks,
+    pp_opt_state_from_dense,
+    pp_opt_state_to_dense,
     pp_prior_partition,
+    pp_prior_split,
     pp_prior_unpartition,
     prior_pp_logits,
     stack_layer_params,
     unstack_layer_params,
     wavenet_pp_logits,
     wavenet_stack_params,
+    wavenet_unstack_params,
 )

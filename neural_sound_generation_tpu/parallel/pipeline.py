@@ -47,11 +47,16 @@ __all__ = [
     "unstack_layer_params",
     "pipeline_blocks",
     "prior_pp_logits",
+    "pp_prior_split",
     "pp_prior_partition",
     "pp_prior_unpartition",
     "make_pp_prior_train_step",
     "wavenet_stack_params",
+    "wavenet_unstack_params",
     "wavenet_pp_logits",
+    "make_pp_wavenet_train_step",
+    "pp_opt_state_to_dense",
+    "pp_opt_state_from_dense",
     "make_pp_mesh",
 ]
 
@@ -323,6 +328,17 @@ def _pp_logits_core(model, rest, stacked, codes, label, mesh, n_micro,
     return logits.reshape(b, h, w, model.input_dim)
 
 
+def pp_prior_split(model, params):
+    """Structural split (no placement): a dense TransformerPrior params
+    dict ``{..., block_i: ...}`` -> ``(rest, stacked)``. Used directly
+    by :func:`pp_opt_state_from_dense` and by the partitioner below."""
+    if "params" in params:
+        params = params["params"]
+    rest = {k: v for k, v in params.items() if not k.startswith("block_")}
+    stacked = stack_layer_params(params, model.n_layers)
+    return rest, stacked
+
+
 def pp_prior_partition(model, params, mesh: Mesh, axis: str = "pipe"):
     """Partition a TransformerPrior params tree into the PERSISTENT
     pipeline layout: ``(rest, stacked)`` where ``rest`` (embeddings,
@@ -333,19 +349,8 @@ def pp_prior_partition(model, params, mesh: Mesh, axis: str = "pipe"):
     claim; `prior_pp_logits` alone keeps the full tree replicated and
     restacks per call (fine for parity tests, not for a model that
     exceeds one chip's HBM)."""
-    if "params" in params:
-        params = params["params"]
-    rest = {k: v for k, v in params.items() if not k.startswith("block_")}
-    stacked = stack_layer_params(params, model.n_layers)
-    from jax.sharding import NamedSharding
-
-    staged_sh = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P(axis)), stacked
-    )
-    rep = NamedSharding(mesh, P())
-    rest = jax.device_put(rest, jax.tree_util.tree_map(lambda _: rep, rest))
-    stacked = jax.device_put(stacked, staged_sh)
-    return rest, stacked
+    rest, stacked = pp_prior_split(model, params)
+    return _place_pair(rest, stacked, mesh, axis)
 
 
 def pp_prior_unpartition(model, rest, stacked):
@@ -356,6 +361,71 @@ def pp_prior_unpartition(model, rest, stacked):
         unstack_layer_params(jax.device_get(stacked), model.n_layers)
     )
     return params
+
+
+def _place_pair(rest, stacked, mesh: Mesh, axis: str = "pipe"):
+    """Place a (rest, stacked) pair in the persistent PP layout: rest
+    replicated, stacked with its leading layer/stack axis sharded over
+    ``axis`` (each device holds only its slab)."""
+    from jax.sharding import NamedSharding
+
+    staged = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(axis)), stacked
+    )
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(rest, jax.tree_util.tree_map(lambda _: rep, rest)),
+        jax.device_put(stacked, staged),
+    )
+
+
+def _map_adam_moments(opt_state, fn):
+    """Apply ``fn`` to the moment pytrees (mu, nu) of the
+    ``ScaleByAdamState`` inside an optax chain's state tuple; every other
+    transform state passes through unchanged. The moments of the PP train
+    steps are (rest, stacked) pairs — this is how they convert between
+    the partitioned layout and the dense checkpoint layout."""
+    import optax
+
+    out, found = [], False
+    for st in tuple(opt_state):
+        if isinstance(st, optax.ScaleByAdamState):
+            out.append(
+                optax.ScaleByAdamState(
+                    count=st.count, mu=fn(st.mu), nu=fn(st.nu)
+                )
+            )
+            found = True
+        else:
+            out.append(st)
+    assert found, "expected a ScaleByAdamState in the optimizer chain"
+    return tuple(out)
+
+
+def pp_opt_state_to_dense(opt_state, unpartition_fn):
+    """Partitioned PP optimizer state -> dense checkpoint layout: each
+    Adam moment (a (rest, stacked) pair) becomes ONE flat params-layout
+    dict via ``unpartition_fn(rest, stacked)`` (e.g. a bound
+    :func:`pp_prior_unpartition` / :func:`wavenet_unstack_params`).
+    The dense layout is mesh-width-independent — a pp4 run's checkpoint
+    restores under pp2 or dense (round-4 cross-layout lifecycle)."""
+    return _map_adam_moments(
+        opt_state, lambda pair: unpartition_fn(pair[0], pair[1])
+    )
+
+
+def pp_opt_state_from_dense(dense_opt, partition_fn, mesh: Mesh,
+                            axis: str = "pipe"):
+    """Inverse of :func:`pp_opt_state_to_dense`: re-partition each dense
+    moment dict into the (rest, stacked) pair placed on ``mesh`` (stacked
+    part sharded over ``axis``). ``partition_fn(dense_dict) -> (rest,
+    stacked)`` performs the structural split (no placement)."""
+
+    def place(dense):
+        rest, stacked = partition_fn(dense)
+        return _place_pair(rest, stacked, mesh, axis)
+
+    return _map_adam_moments(dense_opt, place)
 
 
 def wavenet_stack_params(model, params, mesh: Mesh = None,
@@ -413,6 +483,23 @@ def wavenet_stack_params(model, params, mesh: Mesh = None,
             rest, jax.tree_util.tree_map(lambda _: rep, rest)
         )
     return rest, stacked
+
+
+def wavenet_unstack_params(model, rest, stacked):
+    """Inverse of :func:`wavenet_stack_params`: back to the flat
+    ``{name}_{i}`` checkpoint layout the synthesize CLI / serve restore
+    (gathers the stacked shards; artifact export, not the hot loop)."""
+    L, S = model.layers, model.stacks
+    per = L // S
+    params = dict(jax.device_get(rest))
+    stacked = jax.device_get(stacked)
+    for name, tree in stacked.items():
+        for i in range(L):
+            s, j = divmod(i, per)
+            params[f"{name}_{i}"] = jax.tree_util.tree_map(
+                lambda x, s=s, j=j: x[s][j], tree
+            )
+    return params
 
 
 def _wavenet_stage_fn(model):
@@ -518,6 +605,62 @@ def wavenet_pp_logits(
         return m.post2(nn.relu(m.post1(nn.relu(s))))
 
     return model.apply({"params": rest}, skips, method=post)
+
+
+def make_pp_wavenet_train_step(model, cfg, mesh: Mesh, n_micro: int, tx,
+                               axis: str = "pipe"):
+    """Pipeline-parallel TRAINING step for the staged WaveNet vocoder —
+    the optimizer counterpart to :func:`wavenet_pp_logits` (which is
+    forward/grad only). Stage-sharded stacks AND Adam moments: each
+    device updates only its stacks' layers, with the configured loss
+    (teacher-forced MoL for scalar input, masked CE for mulaw-quantize —
+    the reference's loss surface, src/hparams.py:18-21, 52-84) computed
+    on the last stage's logits.
+
+    ``tx`` is an optax transform whose state is built by the returned
+    ``init_fn(rest, stacked)`` (moments inherit the stack sharding).
+    ``step_fn(rest, stacked, opt_state, batch)`` is jitted with the
+    partitioned args donated so weights update in place in their shards.
+    Batch: ``{"y": targets (B, T, 1) f32 | (B, T) int, "c": (B, T',
+    n_mels)[, "input_lengths": (B,)]}``."""
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+    from neural_sound_generation_tpu.training.losses import (
+        discretized_mix_logistic_loss,
+        masked_cross_entropy,
+    )
+
+    scalar = model.scalar_input
+
+    def loss_fn(rest, stacked, batch):
+        targets = batch["y"]
+        x = WaveNet.shift_inputs(targets, scalar)
+        y_hat = wavenet_pp_logits(
+            model, rest, stacked, x, batch["c"], mesh, n_micro, axis=axis
+        )
+        lengths = batch.get("input_lengths")
+        if scalar:
+            return discretized_mix_logistic_loss(
+                y_hat, targets,
+                num_classes=cfg.audio.quantize_channels,
+                log_scale_min=cfg.arch.log_scale_min,
+                lengths=lengths,
+            )
+        return masked_cross_entropy(y_hat, targets, lengths)
+
+    def init_fn(rest, stacked):
+        return tx.init((rest, stacked))
+
+    def step(rest, stacked, opt_state, batch):
+        import optax
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rest, stacked, batch
+        )
+        updates, opt_state = tx.update(grads, opt_state, (rest, stacked))
+        rest, stacked = optax.apply_updates((rest, stacked), updates)
+        return rest, stacked, opt_state, {"loss": loss}
+
+    return init_fn, jax.jit(step, donate_argnums=(0, 1, 2))
 
 
 def make_pp_prior_train_step(model, mesh: Mesh, n_micro: int, tx,

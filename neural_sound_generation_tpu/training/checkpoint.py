@@ -107,6 +107,36 @@ def save_ema_sibling(
     )
 
 
+def restore_ema_sibling(ckpt_dir: str, state: Any, step: Optional[int] = None):
+    """Rehydrate ``state.ema_params`` from the ``<ckpt_dir>_ema`` sibling
+    artifact that ``save_ema_sibling`` writes on every save.
+
+    Without this a resumed run re-seeds the EMA from the resume-point
+    params (create_train_state copies live params), so the exported
+    averaged model stays pinned near those weights for ~1/(1-decay)
+    steps — at the reference decay 0.9999 (hparams.py:118) that is
+    ~10k steps of stale artifact after every preemption. No-op when the
+    state carries no EMA or no sibling checkpoint exists."""
+    if getattr(state, "ema_params", None) is None:
+        return state
+    ema_dir = ckpt_dir.rstrip("/") + "_ema"
+    if latest_step(ema_dir) is None:
+        return state
+    from neural_sound_generation_tpu.training.train_state import FusedOptState
+
+    template_params = state.params
+    if isinstance(state.opt_state, FusedOptState):
+        template_params = state.opt_state.unravel(state.ema_params)
+    tree, _ = restore(ema_dir, {"params": template_params}, step=step)
+    ema = tree["params"]
+    if isinstance(state.opt_state, FusedOptState):
+        from jax.flatten_util import ravel_pytree
+
+        flat, _ = ravel_pytree(ema)
+        return state.replace(ema_params=flat.astype(np.float32))
+    return state.replace(ema_params=ema)
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     wait_for_pending()  # async writes must be visible to resume queries
     if not os.path.isdir(ckpt_dir):

@@ -95,6 +95,18 @@ def test_train_cli_interval_checkpointing(tmp_path):
     assert 2 in steps and steps[-1] == 3
     assert ckpt_mod.latest_step(ckpt) == steps[-1]
 
+    # the mid-epoch interval save stores the last COMPLETED epoch (0
+    # here), not the in-progress one: --resume computes start_epoch =
+    # stored + 1, so a preemption mid-epoch replays the interrupted
+    # epoch with its pinned shuffle order instead of skipping its tail
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        mid = ckptr.restore(os.path.join(ckpt, "step_2"))["extra"]
+        end = ckptr.restore(os.path.join(ckpt, "step_3"))["extra"]
+    assert int(mid["epoch"]) == 0
+    assert int(end["epoch"]) == 1
+
 
 def test_train_cli_flags_thread_into_config():
     """--ema-warmup / --bf16-moments must land in TrainConfig (they once

@@ -309,11 +309,27 @@ def test_prior_cli_resume(tmp_path, capsys):
     step1 = ckpt_mod.latest_step(prior_ckpt)
     assert step1 and step1 > 0
 
+    # every save also writes a *_train sibling carrying the FULL state
+    # (params + Adam moments + EMA + step) for resume fidelity
+    assert ckpt_mod.latest_step(prior_ckpt + "_train") == step1
+
     capsys.readouterr()
     prior_cli.main(base + ["--epochs", "2", "--resume"])
     out = capsys.readouterr().out
-    assert f"resumed from step {step1}, epoch 2" in out
+    assert f"resumed train state from step {step1}, epoch 2" in out
     assert "prior epoch 2:" in out
     assert "prior epoch 1:" not in out  # completed epochs are not re-run
     step2 = ckpt_mod.latest_step(prior_ckpt)
     assert step2 > step1  # numbering continues, never overwrites
+
+    # artifact-only resume (pre-*_train checkpoints): params + the EMA
+    # sibling come back, and the restored EMA is the saved running
+    # average — NOT re-seeded from the resume-point params
+    import shutil
+
+    shutil.rmtree(prior_ckpt + "_train")
+    capsys.readouterr()
+    prior_cli.main(base + ["--epochs", "3", "--resume"])
+    out = capsys.readouterr().out
+    assert f"resumed params from step {step2}" in out
+    assert "moments restart" in out

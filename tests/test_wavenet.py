@@ -446,10 +446,14 @@ def test_vocoder_cli_resume(tmp_path, capsys):
     step1 = ckpt_mod.latest_step(ckpt)
     assert step1 and step1 > 0
 
+    # every save also writes a *_train sibling with the FULL state
+    # (params + Adam moments + EMA + step) for resume fidelity
+    assert ckpt_mod.latest_step(ckpt + "_train") == step1
+
     capsys.readouterr()
     vocoder_cli.main(base + ["--epochs", "2", "--resume"])
     out = capsys.readouterr().out
-    assert f"resumed from step {step1}, epoch 2" in out
+    assert f"resumed train state from step {step1}, epoch 2" in out
     assert "wavenet epoch 2:" in out
     assert "wavenet epoch 1:" not in out  # completed epochs not re-run
     assert ckpt_mod.latest_step(ckpt) > step1
