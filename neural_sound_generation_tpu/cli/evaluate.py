@@ -41,6 +41,14 @@ def parse_args(argv=None):
                         "averaged (EMA) model. Default follows the "
                         "reference's intent (hparams.py:116-118): the EMA "
                         "shadow when the checkpoint carries one.")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel shards for the eval sweep (batch "
+                        "axis over the mesh's 'data' axis)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel shards: the restored checkpoint "
+                        "is committed to the 'model'-axis layout it "
+                        "trained with (codebook rows + conv output "
+                        "channels) before the sweep")
     return p.parse_args(argv)
 
 
@@ -84,18 +92,29 @@ def main(argv=None):
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(sample["x"]), train=False, **init_kwargs
     )
-    state = create_train_state(variables, cfg.train)
+    # tensor parallelism needs per-leaf optimizer moments in the template
+    # (same rule as the train CLIs); the restore adapts either layout
+    tensor_parallel = args.mesh_model > 1
+    state = create_train_state(
+        variables, cfg.train, fused=False if tensor_parallel else None
+    )
     state, extra = checkpoint.restore(args.ckpt_dir, state)
     if args.no_ema:
         # drop the EMA shadow so make_eval_step's eval_params resolves to
         # the live params
         state = state.replace(ema_params=None)
-    # commit restored numpy leaves to device once, or every eval batch
-    # re-uploads the weights through the TPU tunnel
-    state = jax.device_put(state)
+    from neural_sound_generation_tpu.parallel import mesh_from_args
+
+    mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
+    if mesh is None:
+        # commit restored numpy leaves to device once, or every eval batch
+        # re-uploads the weights through the TPU tunnel; under a mesh the
+        # Trainer commits the state to its sharded layout instead
+        state = jax.device_put(state)
     print(f"loaded checkpoint step={int(np.asarray(state.step))} extra={extra}")
 
-    trainer = Trainer(model, cfg, state, log_fn=print)
+    trainer = Trainer(model, cfg, state, mesh=mesh,
+                      tensor_parallel=tensor_parallel, log_fn=print)
     batches = iter(test_loader)
     if args.max_batches:
         import itertools

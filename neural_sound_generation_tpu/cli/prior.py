@@ -213,6 +213,28 @@ def cmd_train(args):
     init_args = (codes0, labels0) + ((cond0,) if bottom_level else ())
     pvars = prior.init(jax.random.PRNGKey(args.seed), *init_args)
 
+    def epoch_batches():
+        for i, batch in enumerate(loaders["train"]):
+            if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
+                break
+            codes, cond = encode(jnp.asarray(batch["x"]))
+            labels = jnp.asarray(
+                batch.get("g", np.zeros(codes.shape[0], np.int32)), jnp.int32
+            )
+            out = {"codes": codes, "labels": labels}
+            if bottom_level:
+                out["cond"] = cond
+            yield out
+
+    if getattr(args, "mesh_pipe", 1) > 1:
+        if bottom_level:
+            raise SystemExit(
+                "--mesh-pipe does not thread the spatial conditioning of "
+                "the hier bottom prior; train it on the DP/TP mesh"
+            )
+        _train_pp(args, cfg, prior, pvars, epoch_batches, loaders)
+        return
+
     # the prior is the longest training stage of a real VQ-VAE pipeline —
     # it runs on the same mesh-aware Trainer as the autoencoder
     # (dp batch sharding; --mesh-model N tensor-shards layer kernels and
@@ -266,19 +288,6 @@ def cmd_train(args):
         log_fn=None, multi_steps=args.multi_steps,
     )
 
-    def epoch_batches():
-        for i, batch in enumerate(loaders["train"]):
-            if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
-                break
-            codes, cond = encode(jnp.asarray(batch["x"]))
-            labels = jnp.asarray(
-                batch.get("g", np.zeros(codes.shape[0], np.int32)), jnp.int32
-            )
-            out = {"codes": codes, "labels": labels}
-            if bottom_level:
-                out["cond"] = cond
-            yield out
-
     def save_ckpt(state, step, completed_epoch):
         # artifact stays the {"params": ...} variables layout the sample
         # CLI and cli/serve.py --prior-ckpt restore into;
@@ -320,6 +329,155 @@ def cmd_train(args):
     if trainer.state.ema_params is not None:
         print("averaged-model (EMA) artifact saved to "
               f"{args.ckpt_dir.rstrip('/')}_ema")
+
+
+def build_pp_train(prior, n_pipe: int, n_data: int, n_micro: int, lr: float):
+    """The CLI-reachable pipeline-parallel training machinery (also the
+    path ``__graft_entry__.dryrun_multichip`` drives): DPxPP mesh via
+    ``make_pp_mesh``, optax Adam, and the stage-sharded jitted train
+    step from ``make_pp_prior_train_step``."""
+    import optax
+
+    from neural_sound_generation_tpu.parallel import pipeline as pp
+
+    mesh = pp.make_pp_mesh(n_pipe=n_pipe, n_data=n_data)
+    tx = optax.adam(lr)
+    init_fn, step_fn = pp.make_pp_prior_train_step(prior, mesh, n_micro, tx)
+    return mesh, tx, init_fn, step_fn
+
+
+def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
+    """GPipe pipeline-parallel prior training (``--mesh-pipe N > 1``).
+
+    The block stack AND its Adam moments live sharded over the mesh's
+    'pipe' axis for the whole run (each device holds n_layers/N layers'
+    weights + moments — PP's memory claim), composing with '--mesh-data'
+    as DP x PP. Checkpoints are exported DENSE: the artifact is the
+    mesh-width-independent ``{..., block_i: ...}`` layout ``sample`` and
+    ``serve --prior-ckpt`` restore directly, and the ``*_train`` sibling
+    stores params + moments in the same dense layout — so a pp4 run
+    resumes under pp2 or dense (cross-layout lifecycle). The reference
+    has no pipeline engine at all (SURVEY §2a)."""
+    from neural_sound_generation_tpu.parallel import pipeline as pp
+    from neural_sound_generation_tpu.training import checkpoint
+
+    if getattr(args, "arch", "pixelcnn") != "transformer":
+        raise SystemExit(
+            "--mesh-pipe stages the transformer prior's uniform block "
+            "stack; use --arch transformer (the pixelcnn layers are not "
+            "a uniform stack)"
+        )
+    if getattr(args, "moe_experts", 0):
+        raise SystemExit(
+            "--mesh-pipe does not collect the MoE load-balance loss; "
+            "train routed priors with --mesh-model (expert parallelism)"
+        )
+    n_pipe = args.mesh_pipe
+    if prior.n_layers % n_pipe:
+        raise SystemExit(
+            f"--prior-layers {prior.n_layers} does not stage evenly "
+            f"over --mesh-pipe {n_pipe}"
+        )
+    n_data = args.mesh_data or 1
+    if n_data * n_pipe > len(jax.devices()):
+        raise SystemExit(
+            f"mesh {n_data}x{n_pipe} needs {n_data * n_pipe} devices, "
+            f"have {len(jax.devices())}"
+        )
+    n_micro = args.pp_microbatches or n_pipe
+    if args.batch_size % n_micro:
+        raise SystemExit(
+            f"--pp-microbatches {n_micro} must divide --batch-size "
+            f"{args.batch_size}"
+        )
+
+    mesh, tx, init_fn, step_fn = build_pp_train(
+        prior, n_pipe, n_data, n_micro, args.lr
+    )
+    rest, stacked = pp.pp_prior_partition(prior, pvars, mesh)
+    opt_state = init_fn(rest, stacked)
+
+    def to_dense_params(r, s):
+        return pp.pp_prior_unpartition(prior, r, s)
+
+    def split_dense(dense):
+        return pp.pp_prior_split(prior, dense)
+
+    step_total, start_epoch = 0, 1
+    # PP stores dense params+moments — a different layout from the
+    # standard TrainState *_train sibling, so it gets its own name and
+    # a dense-trained run resumed under --mesh-pipe (or vice versa)
+    # falls back to the artifact instead of misgrafting
+    train_dir = args.ckpt_dir.rstrip("/") + "_pp_train"
+    if getattr(args, "resume", False):
+        if checkpoint.latest_step(train_dir) is not None:
+            template = {
+                "params": to_dense_params(rest, stacked),
+                "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params),
+            }
+            restored, extra = checkpoint.restore(train_dir, template)
+            rest, stacked = pp.pp_prior_partition(
+                prior, {"params": restored["params"]}, mesh
+            )
+            opt_state = pp.pp_opt_state_from_dense(
+                restored["opt"], split_dense, mesh
+            )
+            step_total = checkpoint.latest_step(train_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed pp train state from step {step_total}, "
+                  f"epoch {start_epoch} (mesh dp{n_data}xpp{n_pipe})")
+        elif checkpoint.latest_step(args.ckpt_dir) is not None:
+            restored, extra = checkpoint.restore(
+                args.ckpt_dir, {"params": to_dense_params(rest, stacked)}
+            )
+            rest, stacked = pp.pp_prior_partition(
+                prior, {"params": restored["params"]}, mesh
+            )
+            opt_state = init_fn(rest, stacked)
+            step_total = checkpoint.latest_step(args.ckpt_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed params from step {step_total}, epoch "
+                  f"{start_epoch} (no *_train sibling: Adam moments "
+                  f"restart)")
+
+    def save_ckpt(completed_epoch):
+        dense = to_dense_params(rest, stacked)
+        extra = {"epoch": completed_epoch}
+        # the artifact is the SAME layout the dense/TP paths export —
+        # `sample` restores it with no PP-specific handling
+        checkpoint.save(
+            args.ckpt_dir, {"params": dense}, step=step_total, extra=extra
+        )
+        checkpoint.save(
+            train_dir,
+            {"params": dense,
+             "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params)},
+            step=step_total, extra=extra, block=False,
+        )
+
+    interval = cfg.train.checkpoint_interval
+    for epoch in range(start_epoch, args.epochs + 1):
+        # shuffle order is f(seed, epoch): --resume replays the exact
+        # batch order an uninterrupted run's epoch-N pass would see
+        loaders["train"].set_epoch(epoch - 1)
+        loss_sum, count = 0.0, 0
+        for batch in epoch_batches():
+            rest, stacked, opt_state, metrics = step_fn(
+                rest, stacked, opt_state,
+                {"codes": batch["codes"], "labels": batch["labels"]},
+            )
+            step_total += 1
+            loss_sum += metrics["loss"]
+            count += 1
+            if interval and step_total % interval == 0:
+                save_ckpt(completed_epoch=epoch - 1)
+        nll = float(loss_sum) / max(count, 1)
+        print(f"prior epoch {epoch}: nll/code {nll:.4f} "
+              f"(ppl {np.exp(nll):.1f} of {args.z_dim}) "
+              f"[pp{n_pipe} x dp{n_data}, {n_micro} microbatches]")
+        save_ckpt(completed_epoch=epoch)
+    print(f"prior saved to {args.ckpt_dir} (dense artifact; trained "
+          f"pipeline-parallel over {n_pipe} stages)")
 
 
 def cmd_sample(args):

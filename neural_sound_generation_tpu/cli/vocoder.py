@@ -44,6 +44,18 @@ def parse_args(argv=None):
     tr.add_argument("--mesh-model", type=int, default=1,
                     help="tensor-parallel shards for the vocoder (res/"
                          "skip/cond conv channels over the 'model' axis)")
+    tr.add_argument("--mesh-pipe", type=int, default=1,
+                    help="GPipe pipeline-parallel stages for the WaveNet "
+                         "residual stacks: stack weights AND Adam "
+                         "moments live sharded over the 'pipe' axis "
+                         "(static dilations inside each stage program); "
+                         "composes with --mesh-data as DPxPP; "
+                         "checkpoints export the flat layout "
+                         "`synthesize` restores, so runs resume at any "
+                         "pipe width")
+    tr.add_argument("--pp-microbatches", type=int, default=None,
+                    help="GPipe microbatches per step (default: "
+                         "--mesh-pipe); must divide --batch-size")
     tr.add_argument("--multi-steps", type=int, default=1,
                     help="optimization steps per device launch (lax.scan)")
     tr.add_argument("--bf16", action="store_true",
@@ -135,6 +147,25 @@ def cmd_train(args):
     x = WaveNet.shift_inputs(targets, scalar)
     variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
 
+    def epoch_batches():
+        for i, batch in enumerate(loaders["train"]):
+            if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
+                break
+            targets, c = _batch_to_wavenet(batch, cfg)
+            g = _batch_speakers(batch)
+            out = {
+                "y": targets,
+                "c": c,
+                "input_lengths": jnp.asarray(batch["input_lengths"]),
+            }
+            if g is not None:
+                out["g"] = g
+            yield out
+
+    if getattr(args, "mesh_pipe", 1) > 1:
+        _train_pp(args, cfg, model, variables, epoch_batches, loaders)
+        return
+
     # the vocoder trains on the same mesh-aware Trainer as the other
     # families (dp batch sharding, --mesh-model N tensor parallelism,
     # multi-step scan, checkpoint-interval callback) instead of an
@@ -181,21 +212,6 @@ def cmd_train(args):
         log_fn=None, multi_steps=args.multi_steps,
     )
 
-    def epoch_batches():
-        for i, batch in enumerate(loaders["train"]):
-            if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
-                break
-            targets, c = _batch_to_wavenet(batch, cfg)
-            g = _batch_speakers(batch)
-            out = {
-                "y": targets,
-                "c": c,
-                "input_lengths": jnp.asarray(batch["input_lengths"]),
-            }
-            if g is not None:
-                out["g"] = g
-            yield out
-
     def save_ckpt(state, step, completed_epoch):
         # artifact stays the {"params": ...} variables layout the
         # synthesize CLI (and serve --vocoder-ckpt) restore into;
@@ -234,6 +250,165 @@ def cmd_train(args):
     if trainer.state.ema_params is not None:
         print("averaged-model (EMA) artifact saved to "
               f"{args.ckpt_dir.rstrip('/')}_ema")
+
+
+def build_pp_vocoder_train(model, cfg, n_pipe: int, n_data: int,
+                           n_micro: int, lr: float):
+    """The CLI-reachable pipeline-parallel vocoder training machinery
+    (also the path ``__graft_entry__.dryrun_multichip`` exercises):
+    DPxPP mesh, optax Adam, and the stage-sharded jitted train step from
+    ``make_pp_wavenet_train_step`` (teacher-forced MoL / masked CE on
+    the last stage)."""
+    import optax
+
+    from neural_sound_generation_tpu.parallel import pipeline as pp
+
+    mesh = pp.make_pp_mesh(n_pipe=n_pipe, n_data=n_data)
+    tx = optax.adam(lr)
+    init_fn, step_fn = pp.make_pp_wavenet_train_step(
+        model, cfg, mesh, n_micro, tx
+    )
+    return mesh, tx, init_fn, step_fn
+
+
+def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
+    """GPipe pipeline-parallel vocoder training (``--mesh-pipe N > 1``).
+
+    The residual stacks AND their Adam moments live sharded over the
+    'pipe' axis (each device holds stacks/N stacks, with every dilation
+    static inside its stage program). Checkpoints export the flat
+    ``{name}_{i}`` layout — the artifact ``synthesize`` and ``serve
+    --vocoder-ckpt`` restore directly, and the ``*_train`` sibling's
+    dense moments re-partition at any pipe width on resume. The WaveNet
+    is the framework's largest model — this is the PP flagship the
+    round-3 fwd/grad-only staging lacked."""
+    from neural_sound_generation_tpu.parallel import pipeline as pp
+    from neural_sound_generation_tpu.training import checkpoint
+
+    n_pipe = args.mesh_pipe
+    if model.stacks % n_pipe:
+        raise SystemExit(
+            f"--stacks {model.stacks} does not stage evenly over "
+            f"--mesh-pipe {n_pipe}"
+        )
+    if model.gin_channels > 0:
+        raise SystemExit(
+            "--mesh-pipe does not thread speaker embeddings; train "
+            "speaker-conditioned vocoders on the DP/TP mesh"
+        )
+    if getattr(args, "bf16", False):
+        raise SystemExit(
+            "--mesh-pipe stages the f32 layer math; drop --bf16 "
+            "(bf16 PP staging is not wired)"
+        )
+    if model.cin_channels <= 0:
+        raise SystemExit(
+            "--mesh-pipe requires mel conditioning (cin_channels > 0)"
+        )
+    n_data = args.mesh_data or 1
+    if n_data * n_pipe > len(jax.devices()):
+        raise SystemExit(
+            f"mesh {n_data}x{n_pipe} needs {n_data * n_pipe} devices, "
+            f"have {len(jax.devices())}"
+        )
+    n_micro = args.pp_microbatches or n_pipe
+    if args.batch_size % n_micro:
+        raise SystemExit(
+            f"--pp-microbatches {n_micro} must divide --batch-size "
+            f"{args.batch_size}"
+        )
+
+    mesh, tx, init_fn, step_fn = build_pp_vocoder_train(
+        model, cfg, n_pipe, n_data, n_micro,
+        cfg.train.initial_learning_rate,
+    )
+    rest, stacked = pp.wavenet_stack_params(model, variables, mesh)
+    opt_state = init_fn(rest, stacked)
+
+    def to_dense_params(r, s):
+        return pp.wavenet_unstack_params(model, r, s)
+
+    def split_dense(dense):
+        return pp.wavenet_stack_params(model, {"params": dense})
+
+    step_total, start_epoch = 0, 1
+    # PP stores dense params+moments — a different layout from the
+    # standard TrainState *_train sibling, so it gets its own name and
+    # a dense-trained run resumed under --mesh-pipe (or vice versa)
+    # falls back to the artifact instead of misgrafting
+    train_dir = args.ckpt_dir.rstrip("/") + "_pp_train"
+    if args.resume:
+        if checkpoint.latest_step(train_dir) is not None:
+            template = {
+                "params": to_dense_params(rest, stacked),
+                "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params),
+            }
+            restored, extra = checkpoint.restore(train_dir, template)
+            rest, stacked = pp.wavenet_stack_params(
+                model, {"params": restored["params"]}, mesh
+            )
+            opt_state = pp.pp_opt_state_from_dense(
+                restored["opt"], split_dense, mesh
+            )
+            step_total = checkpoint.latest_step(train_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed pp train state from step {step_total}, "
+                  f"epoch {start_epoch} (mesh dp{n_data}xpp{n_pipe})")
+        elif checkpoint.latest_step(args.ckpt_dir) is not None:
+            restored, extra = checkpoint.restore(
+                args.ckpt_dir, {"params": to_dense_params(rest, stacked)}
+            )
+            rest, stacked = pp.wavenet_stack_params(
+                model, {"params": restored["params"]}, mesh
+            )
+            opt_state = init_fn(rest, stacked)
+            step_total = checkpoint.latest_step(args.ckpt_dir)
+            start_epoch = int((extra or {}).get("epoch", 0)) + 1
+            print(f"resumed params from step {step_total}, epoch "
+                  f"{start_epoch} (no *_train sibling: Adam moments "
+                  f"restart)")
+
+    def save_ckpt(completed_epoch):
+        dense = to_dense_params(rest, stacked)
+        extra = {"epoch": completed_epoch}
+        # the artifact is the SAME flat layout the dense/TP paths
+        # export — `synthesize` restores it with no PP-specific handling
+        checkpoint.save(
+            args.ckpt_dir, {"params": dense}, step=step_total, extra=extra
+        )
+        checkpoint.save(
+            train_dir,
+            {"params": dense,
+             "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params)},
+            step=step_total, extra=extra, block=False,
+        )
+
+    interval = cfg.train.checkpoint_interval
+    for epoch in range(start_epoch, args.epochs + 1):
+        # shuffle order is f(seed, epoch): --resume replays the exact
+        # batch order an uninterrupted run's epoch-N pass would see
+        loaders["train"].set_epoch(epoch - 1)
+        loss_sum, count = 0.0, 0
+        for batch in epoch_batches():
+            if "g" in batch:
+                raise SystemExit(
+                    "--mesh-pipe does not thread speaker embeddings; "
+                    "this corpus carries speaker ids"
+                )
+            rest, stacked, opt_state, metrics = step_fn(
+                rest, stacked, opt_state, batch
+            )
+            step_total += 1
+            loss_sum += metrics["loss"]
+            count += 1
+            if interval and step_total % interval == 0:
+                save_ckpt(completed_epoch=epoch - 1)
+        loss = float(loss_sum) / max(count, 1)
+        print(f"wavenet epoch {epoch}: loss {loss:.4f} "
+              f"[pp{n_pipe} x dp{n_data}, {n_micro} microbatches]")
+        save_ckpt(completed_epoch=epoch)
+    print(f"wavenet saved to {args.ckpt_dir} (flat artifact; trained "
+          f"pipeline-parallel over {n_pipe} stages)")
 
 
 def _batch_to_wavenet(batch, cfg):

@@ -419,13 +419,28 @@ def pp_opt_state_from_dense(dense_opt, partition_fn, mesh: Mesh,
     """Inverse of :func:`pp_opt_state_to_dense`: re-partition each dense
     moment dict into the (rest, stacked) pair placed on ``mesh`` (stacked
     part sharded over ``axis``). ``partition_fn(dense_dict) -> (rest,
-    stacked)`` performs the structural split (no placement)."""
+    stacked)`` performs the structural split (no placement). Non-moment
+    leaves (Adam's ``count``, any schedule state) are re-placed
+    replicated on the SAME mesh — the source state may live on a
+    different device set entirely (cross-width restore)."""
+    import optax
+
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
 
     def place(dense):
         rest, stacked = partition_fn(dense)
         return _place_pair(rest, stacked, mesh, axis)
 
-    return _map_adam_moments(dense_opt, place)
+    out = []
+    for st in _map_adam_moments(dense_opt, place):
+        if isinstance(st, optax.ScaleByAdamState):
+            st = st._replace(count=jax.device_put(st.count, rep))
+        else:
+            st = jax.device_put(st, rep)
+        out.append(st)
+    return tuple(out)
 
 
 def wavenet_stack_params(model, params, mesh: Mesh = None,

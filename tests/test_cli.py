@@ -331,6 +331,77 @@ def test_evaluate_cli(tmp_path):
     assert not np.allclose(recon_live, recon)
 
 
+def test_evaluate_cli_mesh(tmp_path, monkeypatch, capsys):
+    """--mesh-data/--mesh-model on the evaluate CLI (round-4 verdict
+    item 6): a TP-trained checkpoint evaluates under the 'model'-axis
+    layout it trained with — params committed sharded, batch dp-sharded
+    — and the metrics match the replicated eval."""
+    import json
+
+    import jax
+
+    import neural_sound_generation_tpu.training as training_mod
+    from neural_sound_generation_tpu.cli import evaluate as evaluate_cli
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "4", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+        "--mesh-data", "2", "--mesh-model", "2",
+    ])
+    ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+
+    def run(extra_args):
+        capsys.readouterr()
+        evaluate_cli.main([
+            "--model", "vqvae", "--dataset", "ljspeech",
+            "--datadir", str(out_dir), "--ckpt-dir", ckpt,
+            "--batch-size", "4", "--dim", "8", "--z-dim", "16",
+        ] + extra_args)
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    captured = {}
+    real_trainer = training_mod.Trainer
+
+    def capturing_trainer(*a, **kw):
+        t = real_trainer(*a, **kw)
+        captured["trainer"] = t
+        return t
+
+    monkeypatch.setattr(training_mod, "Trainer", capturing_trainer)
+    # evaluate_cli imports Trainer from the package at call time? no —
+    # it imports the name directly; patch the module it resolves from
+    monkeypatch.setattr(
+        "neural_sound_generation_tpu.training.Trainer", capturing_trainer
+    )
+    mesh_means = run(["--mesh-data", "2", "--mesh-model", "2"])
+    trainer = captured["trainer"]
+    assert trainer.tensor_parallel
+    assert trainer.mesh is not None and dict(trainer.mesh.shape) == {
+        "data": 2, "model": 2,
+    }
+    # the restored codebook is committed to its trained 'model' sharding
+    assert "model" in trainer.state.params["codebook"].sharding.spec
+    for shard in trainer.state.params["codebook"].addressable_shards:
+        assert shard.data.shape[0] == 8  # 16 codes over 2 model shards
+
+    monkeypatch.setattr(
+        "neural_sound_generation_tpu.training.Trainer", real_trainer
+    )
+    plain_means = run([])
+    for k in plain_means:
+        assert abs(mesh_means[k] - plain_means[k]) < 1e-3, (
+            k, mesh_means[k], plain_means[k],
+        )
+
+
 def _make_cifar10(tmp_path, n=24):
     import pickle
 

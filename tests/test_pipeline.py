@@ -278,6 +278,117 @@ def test_wavenet_pp_grads_flow(rng):
         )
 
 
+def test_wavenet_stack_unstack_roundtrip(rng):
+    """wavenet_unstack_params inverts wavenet_stack_params exactly —
+    the PP-trained vocoder exports the flat {name}_{i} layout the
+    synthesize CLI restores."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_stack_params, wavenet_unstack_params,
+    )
+
+    model, variables, _, _ = _wavenet(rng)
+    rest, stacked = wavenet_stack_params(model, variables)
+    back = wavenet_unstack_params(model, rest, stacked)
+    want = variables["params"]
+    assert set(back.keys()) == set(want.keys())
+    for k in want:
+        for x, y in zip(
+            jax.tree_util.tree_leaves(back[k]),
+            jax.tree_util.tree_leaves(want[k]),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_wavenet_pp_train_step_learns(rng):
+    """make_pp_wavenet_train_step — the round-4 optimizer counterpart to
+    the fwd/grad-only wavenet_pp_logits: teacher-forced MoL loss on the
+    last stage, stage-sharded stacks AND Adam moments, loss drops over
+    donated steps."""
+    import optax
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_wavenet_train_step, wavenet_stack_params,
+    )
+
+    model, variables, x, c = _wavenet(rng)
+    cfg = Config()
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    init_fn, step = make_pp_wavenet_train_step(
+        model, cfg, mesh, n_micro=2, tx=optax.adam(3e-3)
+    )
+    opt_state = init_fn(rest, stacked)
+    # teacher forcing: y IS the target waveform; shift happens inside
+    batch = {"y": x, "c": c}
+
+    losses = []
+    for _ in range(20):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.5, losses[::6]
+    # stacks and their moments stay sharded over 'pipe' across steps
+    assert "pipe" in stacked["dilated"]["kernel"].sharding.spec
+    mu_stacked = opt_state[0].mu[1]
+    assert "pipe" in mu_stacked["dilated"]["kernel"].sharding.spec
+    for shard in stacked["dilated"]["kernel"].addressable_shards:
+        assert shard.data.shape[0] == 1  # one stack per pipe shard
+
+
+def test_pp_opt_state_dense_roundtrip(rng):
+    """pp_opt_state_to_dense/from_dense: Adam moments convert between
+    the partitioned (rest, stacked) layout and the mesh-width-
+    independent dense layout bit-exactly, and a pp4-trained state steps
+    on under pp2 (the cross-layout checkpoint lifecycle)."""
+    import optax
+
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_prior_train_step,
+        pp_opt_state_from_dense,
+        pp_opt_state_to_dense,
+        pp_prior_partition,
+        pp_prior_split,
+        pp_prior_unpartition,
+    )
+
+    model, variables, codes, labels = _prior(n_layers=4, dim=32)
+    mesh4 = make_pp_mesh(4)
+    rest, stacked = pp_prior_partition(model, variables, mesh4)
+    tx = optax.adam(3e-3)
+    init_fn, step4 = make_pp_prior_train_step(model, mesh4, 4, tx)
+    opt_state = init_fn(rest, stacked)
+    batch = {"codes": codes, "labels": labels}
+    for _ in range(3):
+        rest, stacked, opt_state, m4 = step4(rest, stacked, opt_state, batch)
+
+    unpart = lambda r, s: pp_prior_unpartition(model, r, s)  # noqa: E731
+    dense_p = unpart(rest, stacked)
+    dense_o = pp_opt_state_to_dense(opt_state, unpart)
+    # moments in dense layout mirror the params-tree structure
+    assert "block_0" in dense_o[0].mu and "head" in dense_o[0].mu
+    assert int(dense_o[0].count) == 3
+
+    # round-trip back at the SAME width is exact
+    mesh2 = make_pp_mesh(2)
+    rest2, stacked2 = pp_prior_partition(model, {"params": dense_p}, mesh2)
+    opt2 = pp_opt_state_from_dense(
+        dense_o, lambda d: pp_prior_split(model, d), mesh2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(opt2[0].mu[1]["attn_qkv"]["kernel"]).reshape(-1),
+        np.asarray(opt_state[0].mu[1]["attn_qkv"]["kernel"]).reshape(-1),
+    )
+
+    # ...and the pp2 step continues training from the pp4 trajectory
+    _, step2 = make_pp_prior_train_step(model, mesh2, 4, tx)
+    r, s, o = rest2, stacked2, opt2
+    for _ in range(3):
+        r, s, o, m2 = step2(r, s, o, batch)
+    assert float(m2["loss"]) < float(m4["loss"])
+    assert "pipe" in s["attn_qkv"]["kernel"].sharding.spec
+
+
 def test_pp_train_step_learns(rng):
     """A full pipeline-parallel training step: masked-CE loss on the PP
     logits, grads through embed + staged blocks + head, plain Adam.

@@ -233,6 +233,108 @@ def test_prior_cli_train_and_sample(tmp_path, monkeypatch):
     assert len(wavs) == 2
 
 
+def test_prior_cli_pipeline_parallel(tmp_path, monkeypatch, capsys):
+    """`cli.prior train --mesh-pipe 4` on the virtual 8-CPU mesh
+    (round-4 verdict item 1): the block stack AND Adam moments train
+    stage-sharded over 'pipe' (asserted via addressable_shards), the
+    exported artifact is the dense layout `sample` restores directly,
+    and --resume under --mesh-pipe 2 restores the pp4-trained state
+    cross-layout with moments intact."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=8)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    ckptdir = tmp_path / "models"
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir), "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(ckptdir), "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    vq_ckpt = str(ckptdir / "vqvae" / "checkpoint_ljspeech_8_16")
+
+    captured = {}
+    real_build = prior_cli.build_pp_train
+
+    def capturing_build(*a, **kw):
+        mesh, tx, init_fn, step_fn = real_build(*a, **kw)
+
+        def wrapped_step(rest, stacked, opt_state, batch):
+            out = step_fn(rest, stacked, opt_state, batch)
+            captured["stacked"], captured["opt"] = out[1], out[2]
+            captured["mesh"] = mesh
+            return out
+
+        return mesh, tx, init_fn, wrapped_step
+
+    monkeypatch.setattr(prior_cli, "build_pp_train", capturing_build)
+    prior_ckpt = str(tmp_path / "prior_pp")
+    base = [
+        "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+        "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+        "--arch", "transformer", "--prior-dim", "16", "--prior-layers", "4",
+        "--batch-size", "4", "--max-batches-per-epoch", "2",
+    ]
+    prior_cli.main(base + ["--epochs", "1", "--mesh-pipe", "4"])
+
+    # stage-sharded: 4 layers over 4 pipe shards -> 1 layer per device,
+    # for the weights AND their Adam moments
+    assert captured["mesh"].shape == {"data": 1, "pipe": 4}
+    stacked = captured["stacked"]
+    assert "pipe" in stacked["attn_qkv"]["kernel"].sharding.spec
+    for shard in stacked["attn_qkv"]["kernel"].addressable_shards:
+        assert shard.data.shape[0] == 1
+    mu = captured["opt"][0].mu[1]
+    assert "pipe" in mu["attn_qkv"]["kernel"].sharding.spec
+    step1 = ckpt_mod.latest_step(prior_ckpt)
+    assert step1 and step1 >= 1
+    assert ckpt_mod.latest_step(prior_ckpt + "_pp_train") == step1
+
+    # cross-layout resume: the pp4 checkpoint steps on under pp2 with
+    # moments restored (dense layout is mesh-width-independent)
+    capsys.readouterr()
+    prior_cli.main(base + ["--epochs", "2", "--resume", "--mesh-pipe", "2"])
+    out = capsys.readouterr().out
+    assert f"resumed pp train state from step {step1}, epoch 2" in out
+    assert captured["mesh"].shape == {"data": 1, "pipe": 2}
+    for shard in captured["stacked"]["attn_qkv"]["kernel"].addressable_shards:
+        assert shard.data.shape[0] == 2  # 4 layers over 2 stages
+
+    # the artifact is the plain dense layout — `sample` restores it with
+    # no PP-specific handling
+    sample_dir = str(tmp_path / "pp_samples")
+    prior_cli.main([
+        "sample", "--vqvae-ckpt", vq_ckpt, "--prior-ckpt", prior_ckpt,
+        "--output-dir", sample_dir, "--dim", "8", "--z-dim", "16",
+        "--arch", "transformer", "--prior-dim", "16", "--prior-layers", "4",
+        "--code-shape", "20", "7", "--num-samples", "1",
+    ])
+    wavs = [f for f in os.listdir(sample_dir) if f.endswith(".wav")]
+    assert len(wavs) == 1
+
+    # guardrails: pixelcnn arch and non-dividing layer count are loud
+    with pytest.raises(SystemExit, match="transformer"):
+        prior_cli.main([
+            "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+            "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+            "--prior-dim", "8", "--prior-layers", "4",
+            "--batch-size", "4", "--mesh-pipe", "4", "--epochs", "1",
+        ])
+    with pytest.raises(SystemExit, match="stage evenly"):
+        prior_cli.main([
+            "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+            "--ckpt-dir", prior_ckpt, "--dim", "8", "--z-dim", "16",
+            "--arch", "transformer", "--prior-dim", "16",
+            "--prior-layers", "3", "--batch-size", "4",
+            "--mesh-pipe", "4", "--epochs", "1",
+        ])
+
+
 def test_prior_cli_transformer_moe(tmp_path):
     """--arch transformer --moe-experts: the routed prior trains and
     samples through the production CLI (train reports the load-balance

@@ -422,6 +422,93 @@ def test_pallas_uniform_bits_unbiased():
     assert float((u <= 1e-6).mean()) < 1e-3
 
 
+def test_vocoder_cli_pipeline_parallel(tmp_path, monkeypatch, capsys):
+    """`cli.vocoder train --mesh-pipe 2` (round-4 verdict item 2): the
+    residual stacks AND Adam moments train stage-sharded over 'pipe',
+    the loss decreases across epochs, the artifact is the flat layout
+    `synthesize` restores directly, and --resume restores the pp state
+    cross-layout."""
+    from tests.test_cli import _make_ljspeech
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+
+    captured = {}
+    real_build = vocoder_cli.build_pp_vocoder_train
+
+    def capturing_build(*a, **kw):
+        mesh, tx, init_fn, step_fn = real_build(*a, **kw)
+
+        def wrapped_step(rest, stacked, opt_state, batch):
+            out = step_fn(rest, stacked, opt_state, batch)
+            captured["stacked"], captured["opt"] = out[1], out[2]
+            captured["mesh"] = mesh
+            return out
+
+        return mesh, tx, init_fn, wrapped_step
+
+    monkeypatch.setattr(vocoder_cli, "build_pp_vocoder_train", capturing_build)
+    ckpt = str(tmp_path / "wn_pp")
+    base = [
+        "train", "--datadir", str(out_dir), "--ckpt-dir", ckpt,
+        "--batch-size", "2", "--layers", "4", "--stacks", "2",
+        "--residual-channels", "8", "--max-batches-per-epoch", "2",
+        "--mesh-pipe", "2",
+    ]
+    capsys.readouterr()
+    vocoder_cli.main(base + ["--epochs", "2"])
+    out = capsys.readouterr().out
+    losses = [
+        float(line.split("loss ")[1].split(" ")[0])
+        for line in out.splitlines() if "wavenet epoch" in line
+    ]
+    assert len(losses) == 2 and losses[1] < losses[0], out
+
+    assert captured["mesh"].shape == {"data": 1, "pipe": 2}
+    stacked = captured["stacked"]
+    assert "pipe" in stacked["dilated"]["kernel"].sharding.spec
+    for shard in stacked["dilated"]["kernel"].addressable_shards:
+        assert shard.data.shape[0] == 1  # one stack per pipe shard
+    mu = captured["opt"][0].mu[1]
+    assert "pipe" in mu["dilated"]["kernel"].sharding.spec
+    step1 = ckpt_mod.latest_step(ckpt)
+    assert ckpt_mod.latest_step(ckpt + "_pp_train") == step1
+
+    # a dense (non-PP) resume of a PP-trained run falls back to the
+    # artifact (the *_pp_train layout is PP-specific): params come back,
+    # moments restart — loudly
+    capsys.readouterr()
+    vocoder_cli.main(base[:-2] + ["--mesh-pipe", "1", "--epochs", "3",
+                                  "--resume"])
+    out = capsys.readouterr().out
+    assert "moments restart" in out
+    assert "wavenet epoch 3:" in out
+    assert "wavenet epoch 1:" not in out
+
+    # the artifact is the plain flat layout — synthesize restores it
+    mel = sorted(out_dir.glob("*-mel-*.npy"))[0]
+    wav_out = tmp_path / "pp_syn.wav"
+    vocoder_cli.main([
+        "synthesize", "--ckpt-dir", ckpt, "--mel-npy", str(mel),
+        "--output", str(wav_out), "--layers", "4", "--stacks", "2",
+        "--residual-channels", "8", "--max-frames", "5",
+    ])
+    assert wav_out.exists()
+
+    # guardrail: non-dividing stack count is loud
+    with pytest.raises(SystemExit, match="stage evenly"):
+        vocoder_cli.main([
+            "train", "--datadir", str(out_dir), "--ckpt-dir", ckpt,
+            "--batch-size", "2", "--layers", "6", "--stacks", "3",
+            "--residual-channels", "8", "--mesh-pipe", "2",
+            "--epochs", "1",
+        ])
+
+
 def test_vocoder_cli_resume(tmp_path, capsys):
     """--resume on the vocoder CLI continues the epoch count (previously
     only params/step came back and epochs restarted at 1, replaying
