@@ -28,6 +28,12 @@ def parse_args(argv=None):
     tr.add_argument("--datadir", required=True, help="preprocessed corpus dir")
     tr.add_argument("--vqvae-ckpt", required=True)
     tr.add_argument("--ckpt-dir", default="./models/prior")
+    tr.add_argument("--preset", default=None,
+                    help="hparams preset JSON (e.g. the reference's "
+                         "multispeaker_cmu_arctic_mixture.json): sets the "
+                         "audio chain AND, when gin_channels > 0, loads "
+                         "the VQ-VAE template speaker-conditioned so the "
+                         "checkpoint's speaker embeddings restore")
     tr.add_argument("--dim", type=int, default=256, help="vqvae hidden width")
     tr.add_argument("--z-dim", type=int, default=512, help="codebook size")
     tr.add_argument("--arch", choices=["pixelcnn", "transformer"],
@@ -97,6 +103,10 @@ def parse_args(argv=None):
     sa.add_argument("--vqvae-ckpt", required=True)
     sa.add_argument("--prior-ckpt", required=True)
     sa.add_argument("--output-dir", default="./results/prior")
+    sa.add_argument("--preset", default=None,
+                    help="hparams preset JSON; with gin_channels > 0 the "
+                         "decoder is speaker-conditioned and --label "
+                         "selects the speaker the samples are decoded as")
     sa.add_argument("--dim", type=int, default=256)
     sa.add_argument("--z-dim", type=int, default=512)
     sa.add_argument("--arch", choices=["pixelcnn", "transformer"],
@@ -150,17 +160,60 @@ def _build_prior(args, spatial_cond: bool):
     )
 
 
-def _load_vqvae(args, sample_x):
+def long_t_warning(arch: str, codes_shape, threshold: int = 1024):
+    """Measured cliff (PERF.md "long-T regime"): at the hier bottom grid
+    (T=2240, hd=64) the fused attention kernel's Q tiles starve the MXU
+    and even stock XLA runs ~102 ms fwd+bwd (~10 steps/s) — an order of
+    magnitude slower than the PixelCNN prior at the same grid. Returns a
+    loud steer (or None) instead of blocking: long-T transformer priors
+    still work, they are just the wrong default at bottom-level grids."""
+    h, w = int(codes_shape[1]), int(codes_shape[2])
+    if arch != "transformer" or h * w < threshold:
+        return None
+    return (
+        f"WARNING: transformer prior over a {h}x{w} code grid "
+        f"(T={h * w}): causal attention at this length runs ~10 steps/s "
+        f"on v5e (PERF.md 'long-T regime'); --arch pixelcnn is ~an "
+        f"order of magnitude faster at bottom-level grids"
+    )
+
+
+def _prior_cfg(args):
+    """Config with the optional --preset overlay (the multispeaker
+    cmu_arctic preset is how speaker conditioning reaches this CLI)."""
+    from neural_sound_generation_tpu.config import Config, load_preset
+
+    cfg = Config()
+    if getattr(args, "preset", None):
+        cfg = load_preset(args.preset, cfg)
+    return cfg
+
+
+def _load_vqvae(args, sample_x, cfg=None):
     from neural_sound_generation_tpu.config import Config
     from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
     from neural_sound_generation_tpu.training import checkpoint, create_train_state
 
+    cfg = cfg or Config()
+    gin = cfg.arch.gin_channels
+    n_speakers = cfg.arch.n_speakers if gin > 0 else 0
+    init_kwargs = {}
     if getattr(args, "hier", False):
         model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
     else:
-        model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
-    variables = model.init(jax.random.PRNGKey(0), sample_x, train=False)
-    state = create_train_state(variables, Config().train)
+        # speaker-conditioned decoder when the preset says so (the
+        # multispeaker_cmu_arctic configuration, src/hparams.py:80-84) —
+        # the template must carry the embedding or restore drops it
+        model = VQVAE(
+            input_dim=1, dim=args.dim, z_dim=args.z_dim,
+            n_speakers=n_speakers, gin_channels=gin if n_speakers else -1,
+        )
+        if n_speakers:
+            init_kwargs["g"] = jnp.zeros((sample_x.shape[0],), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), sample_x, train=False, **init_kwargs
+    )
+    state = create_train_state(variables, cfg.train)
     restored, _ = checkpoint.restore(args.vqvae_ckpt, state)
     # commit to device once: uncommitted numpy leaves re-upload through
     # the TPU tunnel on every jit call (see cli/serve.py build_service)
@@ -176,7 +229,7 @@ def cmd_train(args):
     from neural_sound_generation_tpu.models import VQVAE
     from neural_sound_generation_tpu.training import checkpoint
 
-    cfg = Config()
+    cfg = _prior_cfg(args)
     hier = getattr(args, "hier", False)
     bottom_level = hier and args.hier_level == "bottom"
     loaders = get_audio_data_loaders(
@@ -184,7 +237,7 @@ def cmd_train(args):
         latent_stride=8 if hier else 4,
     )
     sample = next(iter(loaders["train"]))
-    model, vq_vars = _load_vqvae(args, jnp.asarray(sample["x"]))
+    model, vq_vars = _load_vqvae(args, jnp.asarray(sample["x"]), cfg)
 
     if hier:
         from neural_sound_generation_tpu.inference import hier_cond_map
@@ -207,6 +260,9 @@ def cmd_train(args):
 
     prior = _build_prior(args, spatial_cond=bottom_level)
     codes0, cond0 = encode(jnp.asarray(sample["x"]))
+    warning = long_t_warning(getattr(args, "arch", "pixelcnn"), codes0.shape)
+    if warning:
+        print(warning)
     labels0 = jnp.asarray(
         sample.get("g", np.zeros(codes0.shape[0], np.int32)), jnp.int32
     )
@@ -488,7 +544,7 @@ def cmd_sample(args):
     from neural_sound_generation_tpu.ops import dsp
     from neural_sound_generation_tpu.training import checkpoint
 
-    cfg = Config()
+    cfg = _prior_cfg(args)
     h, w = args.code_shape
 
     if args.hier:
@@ -526,7 +582,7 @@ def cmd_sample(args):
         return
 
     sample_x = jnp.zeros((1, h * 4, w * 4, 1))
-    model, vq_vars = _load_vqvae(args, sample_x)
+    model, vq_vars = _load_vqvae(args, sample_x, cfg)
 
     prior = _build_prior(args, spatial_cond=False)
     codes0 = jnp.zeros((1, h, w), jnp.int32)
@@ -539,7 +595,10 @@ def cmd_sample(args):
     codes = prior_generate(
         prior, pvars, labels, key, shape=(h, w), batch_size=args.num_samples
     )
-    wavs = codes_to_audio(model, vq_vars, codes, cfg.audio, key)
+    # speaker-conditioned decoder (multispeaker preset): the class label
+    # IS the speaker id — decode the samples as that speaker
+    g = labels if getattr(model, "n_speakers", 0) > 0 else None
+    wavs = codes_to_audio(model, vq_vars, codes, cfg.audio, key, g=g)
     os.makedirs(args.output_dir, exist_ok=True)
     for i in range(args.num_samples):
         path = os.path.join(args.output_dir, f"prior_sample_{i:03d}.wav")

@@ -76,6 +76,11 @@ def parse_args(argv=None):
     sy.add_argument("--residual-channels", type=int, default=None)
     sy.add_argument("--max-frames", type=int, default=40)
     sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--speaker-id", type=int, default=None,
+                    help="speaker id for a speaker-conditioned checkpoint "
+                         "(gin_channels > 0, e.g. the multispeaker "
+                         "cmu_arctic preset); required when the model "
+                         "carries speaker embeddings")
     sy.add_argument("--gen-precision", choices=["bf16", "f32"],
                     default="bf16",
                     help="matmul dtype for the sampling scan; bf16 is the "
@@ -437,13 +442,27 @@ def cmd_synthesize(args):
     c = jnp.asarray(mel, jnp.float32)[None, ...]
     length = mel.shape[0] * cfg.audio.effective_hop_size
 
+    g = None
+    if model.gin_channels > 0:
+        if args.speaker_id is None:
+            raise SystemExit(
+                "this checkpoint is speaker-conditioned (gin_channels "
+                f"{model.gin_channels}): pass --speaker-id 0.."
+                f"{model.n_speakers - 1}"
+            )
+        g = jnp.asarray([args.speaker_id], jnp.int32)
+    elif args.speaker_id is not None:
+        raise SystemExit(
+            "--speaker-id given but the model has no speaker embeddings "
+            "(gin_channels <= 0); use the multispeaker preset"
+        )
     x0 = model.shift_inputs(
         jnp.zeros((1, 8, 1))
         if cfg.audio.is_scalar_input
         else jnp.zeros((1, 8), jnp.int32),
         cfg.audio.is_scalar_input,
     )
-    template = model.init(jax.random.PRNGKey(0), x0, c, None)
+    template = model.init(jax.random.PRNGKey(0), x0, c, g)
     variables, _ = checkpoint.restore(args.ckpt_dir, template)
     variables = jax.device_put(variables)
 
@@ -451,7 +470,7 @@ def cmd_synthesize(args):
         model, length,
         dtype=jnp.bfloat16 if args.gen_precision == "bf16" else None,
     )
-    out = gen(variables, c, None, jax.random.PRNGKey(args.seed), batch_size=1)
+    out = gen(variables, c, g, jax.random.PRNGKey(args.seed), batch_size=1)
     wav = np.asarray(out)[0]
     if cfg.audio.is_mulaw_quantize:
         wav = np.asarray(

@@ -233,6 +233,18 @@ def test_prior_cli_train_and_sample(tmp_path, monkeypatch):
     assert len(wavs) == 2
 
 
+def test_prior_long_t_warning():
+    """The hier-bottom transformer perf cliff gets a loud CLI steer
+    (round-4 verdict item 7): T >= 1024 transformer grids warn toward
+    pixelcnn; short grids and pixelcnn itself stay silent."""
+    from neural_sound_generation_tpu.cli.prior import long_t_warning
+
+    msg = long_t_warning("transformer", (2, 40, 56))  # T=2240 hier bottom
+    assert msg and "pixelcnn" in msg and "2240" in msg
+    assert long_t_warning("transformer", (2, 20, 7)) is None
+    assert long_t_warning("pixelcnn", (2, 40, 56)) is None
+
+
 def test_prior_cli_pipeline_parallel(tmp_path, monkeypatch, capsys):
     """`cli.prior train --mesh-pipe 4` on the virtual 8-CPU mesh
     (round-4 verdict item 1): the block stack AND Adam moments train
