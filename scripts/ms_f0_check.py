@@ -1,0 +1,84 @@
+"""Speaker-consistency check of the multi-speaker chain's samples.
+
+The soak corpus gives speaker s the fundamental F0_s = 100 * 1.155^s Hz
+(scripts/multispeaker_soak.py). If the class(=speaker)-conditioned
+prior + speaker-conditioned decoder actually condition, the audio
+sampled with --label s must carry speaker s's fundamental. This script
+estimates each sample's F0 via autocorrelation and reports, per label,
+the median estimate vs the target — the end-to-end evidence that
+conditioning matters (the swap-MSE probe is blunted by the VQ codes
+themselves carrying speaker identity: the encoder is not
+speaker-stripped, so recon error moves little when only g changes).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 16000
+
+
+def estimate_f0(wav: np.ndarray, sr: int = SR,
+                fmin: float = 60.0, fmax: float = 400.0) -> float:
+    """Median autocorrelation-peak F0 over voiced 40 ms frames."""
+    frame = int(0.04 * sr)
+    hop = frame // 2
+    lo, hi = int(sr / fmax), int(sr / fmin)
+    f0s = []
+    for start in range(0, len(wav) - frame, hop):
+        seg = wav[start:start + frame]
+        if np.sqrt(np.mean(seg ** 2)) < 0.02:
+            continue
+        seg = seg - seg.mean()
+        ac = np.correlate(seg, seg, "full")[frame - 1:]
+        if ac[0] <= 0:
+            continue
+        ac = ac / ac[0]
+        lag = lo + int(np.argmax(ac[lo:hi]))
+        if ac[lag] > 0.3:
+            f0s.append(sr / lag)
+    return float(np.median(f0s)) if f0s else float("nan")
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ms-soak"
+    from neural_sound_generation_tpu.ops import dsp
+
+    report = {}
+    hits = 0
+    for spk in range(7):
+        target = 100.0 * (1.155 ** spk)
+        wavs = sorted(glob.glob(os.path.join(
+            workdir, f"samples_spk{spk}", "*.wav")))
+        ests = []
+        for w in wavs:
+            audio = np.asarray(dsp.load_wav(w, SR))
+            ests.append(estimate_f0(audio, SR))
+        med = float(np.nanmedian(ests)) if ests else float("nan")
+        # credit if the median estimate lands nearer this speaker's
+        # fundamental than any OTHER speaker's (nearest-target decode)
+        targets = 100.0 * (1.155 ** np.arange(7))
+        nearest = int(np.argmin(np.abs(targets - med))) if np.isfinite(med) else -1
+        ok = nearest == spk
+        hits += int(ok)
+        report[spk] = {
+            "target_f0": round(target, 1),
+            "sample_f0_median": round(med, 1) if np.isfinite(med) else None,
+            "n_wavs": len(wavs),
+            "nearest_speaker": nearest,
+            "match": ok,
+        }
+    print(json.dumps({"per_speaker": report,
+                      "speakers_matched": hits, "of": 7}))
+
+
+if __name__ == "__main__":
+    main()

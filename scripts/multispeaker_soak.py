@@ -162,8 +162,12 @@ def main():
     )
     state = create_train_state(variables, cfg.train)
     state, _ = checkpoint.restore(vq_ckpt, state)
+    # probe the LIVE params: at the reference EMA decay (0.9999,
+    # hparams.py:118) the shadow is still ~at init after a short soak's
+    # few hundred steps, and an EMA-stale decoder would flatten the
+    # speaker-swap signal (measured: ratio 1.009 via EMA vs live)
     eval_vars = jax.device_put(
-        {"params": state.eval_params, "batch_stats": state.batch_stats}
+        {"params": state.params, "batch_stats": state.batch_stats}
     )
 
     @jax.jit

@@ -336,6 +336,54 @@ def test_wavenet_pp_train_step_learns(rng):
         assert shard.data.shape[0] == 1  # one stack per pipe shard
 
 
+def test_wavenet_pp_train_step_categorical(rng):
+    """The mulaw-quantize vocoder (softmax output, masked CE —
+    src/hparams.py:18-21) trains pipeline-parallel too: int inputs
+    embed on the replicated stem, the staged stacks differentiate, and
+    the loss drops."""
+    import optax
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_wavenet_train_step, wavenet_stack_params,
+    )
+
+    model = WaveNet(
+        out_channels=64, layers=4, stacks=2,
+        residual_channels=8, gate_channels=8, skip_out_channels=8,
+        kernel_size=3, cin_channels=4, gin_channels=-1,
+        upsample_scales=(4, 4), scalar_input=False, quantize_channels=64,
+    )
+    b, t = 4, 64
+    # learnable teacher-forced structure: y[t] = y[t-1] + 1 (mod K) —
+    # the model sees y[t-1] as input, so CE can actually drop fast
+    # (uniform random ints would only memorize)
+    start = rng.integers(0, 64, size=(b, 1))
+    y = jnp.asarray((start + np.arange(t)) % 64, jnp.int32)
+    c = jnp.asarray(
+        rng.standard_normal((b, t // 16, 4)).astype(np.float32) * 0.1
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), WaveNet.shift_inputs(y, False), c
+    )
+    cfg = Config().parse_json({"input_type": "mulaw-quantize",
+                               "quantize_channels": 64})
+    mesh = make_pp_mesh(2)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    init_fn, step = make_pp_wavenet_train_step(
+        model, cfg, mesh, n_micro=2, tx=optax.adam(1e-2)
+    )
+    opt_state = init_fn(rest, stacked)
+    batch = {"y": y, "c": c}
+    losses = []
+    for _ in range(25):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.15, losses[::8]
+
+
 def test_pp_opt_state_dense_roundtrip(rng):
     """pp_opt_state_to_dense/from_dense: Adam moments convert between
     the partitioned (rest, stacked) layout and the mesh-width-
