@@ -122,6 +122,18 @@ def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptSta
     )
 
 
+def _use_pallas_fused() -> bool:
+    """Opt-in (NSG_FUSED_OPT=pallas) single-pass Pallas lowering of the
+    fused optimizer update; TPU backend only. Read at trace time."""
+    import os
+
+    if os.environ.get("NSG_FUSED_OPT", "xla") != "pallas":
+        return False
+    from neural_sound_generation_tpu.ops.pallas.fused_adam import supported
+
+    return supported()
+
+
 def fused_flat_update(s: FusedOptState, count, m, v, flat_p, flat_g,
                       ema, ema_decay: float, ema_warmup: bool, step):
     """One fused Adam(+EMA) update on flat f32 vectors — the single
@@ -134,9 +146,38 @@ def fused_flat_update(s: FusedOptState, count, m, v, flat_p, flat_g,
     ``s`` supplies hyperparameters only; the mutable slots (count, m, v,
     flat_p, ema) are explicit so a scan can carry them. Returns
     (new_flat_p, m, v, ema, count, grad_norm) with grad_norm taken on
-    the raw (pre-clip, pre-weight-decay) gradient."""
+    the raw (pre-clip, pre-weight-decay) gradient.
+
+    With ``NSG_FUSED_OPT=pallas`` on the TPU backend the elementwise
+    update runs as ONE Pallas pass over the flat vectors
+    (ops/pallas/fused_adam.py, in-place aliased) instead of XLA's
+    fusion chain; the global grad norm stays an XLA reduction either
+    way. Same math, A/B parity-tested."""
     flat_g = flat_g.astype(jnp.float32)
     gnorm = jnp.linalg.norm(flat_g)
+    if _use_pallas_fused():
+        from neural_sound_generation_tpu.ops.pallas.fused_adam import (
+            fused_adam_update,
+        )
+
+        count_inc = count + 1
+        gscale = (
+            jnp.minimum(1.0, s.clip / jnp.maximum(gnorm, 1e-12))
+            if s.clip > 0 else jnp.float32(1.0)
+        )
+        lr_now = s.lr(count) if callable(s.lr) else s.lr
+        if ema is not None and ema_warmup:
+            t = (step + 1).astype(jnp.float32)
+            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+        else:
+            d = jnp.asarray(ema_decay or 0.0, jnp.float32)
+        new_p, new_m, new_v, new_ema = fused_adam_update(
+            flat_g, flat_p, m, v, ema, gscale, lr_now,
+            count_inc.astype(jnp.float32), d,
+            b1=s.b1, b2=s.b2, eps=s.eps, clip=s.clip > 0, wd=s.wd,
+            has_ema=ema is not None,
+        )
+        return new_p, new_m, new_v, new_ema, count_inc, gnorm
     if s.clip > 0:
         flat_g = flat_g * jnp.minimum(1.0, s.clip / jnp.maximum(gnorm, 1e-12))
     if s.wd > 0:

@@ -54,7 +54,10 @@ def build_variant(ablate: frozenset, dim=DIM, z_dim=Z_DIM):
     from neural_sound_generation_tpu.models.layers import (
         ResBlock, conv_down, conv_up, conv_kernel_init, make_norm,
     )
+    from neural_sound_generation_tpu.models.vqvae import VQVAE
     from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq_st
+
+    DT = jnp.bfloat16  # production compute dtype (bench.py model)
 
     class AblEncoder(nn.Module):
         dim: int
@@ -67,18 +70,18 @@ def build_variant(ablate: frozenset, dim=DIM, z_dim=Z_DIM):
                 h = jnp.broadcast_to(
                     x[:, ::2, ::2, :1], x[:, ::2, ::2, :1].shape[:-1]
                     + (self.dim,),
-                )
+                ).astype(DT)
             else:
-                h = conv_down(self.dim)(x)
-            h = make_norm("batch", train, jnp.float32)(h)
+                h = conv_down(self.dim, dtype=DT)(x)
+            h = make_norm("batch", train, DT)(h)
             h = nn.relu(h)
             if "enc_conv2" in ablate:
                 h = h[:, ::2, ::2, :]
             else:
-                h = conv_down(self.dim)(h)
+                h = conv_down(self.dim, dtype=DT)(h)
             if "enc_res" not in ablate:
-                h = ResBlock(self.dim)(h, train)
-                h = ResBlock(self.dim)(h, train)
+                h = ResBlock(self.dim, dtype=DT)(h, train)
+                h = ResBlock(self.dim, dtype=DT)(h, train)
             return h
 
     class AblDecoder(nn.Module):
@@ -86,28 +89,31 @@ def build_variant(ablate: frozenset, dim=DIM, z_dim=Z_DIM):
 
         @nn.compact
         def __call__(self, z, train=True):
-            h = z
+            h = z.astype(DT)
             if "dec_res" not in ablate:
-                h = ResBlock(self.dim)(h, train)
-                h = ResBlock(self.dim)(h, train)
+                h = ResBlock(self.dim, dtype=DT)(h, train)
+                h = ResBlock(self.dim, dtype=DT)(h, train)
             h = nn.relu(h)
             if "dec_deconv1" in ablate:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             else:
-                h = conv_up(self.dim)(h)
-            h = make_norm("batch", train, jnp.float32)(h)
+                h = conv_up(self.dim, dtype=DT)(h)
+            h = make_norm("batch", train, DT)(h)
             h = nn.relu(h)
             if "dec_deconv2" in ablate:
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                # slice channels FIRST: repeating before slicing would
+                # materialize a (B, 80, 28, 256) intermediate — 256x the
+                # conv's own output traffic (measured: it made the
+                # "identity" 0.9 ms SLOWER than the conv it replaced)
                 h = h[..., :1]
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             else:
-                h = conv_up(1)(h)
+                h = conv_up(1, dtype=DT)(h)
             return nn.tanh(h.astype(jnp.float32))
 
-    class AblVQVAE(nn.Module):
-        dim: int
-        z_dim: int
-
+    # subclass the REAL model so the trainer's isinstance dispatch (loss
+    # selection, eval) treats the ablated variant as a VQVAE
+    class AblVQVAE(VQVAE):
         def setup(self):
             init = nn.initializers.uniform(scale=2.0 / self.z_dim)
             self.codebook = self.param(
@@ -142,7 +148,9 @@ def time_variant(name, model, cfg, batch, n_steps, inner):
     )
     state = create_train_state(variables, cfg.train)
     run = make_multistep_train(model, cfg, inner, donate=False)
-    super_batch = stack_batches([batch] * inner)
+    # device-resident super-batch: re-uploading 36 MB through the axon
+    # tunnel per launch would swamp the 2-3 ms step being measured
+    super_batch = jax.device_put(stack_batches([batch] * inner))
     key = jax.random.PRNGKey(1)
 
     state2, m = run(state, super_batch, key)  # compile + warm
@@ -201,6 +209,25 @@ def main():
     results["none"] = time_variant(
         "no_all_convs", build_variant(frozenset(sites)), cfg, batch,
         args.steps, args.inner,
+    )
+
+    # non-conv levers, same whole-program way: the optimizer/EMA stage
+    # is config-reachable — EMA off and bf16 moments bound how much of
+    # the step the update machinery costs
+    import dataclasses
+
+    cfg_noema = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, exponential_moving_average=False))
+    results["no_ema"] = time_variant(
+        "full_ema_off", build_variant(frozenset()), cfg_noema, batch,
+        args.steps, args.inner,
+    )
+    cfg_bf16m = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, bf16_moments=True))
+    results["bf16_moments"] = time_variant(
+        "full_bf16_moments", build_variant(frozenset()), cfg_bf16m,
+        batch, args.steps, args.inner,
     )
 
     full_ms = results["full"]["ms_per_step"]
