@@ -103,14 +103,20 @@ def main(argv=None):
         # drop the EMA shadow so make_eval_step's eval_params resolves to
         # the live params
         state = state.replace(ema_params=None)
-    from neural_sound_generation_tpu.parallel import mesh_from_args
+    from neural_sound_generation_tpu.parallel import (
+        mesh_from_args,
+        replicated_sharding,
+    )
 
     mesh, _ = mesh_from_args(args.mesh_data, args.mesh_model, args.batch_size)
+    # commit restored numpy leaves to device once, or every eval batch
+    # re-uploads the weights through the TPU tunnel. Under a data-only
+    # mesh the eval step expects the state replicated (Trainer only
+    # re-commits it for tensor_parallel), so commit to that layout here.
     if mesh is None:
-        # commit restored numpy leaves to device once, or every eval batch
-        # re-uploads the weights through the TPU tunnel; under a mesh the
-        # Trainer commits the state to its sharded layout instead
         state = jax.device_put(state)
+    elif not tensor_parallel:
+        state = jax.device_put(state, replicated_sharding(mesh))
     print(f"loaded checkpoint step={int(np.asarray(state.step))} extra={extra}")
 
     trainer = Trainer(model, cfg, state, mesh=mesh,

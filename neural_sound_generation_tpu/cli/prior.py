@@ -82,7 +82,8 @@ def parse_args(argv=None):
                          "composes with --mesh-data as DPxPP; "
                          "checkpoints export dense so a pp-N run "
                          "resumes at any other width and `sample` "
-                         "restores the artifact directly")
+                         "restores the artifact directly; no EMA "
+                         "shadow / *_ema artifact under PP")
     tr.add_argument("--pp-microbatches", type=int, default=None,
                     help="GPipe microbatches per step (default: "
                          "--mesh-pipe); must divide --batch-size; "
@@ -326,15 +327,22 @@ def cmd_train(args):
                   f"{int(np.asarray(state.step))}, epoch {start_epoch}")
         elif checkpoint.latest_step(args.ckpt_dir) is not None:
             # artifact-only checkpoint (older runs): params + the EMA
-            # sibling resume; optimizer moments restart at zero
+            # sibling resume; optimizer moments restart at zero. The
+            # restored step lands IN state.step (not a host-side
+            # offset), so the *_train sibling written from here carries
+            # the true counter and the next --resume does not regress
+            # checkpoint numbering.
+            at = checkpoint.latest_step(args.ckpt_dir)
             restored, extra = checkpoint.restore(
                 args.ckpt_dir, {"params": state.params}
             )
-            state = state.replace(params=restored["params"])
+            state = state.replace(
+                params=restored["params"],
+                step=jnp.asarray(at, state.step.dtype),
+            )
             state = checkpoint.restore_ema_sibling(args.ckpt_dir, state)
-            start_step = checkpoint.latest_step(args.ckpt_dir)
             start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed params from step {start_step}, "
+            print(f"resumed params from step {at}, "
                   f"epoch {start_epoch} (no *_train sibling: Adam "
                   f"moments restart)")
 
@@ -387,17 +395,27 @@ def cmd_train(args):
               f"{args.ckpt_dir.rstrip('/')}_ema")
 
 
-def build_pp_train(prior, n_pipe: int, n_data: int, n_micro: int, lr: float):
+def build_pp_train(prior, n_pipe: int, n_data: int, n_micro: int, lr: float,
+                   train_cfg=None):
     """The CLI-reachable pipeline-parallel training machinery (also the
     path ``__graft_entry__.dryrun_multichip`` drives): DPxPP mesh via
-    ``make_pp_mesh``, optax Adam, and the stage-sharded jitted train
-    step from ``make_pp_prior_train_step``."""
-    import optax
+    ``make_pp_mesh``, the SAME optimizer the dense path builds
+    (``make_optimizer``: cfg betas/eps + clip/weight-decay when
+    configured — a bare optax.adam silently dropped those), and the
+    stage-sharded jitted train step from ``make_pp_prior_train_step``."""
+    import dataclasses
 
+    from neural_sound_generation_tpu.config import Config
     from neural_sound_generation_tpu.parallel import pipeline as pp
+    from neural_sound_generation_tpu.training.train_state import (
+        make_optimizer,
+    )
 
     mesh = pp.make_pp_mesh(n_pipe=n_pipe, n_data=n_data)
-    tx = optax.adam(lr)
+    train_cfg = train_cfg or Config().train
+    tx = make_optimizer(
+        dataclasses.replace(train_cfg, initial_learning_rate=lr)
+    )
     init_fn, step_fn = pp.make_pp_prior_train_step(prior, mesh, n_micro, tx)
     return mesh, tx, init_fn, step_fn
 
@@ -410,12 +428,16 @@ def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
     weights + moments — PP's memory claim), composing with '--mesh-data'
     as DP x PP. Checkpoints are exported DENSE: the artifact is the
     mesh-width-independent ``{..., block_i: ...}`` layout ``sample`` and
-    ``serve --prior-ckpt`` restore directly, and the ``*_train`` sibling
-    stores params + moments in the same dense layout — so a pp4 run
-    resumes under pp2 or dense (cross-layout lifecycle). The reference
-    has no pipeline engine at all (SURVEY §2a)."""
+    ``serve --prior-ckpt`` restore directly, and the ``*_pp_train``
+    sibling stores params + moments in the same dense layout — so a pp4
+    run resumes under pp2 or dense (cross-layout lifecycle). The
+    lifecycle itself lives in cli/_pp.run_pp_training, shared with the
+    vocoder CLI. The reference has no pipeline engine at all
+    (SURVEY §2a)."""
+    from neural_sound_generation_tpu.cli._pp import (
+        run_pp_training, validate_pp_mesh,
+    )
     from neural_sound_generation_tpu.parallel import pipeline as pp
-    from neural_sound_generation_tpu.training import checkpoint
 
     if getattr(args, "arch", "pixelcnn") != "transformer":
         raise SystemExit(
@@ -435,105 +457,34 @@ def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
             f"over --mesh-pipe {n_pipe}"
         )
     n_data = args.mesh_data or 1
-    if n_data * n_pipe > len(jax.devices()):
-        raise SystemExit(
-            f"mesh {n_data}x{n_pipe} needs {n_data * n_pipe} devices, "
-            f"have {len(jax.devices())}"
-        )
     n_micro = args.pp_microbatches or n_pipe
-    if args.batch_size % n_micro:
-        raise SystemExit(
-            f"--pp-microbatches {n_micro} must divide --batch-size "
-            f"{args.batch_size}"
-        )
+    validate_pp_mesh(n_pipe, n_data, n_micro, args.batch_size)
 
-    mesh, tx, init_fn, step_fn = build_pp_train(
-        prior, n_pipe, n_data, n_micro, args.lr
-    )
-    rest, stacked = pp.pp_prior_partition(prior, pvars, mesh)
-    opt_state = init_fn(rest, stacked)
-
-    def to_dense_params(r, s):
-        return pp.pp_prior_unpartition(prior, r, s)
-
-    def split_dense(dense):
-        return pp.pp_prior_split(prior, dense)
-
-    step_total, start_epoch = 0, 1
-    # PP stores dense params+moments — a different layout from the
-    # standard TrainState *_train sibling, so it gets its own name and
-    # a dense-trained run resumed under --mesh-pipe (or vice versa)
-    # falls back to the artifact instead of misgrafting
-    train_dir = args.ckpt_dir.rstrip("/") + "_pp_train"
-    if getattr(args, "resume", False):
-        if checkpoint.latest_step(train_dir) is not None:
-            template = {
-                "params": to_dense_params(rest, stacked),
-                "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params),
-            }
-            restored, extra = checkpoint.restore(train_dir, template)
-            rest, stacked = pp.pp_prior_partition(
-                prior, {"params": restored["params"]}, mesh
-            )
-            opt_state = pp.pp_opt_state_from_dense(
-                restored["opt"], split_dense, mesh
-            )
-            step_total = checkpoint.latest_step(train_dir)
-            start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed pp train state from step {step_total}, "
-                  f"epoch {start_epoch} (mesh dp{n_data}xpp{n_pipe})")
-        elif checkpoint.latest_step(args.ckpt_dir) is not None:
-            restored, extra = checkpoint.restore(
-                args.ckpt_dir, {"params": to_dense_params(rest, stacked)}
-            )
-            rest, stacked = pp.pp_prior_partition(
-                prior, {"params": restored["params"]}, mesh
-            )
-            opt_state = init_fn(rest, stacked)
-            step_total = checkpoint.latest_step(args.ckpt_dir)
-            start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed params from step {step_total}, epoch "
-                  f"{start_epoch} (no *_train sibling: Adam moments "
-                  f"restart)")
-
-    def save_ckpt(completed_epoch):
-        dense = to_dense_params(rest, stacked)
-        extra = {"epoch": completed_epoch}
-        # the artifact is the SAME layout the dense/TP paths export —
-        # `sample` restores it with no PP-specific handling
-        checkpoint.save(
-            args.ckpt_dir, {"params": dense}, step=step_total, extra=extra
-        )
-        checkpoint.save(
-            train_dir,
-            {"params": dense,
-             "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params)},
-            step=step_total, extra=extra, block=False,
-        )
-
-    interval = cfg.train.checkpoint_interval
-    for epoch in range(start_epoch, args.epochs + 1):
-        # shuffle order is f(seed, epoch): --resume replays the exact
-        # batch order an uninterrupted run's epoch-N pass would see
-        loaders["train"].set_epoch(epoch - 1)
-        loss_sum, count = 0.0, 0
+    def step_batches():
         for batch in epoch_batches():
-            rest, stacked, opt_state, metrics = step_fn(
-                rest, stacked, opt_state,
-                {"codes": batch["codes"], "labels": batch["labels"]},
-            )
-            step_total += 1
-            loss_sum += metrics["loss"]
-            count += 1
-            if interval and step_total % interval == 0:
-                save_ckpt(completed_epoch=epoch - 1)
-        nll = float(loss_sum) / max(count, 1)
-        print(f"prior epoch {epoch}: nll/code {nll:.4f} "
-              f"(ppl {np.exp(nll):.1f} of {args.z_dim}) "
-              f"[pp{n_pipe} x dp{n_data}, {n_micro} microbatches]")
-        save_ckpt(completed_epoch=epoch)
-    print(f"prior saved to {args.ckpt_dir} (dense artifact; trained "
-          f"pipeline-parallel over {n_pipe} stages)")
+            yield {"codes": batch["codes"], "labels": batch["labels"]}
+
+    run_pp_training(
+        ckpt_dir=args.ckpt_dir,
+        resume=getattr(args, "resume", False),
+        epochs=args.epochs,
+        n_pipe=n_pipe, n_data=n_data, n_micro=n_micro,
+        checkpoint_interval=cfg.train.checkpoint_interval,
+        set_epoch=loaders["train"].set_epoch,
+        epoch_batches=step_batches,
+        build=lambda p, d, m: build_pp_train(
+            prior, p, d, m, args.lr, train_cfg=cfg.train
+        ),
+        partition=lambda v, mesh: pp.pp_prior_partition(prior, v, mesh),
+        unpartition=lambda r, s: pp.pp_prior_unpartition(prior, r, s),
+        split_dense=lambda dense: pp.pp_prior_split(prior, dense),
+        variables=pvars,
+        kind="prior",
+        epoch_line=lambda epoch, nll: (
+            f"prior epoch {epoch}: nll/code {nll:.4f} "
+            f"(ppl {np.exp(nll):.1f} of {args.z_dim})"
+        ),
+    )
 
 
 def cmd_sample(args):

@@ -52,7 +52,8 @@ def parse_args(argv=None):
                          "composes with --mesh-data as DPxPP; "
                          "checkpoints export the flat layout "
                          "`synthesize` restores, so runs resume at any "
-                         "pipe width")
+                         "pipe width; no EMA shadow / *_ema artifact "
+                         "under PP")
     tr.add_argument("--pp-microbatches", type=int, default=None,
                     help="GPipe microbatches per step (default: "
                          "--mesh-pipe); must divide --batch-size")
@@ -199,15 +200,22 @@ def cmd_train(args):
                   f"{int(np.asarray(state.step))}, epoch {start_epoch}")
         elif checkpoint.latest_step(args.ckpt_dir) is not None:
             # artifact-only checkpoint (older runs): params + the EMA
-            # sibling resume; optimizer moments restart at zero
+            # sibling resume; optimizer moments restart at zero. The
+            # restored step lands IN state.step (not a host-side
+            # offset), so the *_train sibling written from here carries
+            # the true counter and the next --resume does not regress
+            # checkpoint numbering.
+            at = checkpoint.latest_step(args.ckpt_dir)
             restored, extra = checkpoint.restore(
                 args.ckpt_dir, {"params": state.params}
             )
-            state = state.replace(params=restored["params"])
+            state = state.replace(
+                params=restored["params"],
+                step=jnp.asarray(at, state.step.dtype),
+            )
             state = checkpoint.restore_ema_sibling(args.ckpt_dir, state)
-            start_step = checkpoint.latest_step(args.ckpt_dir)
             start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed params from step {start_step}, "
+            print(f"resumed params from step {at}, "
                   f"epoch {start_epoch} (no *_train sibling: Adam "
                   f"moments restart)")
 
@@ -261,15 +269,22 @@ def build_pp_vocoder_train(model, cfg, n_pipe: int, n_data: int,
                            n_micro: int, lr: float):
     """The CLI-reachable pipeline-parallel vocoder training machinery
     (also the path ``__graft_entry__.dryrun_multichip`` exercises):
-    DPxPP mesh, optax Adam, and the stage-sharded jitted train step from
+    DPxPP mesh, the SAME optimizer the dense path builds
+    (``make_optimizer``: cfg betas/eps + clip/weight-decay when
+    configured), and the stage-sharded jitted train step from
     ``make_pp_wavenet_train_step`` (teacher-forced MoL / masked CE on
     the last stage)."""
-    import optax
+    import dataclasses
 
     from neural_sound_generation_tpu.parallel import pipeline as pp
+    from neural_sound_generation_tpu.training.train_state import (
+        make_optimizer,
+    )
 
     mesh = pp.make_pp_mesh(n_pipe=n_pipe, n_data=n_data)
-    tx = optax.adam(lr)
+    tx = make_optimizer(
+        dataclasses.replace(cfg.train, initial_learning_rate=lr)
+    )
     init_fn, step_fn = pp.make_pp_wavenet_train_step(
         model, cfg, mesh, n_micro, tx
     )
@@ -283,12 +298,15 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
     'pipe' axis (each device holds stacks/N stacks, with every dilation
     static inside its stage program). Checkpoints export the flat
     ``{name}_{i}`` layout — the artifact ``synthesize`` and ``serve
-    --vocoder-ckpt`` restore directly, and the ``*_train`` sibling's
-    dense moments re-partition at any pipe width on resume. The WaveNet
-    is the framework's largest model — this is the PP flagship the
-    round-3 fwd/grad-only staging lacked."""
+    --vocoder-ckpt`` restore directly, and the ``*_pp_train`` sibling's
+    dense moments re-partition at any pipe width on resume. The
+    lifecycle lives in cli/_pp.run_pp_training, shared with the prior
+    CLI. The WaveNet is the framework's largest model — this is the PP
+    flagship the round-3 fwd/grad-only staging lacked."""
+    from neural_sound_generation_tpu.cli._pp import (
+        run_pp_training, validate_pp_mesh,
+    )
     from neural_sound_generation_tpu.parallel import pipeline as pp
-    from neural_sound_generation_tpu.training import checkpoint
 
     n_pipe = args.mesh_pipe
     if model.stacks % n_pipe:
@@ -311,109 +329,37 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
             "--mesh-pipe requires mel conditioning (cin_channels > 0)"
         )
     n_data = args.mesh_data or 1
-    if n_data * n_pipe > len(jax.devices()):
-        raise SystemExit(
-            f"mesh {n_data}x{n_pipe} needs {n_data * n_pipe} devices, "
-            f"have {len(jax.devices())}"
-        )
     n_micro = args.pp_microbatches or n_pipe
-    if args.batch_size % n_micro:
-        raise SystemExit(
-            f"--pp-microbatches {n_micro} must divide --batch-size "
-            f"{args.batch_size}"
-        )
+    validate_pp_mesh(n_pipe, n_data, n_micro, args.batch_size)
 
-    mesh, tx, init_fn, step_fn = build_pp_vocoder_train(
-        model, cfg, n_pipe, n_data, n_micro,
-        cfg.train.initial_learning_rate,
-    )
-    rest, stacked = pp.wavenet_stack_params(model, variables, mesh)
-    opt_state = init_fn(rest, stacked)
-
-    def to_dense_params(r, s):
-        return pp.wavenet_unstack_params(model, r, s)
-
-    def split_dense(dense):
-        return pp.wavenet_stack_params(model, {"params": dense})
-
-    step_total, start_epoch = 0, 1
-    # PP stores dense params+moments — a different layout from the
-    # standard TrainState *_train sibling, so it gets its own name and
-    # a dense-trained run resumed under --mesh-pipe (or vice versa)
-    # falls back to the artifact instead of misgrafting
-    train_dir = args.ckpt_dir.rstrip("/") + "_pp_train"
-    if args.resume:
-        if checkpoint.latest_step(train_dir) is not None:
-            template = {
-                "params": to_dense_params(rest, stacked),
-                "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params),
-            }
-            restored, extra = checkpoint.restore(train_dir, template)
-            rest, stacked = pp.wavenet_stack_params(
-                model, {"params": restored["params"]}, mesh
-            )
-            opt_state = pp.pp_opt_state_from_dense(
-                restored["opt"], split_dense, mesh
-            )
-            step_total = checkpoint.latest_step(train_dir)
-            start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed pp train state from step {step_total}, "
-                  f"epoch {start_epoch} (mesh dp{n_data}xpp{n_pipe})")
-        elif checkpoint.latest_step(args.ckpt_dir) is not None:
-            restored, extra = checkpoint.restore(
-                args.ckpt_dir, {"params": to_dense_params(rest, stacked)}
-            )
-            rest, stacked = pp.wavenet_stack_params(
-                model, {"params": restored["params"]}, mesh
-            )
-            opt_state = init_fn(rest, stacked)
-            step_total = checkpoint.latest_step(args.ckpt_dir)
-            start_epoch = int((extra or {}).get("epoch", 0)) + 1
-            print(f"resumed params from step {step_total}, epoch "
-                  f"{start_epoch} (no *_train sibling: Adam moments "
-                  f"restart)")
-
-    def save_ckpt(completed_epoch):
-        dense = to_dense_params(rest, stacked)
-        extra = {"epoch": completed_epoch}
-        # the artifact is the SAME flat layout the dense/TP paths
-        # export — `synthesize` restores it with no PP-specific handling
-        checkpoint.save(
-            args.ckpt_dir, {"params": dense}, step=step_total, extra=extra
-        )
-        checkpoint.save(
-            train_dir,
-            {"params": dense,
-             "opt": pp.pp_opt_state_to_dense(opt_state, to_dense_params)},
-            step=step_total, extra=extra, block=False,
-        )
-
-    interval = cfg.train.checkpoint_interval
-    for epoch in range(start_epoch, args.epochs + 1):
-        # shuffle order is f(seed, epoch): --resume replays the exact
-        # batch order an uninterrupted run's epoch-N pass would see
-        loaders["train"].set_epoch(epoch - 1)
-        loss_sum, count = 0.0, 0
+    def step_batches():
         for batch in epoch_batches():
-            if "g" in batch:
-                raise SystemExit(
-                    "--mesh-pipe does not thread speaker embeddings; "
-                    "this corpus carries speaker ids"
-                )
-            rest, stacked, opt_state, metrics = step_fn(
-                rest, stacked, opt_state, batch
-            )
-            step_total += 1
-            loss_sum += metrics["loss"]
-            count += 1
-            if interval and step_total % interval == 0:
-                save_ckpt(completed_epoch=epoch - 1)
-        loss = float(loss_sum) / max(count, 1)
-        print(f"wavenet epoch {epoch}: loss {loss:.4f} "
-              f"[pp{n_pipe} x dp{n_data}, {n_micro} microbatches]")
-        save_ckpt(completed_epoch=epoch)
-    print(f"wavenet saved to {args.ckpt_dir} (flat artifact; trained "
-          f"pipeline-parallel over {n_pipe} stages)")
+            # a gin<=0 model ignores speaker ids; corpora that carry
+            # them (cmu_arctic layouts) must still train under PP
+            yield {k: v for k, v in batch.items() if k != "g"}
+
+    run_pp_training(
+        ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
+        epochs=args.epochs,
+        n_pipe=n_pipe, n_data=n_data, n_micro=n_micro,
+        checkpoint_interval=cfg.train.checkpoint_interval,
+        set_epoch=loaders["train"].set_epoch,
+        epoch_batches=step_batches,
+        build=lambda p, d, m: build_pp_vocoder_train(
+            model, cfg, p, d, m, cfg.train.initial_learning_rate
+        ),
+        partition=lambda v, mesh: pp.wavenet_stack_params(model, v, mesh),
+        unpartition=lambda r, s: pp.wavenet_unstack_params(model, r, s),
+        split_dense=lambda dense: pp.wavenet_stack_params(
+            model, {"params": dense}
+        ),
+        variables=variables,
+        kind="wavenet",
+        epoch_line=lambda epoch, loss: (
+            f"wavenet epoch {epoch}: loss {loss:.4f}"
+        ),
+    )
 
 
 def _batch_to_wavenet(batch, cfg):

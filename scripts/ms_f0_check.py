@@ -49,7 +49,7 @@ def estimate_f0(wav: np.ndarray, sr: int = SR,
 
 
 def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ms-soak"
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nsg-ms-soak"
     from neural_sound_generation_tpu.ops import dsp
 
     report = {}

@@ -7,7 +7,7 @@ conditioning, NLL(true) < NLL(wrong) — a direct, sampler-free readout
 (F0 analysis of Griffin-Lim decodes is blurred by the vocoder-free
 inversion and short training).
 
-Usage: python scripts/ms_prior_label_probe.py <workdir>
+Usage: python scripts/ms_prior_label_probe.py <workdir> [prior_dirname]
 """
 
 from __future__ import annotations
@@ -26,7 +26,8 @@ PRESET = os.path.join(REPO, "neural_sound_generation_tpu", "config",
 
 
 def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ms-soak"
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nsg-ms-soak"
+    prior_dir = sys.argv[2] if len(sys.argv) > 2 else "prior"
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +64,7 @@ def main():
     template = prior.init(
         jax.random.PRNGKey(0), codes0, jnp.zeros((codes0.shape[0],), jnp.int32)
     )
-    pvars, _ = checkpoint.restore(os.path.join(workdir, "prior2"), template)
+    pvars, _ = checkpoint.restore(os.path.join(workdir, prior_dir), template)
     pvars = jax.device_put(pvars)
 
     @jax.jit

@@ -5,7 +5,7 @@ restore paths, same prior_generate/codes_to_audio chain) but compiles
 the generator once — the per-invocation CLI loop pays 7 cold processes,
 which a congested tunnel window turns into an hour.
 
-Usage: python scripts/ms_sample_all.py <workdir> [n_per_speaker]
+Usage: python scripts/ms_sample_all.py <workdir> [n_per_speaker] [prior_dirname]
 """
 
 from __future__ import annotations
@@ -23,8 +23,9 @@ PRESET = os.path.join(REPO, "neural_sound_generation_tpu", "config",
 
 
 def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ms-soak"
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nsg-ms-soak"
     n_per = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    prior_dir = sys.argv[3] if len(sys.argv) > 3 else "prior"
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +59,7 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32),
         jnp.zeros((1,), jnp.int32),
     )
-    pvars, _ = checkpoint.restore(os.path.join(workdir, "prior2"), template)
+    pvars, _ = checkpoint.restore(os.path.join(workdir, prior_dir), template)
     pvars = jax.device_put(pvars)
 
     # one batch of 7*n_per samples: labels [0]*n + [1]*n + ... — a single

@@ -447,3 +447,15 @@ def test_prior_cli_resume(tmp_path, capsys):
     out = capsys.readouterr().out
     assert f"resumed params from step {step2}" in out
     assert "moments restart" in out
+    step3 = ckpt_mod.latest_step(prior_ckpt)
+    assert step3 > step2
+
+    # the *_train sibling written by the artifact-only resume must carry
+    # the TRUE step counter (state.step, not a host-side offset): one
+    # more --resume continues forward instead of regressing checkpoint
+    # numbering below existing step dirs (round-4 review finding)
+    capsys.readouterr()
+    prior_cli.main(base + ["--epochs", "4", "--resume"])
+    out = capsys.readouterr().out
+    assert f"resumed train state from step {step3}, epoch 4" in out
+    assert ckpt_mod.latest_step(prior_ckpt) > step3
