@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "causal_attention",
+    "chunked_causal_attention",
     "flash_causal_attention",
     "flash_supported",
     "pick_block_q",
@@ -76,9 +77,10 @@ _ATTN_BACKEND = "auto"  # auto | xla | flash
 
 
 def set_backend(backend: str) -> None:
-    """Select the attention implementation (auto | xla | flash)."""
+    """Select the attention implementation
+    (auto | xla | flash | chunked)."""
     global _ATTN_BACKEND
-    assert backend in ("auto", "xla", "flash")
+    assert backend in ("auto", "xla", "flash", "chunked")
     _ATTN_BACKEND = backend
 
 
@@ -342,6 +344,76 @@ def _flash_vjp_bwd(scale, bq, interpret, res, do):
 flash_causal_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def chunked_causal_attention(q, k, v, scale, block: int = 320):
+    """Linear-memory causal attention in plain XLA: online softmax over
+    KV chunks inside a q-block scan, with each q-block rematerialized in
+    the backward (``jax.checkpoint``), so NO (T, T) probability tensor
+    is ever stored — the long-T fix for the hier-bottom grid, where the
+    stock path's O(T^2) softmax residuals (2.5 GB at T=2240) made the
+    step HBM-bound (102 ms fwd+bwd) and the fused kernel's VMEM budget
+    starved the MXU (151 ms). Numerics match `_xla_causal_attention` to
+    f32 tolerance (same max-subtract softmax, f32 accumulation);
+    backward costs one extra forward recompute per q block.
+
+    q/k/v: (B, H, T, D) -> (B, H, T, D)."""
+    b, h, t, d = q.shape
+    nb = -(-t // block)
+    tp = nb * block
+
+    def padt(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+
+    kb = padt(k).reshape(b, h, nb, block, d)
+    vb = padt(v).reshape(b, h, nb, block, d)
+    qb = padt(q).reshape(b, h, nb, block, d)
+    kpos_all = jnp.arange(tp).reshape(nb, block)
+    neg = jnp.float32(-1e30)  # finite -inf: keeps exp()=0 without NaNs
+
+    @jax.checkpoint
+    def one_q_block(i, qi):
+        qpos = i * block + jnp.arange(block)
+
+        def inner(carry, j):
+            m, l, acc = carry
+            kj = jax.lax.dynamic_index_in_dim(kb, j, 2, keepdims=False)
+            vj = jax.lax.dynamic_index_in_dim(vb, j, 2, keepdims=False)
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", qi, kj,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kpos = jax.lax.dynamic_index_in_dim(
+                kpos_all, j, 0, keepdims=False
+            )
+            mask = (qpos[:, None] >= kpos[None, :]) & (kpos < t)[None, :]
+            s = jnp.where(mask[None, None], s, neg)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(v.dtype), vj,
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l_new, acc_new), None
+
+        m0 = jnp.full((b, h, block, 1), neg, jnp.float32)
+        l0 = jnp.zeros((b, h, block, 1), jnp.float32)
+        a0 = jnp.zeros((b, h, block, d), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            inner, (m0, l0, a0), jnp.arange(nb)
+        )
+        return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+    def outer(_, i):
+        qi = jax.lax.dynamic_index_in_dim(qb, i, 2, keepdims=False)
+        return None, one_q_block(i, qi)
+
+    _, ob = jax.lax.scan(outer, None, jnp.arange(nb))
+    # ob: (nb, b, h, block, d) -> (b, h, tp, d) -> trim padding
+    o = jnp.moveaxis(ob, 0, 2).reshape(b, h, tp, d)
+    return o[:, :, :t, :]
+
+
 def _xla_causal_attention(q, k, v, scale):
     """Stock XLA path (the parity oracle): explicit masked softmax.
     q/k/v: (B, H, T, D) -> (B, H, T, D)."""
@@ -366,14 +438,22 @@ def causal_attention(q, k, v, scale=None, interpret=False):
     b, h, t, d = q.shape
     bq = pick_block_q(t, d)
     use_flash = _ATTN_BACKEND == "flash" and bq is not None
+    if _ATTN_BACKEND == "chunked":
+        # opt-in linear-MEMORY path: no O(T^2) residuals, bounded VMEM.
+        # Measured SLOWER than stock XLA at the hier-bottom T=2240
+        # (78 vs 61 ms fwd+bwd, interleaved medians — PERF.md "long-T
+        # chunked attention"), so auto never picks it; its value is
+        # memory headroom at sequence lengths where the stock path's
+        # T^2 residuals no longer fit, not speed.
+        return chunked_causal_attention(q, k, v, scale)
     if _ATTN_BACKEND == "auto" and jax.default_backend() == "tpu":
-        # measured policy (PERF.md head-width sweep + T=2240 check):
+        # measured policy (PERF.md head-width sweep + T=2240 re-check):
         # the fused kernel wins 1.3-1.6x below 128-wide heads WHEN the
         # VMEM budget admits >=128-row Q tiles; at hd=128/short T the
-        # stock XLA path keeps a ~3% edge, and at long T the budget
-        # forces narrow tiles that starve the MXU (T=2240/hd64: fused
-        # 151 ms vs XLA 102 — XLA's 2.5 GB of softmax residuals ride
-        # HBM bandwidth better than 32-row matmuls ride the MXU)
+        # stock XLA path keeps a ~3% edge, and at long T (T=2240/hd64,
+        # bq=32) the round-4 interleaved re-measure puts the residual-
+        # free fused backward at parity with stock (59.8 vs 60.9 ms) —
+        # auto keeps stock there (no win to justify the kernel)
         use_flash = bq is not None and bq >= 128 and d < 128
     if not use_flash:
         return _xla_causal_attention(q, k, v, scale)

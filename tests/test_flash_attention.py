@@ -139,3 +139,52 @@ def test_transformer_prior_uses_dispatcher(rng):
     finally:
         fa.set_backend("auto")
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("t,block", [(37, 16), (64, 32), (300, 128)])
+def test_chunked_matches_xla(rng, t, block):
+    """chunked_causal_attention (online softmax over KV chunks, q-block
+    remat) == stock XLA masked softmax — values AND gradients, incl.
+    non-dividing T (padding rows/keys masked)."""
+    b, h, d = 2, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    want = fa._xla_causal_attention(q, k, v, scale)
+    got = fa.chunked_causal_attention(q, k, v, scale, block=block)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+    co = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_, scale) * co)
+
+    gw = jax.grad(loss(fa._xla_causal_attention), argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(
+        loss(lambda a, b_, c, s: fa.chunked_causal_attention(
+            a, b_, c, s, block=block)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gw, gg):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=1e-4
+        )
+
+
+def test_chunked_backend_dispatch(rng):
+    """set_backend('chunked') routes causal_attention through the
+    linear-memory path with identical results."""
+    b, h, t, d = 1, 2, 50, 8
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    ref = np.asarray(fa.causal_attention(q, k, v))
+    fa.set_backend("chunked")
+    try:
+        out = np.asarray(fa.causal_attention(q, k, v))
+    finally:
+        fa.set_backend("auto")
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
