@@ -149,13 +149,17 @@ class InferenceService:
     """Holds the model + jitted programs; thread-safe (JAX dispatch is)."""
 
     def __init__(self, cfg, model, variables, frames: int = 84,
-                 vocoder=None):
+                 vocoder=None, default_speaker=None):
         from neural_sound_generation_tpu.models import VQVAE, HierVQVAE
         from neural_sound_generation_tpu.ops import dsp
 
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        # multispeaker checkpoints (gin_channels > 0): decode paths need
+        # a speaker embedding; /reconstruct and /decode use this default
+        # (--speaker-id), /sample conditions on the request label
+        self.default_speaker = default_speaker
         # (wavenet_model, wavenet_variables) or None for Griffin-Lim
         self._vocoder = vocoder
         self._gen_cache: dict = {}
@@ -190,6 +194,14 @@ class InferenceService:
                     method=HierVQVAE.decode,
                 )
         else:
+            speakered = getattr(model, "n_speakers", 0) > 0
+
+            def _g(n):
+                # per-window speaker ids (broadcast of the default) for
+                # a speaker-conditioned decoder; None otherwise
+                if not speakered:
+                    return None
+                return jnp.full((n,), int(self.default_speaker), jnp.int32)
 
             @jax.jit
             def encode(mels):
@@ -199,13 +211,16 @@ class InferenceService:
 
             @jax.jit
             def reconstruct(mels):
-                x_tilde, _, _ = model.apply(variables, mels, train=False)
+                x_tilde, _, _ = model.apply(
+                    variables, mels, train=False, g=_g(mels.shape[0])
+                )
                 return x_tilde
 
             @jax.jit
             def decode(codes):
                 return model.apply(
-                    variables, codes, train=False, method=VQVAE.decode
+                    variables, codes, train=False, g=_g(codes.shape[0]),
+                    method=VQVAE.decode,
                 )
 
         self._encode = encode
@@ -329,6 +344,9 @@ class InferenceService:
             _, mels = sample_prior_mels(
                 self.model, self.variables, prior, pv, labels,
                 code_shape, k_codes,
+                # multispeaker decoder: the class label IS the speaker
+                g=labels if getattr(self.model, "n_speakers", 0) > 0
+                else None,
             )
         if self._vocoder is not None:
             # synthesize through the trained WaveNet
@@ -901,10 +919,32 @@ def build_service(args):
                 f"(got {frames}); try {frames - frames % 8}"
             )
         model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+        init_kwargs = {}
     else:
-        model = VQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
+        # a multispeaker preset (gin_channels > 0) serves the
+        # speaker-conditioned model: the template must carry the
+        # speaker embedding or restore silently drops it
+        gin = cfg.arch.gin_channels
+        n_speakers = cfg.arch.n_speakers if gin > 0 else 0
+        model = VQVAE(
+            input_dim=1, dim=args.dim, z_dim=args.z_dim,
+            n_speakers=n_speakers, gin_channels=gin if n_speakers else -1,
+        )
+        init_kwargs = (
+            {"g": jnp.zeros((1,), jnp.int32)} if n_speakers else {}
+        )
+        if n_speakers and getattr(args, "speaker_id", None) is None:
+            raise SystemExit(
+                f"this preset serves a speaker-conditioned model "
+                f"(gin_channels {gin}): pass --speaker-id 0.."
+                f"{n_speakers - 1} as the default voice for "
+                f"/reconstruct and /decode (/sample uses the request "
+                f"label)"
+            )
     sample = jnp.zeros((1, cfg.audio.num_mels, frames, 1))
-    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), sample, train=False, **init_kwargs
+    )
     if args.ckpt_dir:
         state = create_train_state(variables, cfg.train)
         restored, _ = checkpoint.restore(args.ckpt_dir, state)
@@ -957,7 +997,9 @@ def build_service(args):
         wn_vars, _ = checkpoint.restore(args.vocoder_ckpt, template)
         vocoder = (wn, jax.device_put(wn_vars))
     service = InferenceService(cfg, model, variables, args.frames,
-                               vocoder=vocoder)
+                               vocoder=vocoder,
+                               default_speaker=getattr(
+                                   args, "speaker_id", None))
     if getattr(args, "prior_ckpt", None):
         from neural_sound_generation_tpu.models import (
             GatedPixelCNN, TransformerPrior,
@@ -1092,6 +1134,11 @@ def parse_args(argv=None):
                    help="transformer prior trained with --moe-experts N "
                         "(0 = dense)")
     p.add_argument("--n-classes", type=int, default=10)
+    p.add_argument("--speaker-id", type=int, default=None,
+                   help="default speaker for /reconstruct and /decode "
+                        "when serving a speaker-conditioned "
+                        "(multispeaker-preset) checkpoint; /sample "
+                        "conditions on the request label instead")
     return p.parse_args(argv)
 
 
