@@ -470,3 +470,61 @@ def test_pp_train_step_learns(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.7 * losses[0], losses[::10]
+
+
+def test_run_pp_training_interval_epochs(rng, tmp_path):
+    """cli/_pp.run_pp_training: interval saves fire mid-epoch and store
+    the last COMPLETED epoch (resume replays the interrupted epoch),
+    end-of-epoch saves store the finished epoch, and the artifact stays
+    the dense layout."""
+    import orbax.checkpoint as ocp
+
+    from neural_sound_generation_tpu.cli._pp import run_pp_training
+    from neural_sound_generation_tpu.cli.prior import build_pp_train
+    from neural_sound_generation_tpu.parallel import pipeline as pp
+
+    model, variables, codes, labels = _prior(n_layers=2, dim=16)
+    ckpt = str(tmp_path / "pp")
+
+    epochs_seen = []
+
+    def epoch_batches():
+        for _ in range(3):
+            yield {"codes": codes, "labels": labels}
+
+    run_pp_training(
+        ckpt_dir=ckpt, resume=False, epochs=2,
+        n_pipe=2, n_data=1, n_micro=2,
+        checkpoint_interval=2,
+        set_epoch=epochs_seen.append,
+        epoch_batches=epoch_batches,
+        build=lambda p, d, m: build_pp_train(model, p, d, m, 1e-3),
+        partition=lambda v, mesh: pp.pp_prior_partition(model, v, mesh),
+        unpartition=lambda r, s: pp.pp_prior_unpartition(model, r, s),
+        split_dense=lambda dense: pp.pp_prior_split(model, dense),
+        variables=variables,
+        kind="prior",
+        epoch_line=lambda e, l: f"prior epoch {e}: {l:.3f}",
+    )
+    assert epochs_seen == [0, 1]  # shuffle order pinned per epoch
+
+    import os as _os
+
+    steps = sorted(
+        int(d.split("_")[1]) for d in _os.listdir(ckpt)
+        if d.startswith("step_")
+    )
+    # 3 batches/epoch x 2 epochs, interval 2: saves at 2 (mid-ep1),
+    # 3 (end-ep1), 4 (mid-ep2), 6 (end-ep2)
+    assert steps == [2, 3, 4, 6]
+    with ocp.PyTreeCheckpointer() as c:
+        extras = {
+            s: int(c.restore(_os.path.join(ckpt, f"step_{s}"))["extra"]["epoch"])
+            for s in steps
+        }
+    # mid-epoch saves store the last COMPLETED epoch
+    assert extras == {2: 0, 3: 1, 4: 1, 6: 2}
+    # artifact is the dense layout: block_i subtrees present
+    with ocp.PyTreeCheckpointer() as c:
+        art = c.restore(_os.path.join(ckpt, "step_6"))["state"]
+    assert "block_0" in art["params"] and "block_1" in art["params"]
