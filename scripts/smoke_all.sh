@@ -141,4 +141,52 @@ for name, blob in (('reconstruct', rec), ('sample', smp)):
     assert sr == 22050 and len(wav) > 500, name
 httpd.shutdown()
 print('serve round-trip ok (reconstruct + sample)')" | tail -1
-echo "SMOKE OK (incl. hier + serve)"
+echo "== 10/11 multi-speaker chain (cmu_arctic preset: conditioned vqvae -> prior -> per-speaker sample)"
+MS_PRESET=neural_sound_generation_tpu/config/presets/multispeaker_cmu_arctic_mixture.json
+PY "
+import numpy as np, os
+from neural_sound_generation_tpu.ops import dsp
+sr = 16000
+for sid, spk in enumerate(['awb','bdl','clb','jmk','ksp','rms','slt']):
+    d = f'$WORK/ms_in/cmu_us_{spk}_arctic/wav'
+    os.makedirs(d, exist_ok=True)
+    for i in range(2):
+        t = np.arange(int(sr*0.6))/sr
+        w = (0.5*np.sin(2*np.pi*(120+25*sid)*t)).astype(np.float32)
+        dsp.save_wav(w, f'{d}/arctic_a{i:04d}.wav', sr)
+"
+PY "
+from neural_sound_generation_tpu.cli.preprocess import main
+main(['cmu_arctic','$WORK/ms_in','$WORK/ms_out','--preset','$MS_PRESET'])" | tail -1
+PY "
+from neural_sound_generation_tpu.cli.main import main
+main(['--model','vqvae','--dataset','cmu_arctic','--datadir','$WORK/ms_out',
+      '--sampledir','$WORK/ms_results','--ckpt-dir','$WORK/ms_models',
+      '--preset','$MS_PRESET','--batch-size','2','--epochs','1',
+      '--dim','8','--z-dim','16','--max-batches-per-epoch','2'])" | grep Average
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['train','--datadir','$WORK/ms_out',
+      '--vqvae-ckpt','$WORK/ms_models/vqvae/checkpoint_cmu_arctic_8_16',
+      '--ckpt-dir','$WORK/ms_prior','--preset','$MS_PRESET',
+      '--dim','8','--z-dim','16','--prior-dim','8','--prior-layers','2',
+      '--n-classes','7','--batch-size','2','--epochs','1',
+      '--max-batches-per-epoch','2'])" | tail -1
+PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['sample','--vqvae-ckpt','$WORK/ms_models/vqvae/checkpoint_cmu_arctic_8_16',
+      '--prior-ckpt','$WORK/ms_prior','--output-dir','$WORK/ms_samples',
+      '--preset','$MS_PRESET','--dim','8','--z-dim','16',
+      '--prior-dim','8','--prior-layers','2','--n-classes','7',
+      '--code-shape','20','5','--num-samples','1','--label','3'])" | tail -1
+
+echo "== 11/11 pipeline-parallel prior train (--mesh-pipe 2 on 2 virtual devices)"
+XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}" PY "
+from neural_sound_generation_tpu.cli.prior import main
+main(['train','--datadir','$WORK/out',
+      '--vqvae-ckpt','$WORK/models/vqvae/checkpoint_ljspeech_8_16',
+      '--ckpt-dir','$WORK/pp_prior','--dim','8','--z-dim','16',
+      '--arch','transformer','--prior-dim','16','--prior-layers','2',
+      '--batch-size','2','--epochs','1','--max-batches-per-epoch','2',
+      '--mesh-pipe','2'])" | tail -1
+echo "SMOKE OK (incl. hier + serve + multispeaker + pp)"
