@@ -59,6 +59,8 @@ def run_pp_training(
     variables,
     kind: str,
     epoch_line: Callable[[int, float], str],
+    ema_decay: float = 0.0,
+    ema_warmup: bool = False,
 ) -> None:
     """The PP train lifecycle. ``build(n_pipe, n_data, n_micro) ->
     (mesh, tx, init_fn, step_fn)``; ``partition(variables_or_params,
@@ -67,7 +69,15 @@ def run_pp_training(
     layout; ``split_dense(dense) -> (rest, stacked)`` is the structural
     split for re-partitioning restored Adam moments. Checkpoints:
     artifact at ``ckpt_dir`` in the dense layout every downstream
-    restore path uses, full dense params+moments at ``<ckpt_dir>_pp_train``.
+    restore path uses, full dense params+moments (+EMA) at
+    ``<ckpt_dir>_pp_train``.
+
+    ``ema_decay > 0`` maintains an averaged-model shadow in the SAME
+    stage-sharded layout (one fused elementwise launch per step) and
+    exports it as the ``<ckpt_dir>_ema`` sibling — the reference's
+    intended synthesis weights (hparams.py:116-118), previously absent
+    under PP. ``ema_warmup`` ramps the decay min(decay, (1+t)/(10+t))
+    like the dense path.
     """
     from neural_sound_generation_tpu.parallel import pipeline as pp
     from neural_sound_generation_tpu.training import checkpoint
@@ -75,10 +85,25 @@ def run_pp_training(
     mesh, tx, init_fn, step_fn = build(n_pipe, n_data, n_micro)
     rest, stacked = partition(variables, mesh)
     opt_state = init_fn(rest, stacked)
-    # no EMA shadow rides the PP layout: the averaged-model *_ema
-    # artifact is not exported under --mesh-pipe (train dense/TP for it)
-    print(f"pp {kind}: dp{n_data}xpp{n_pipe}, {n_micro} microbatches; "
-          f"no *_ema artifact under --mesh-pipe")
+    ema = None
+    if ema_decay and ema_decay > 0:
+        # an independent copy in the identical stage-sharded placement.
+        # device_get matters: unpartition returns the LIVE buffers for
+        # the replicated part, and the first donating step would delete
+        # them out from under the shadow
+        ema = partition(
+            {"params": jax.device_get(unpartition(rest, stacked))}, mesh
+        )
+
+    @jax.jit
+    def ema_step(e, pair, d):
+        return jax.tree_util.tree_map(
+            lambda ee, px: d * ee + (1.0 - d) * px, e, pair
+        )
+
+    print(f"pp {kind}: dp{n_data}xpp{n_pipe}, {n_micro} microbatches"
+          + ("" if ema is not None else
+             "; EMA off — no *_ema artifact"))
 
     step_total, start_epoch = 0, 1
     # PP stores dense params+moments — a different layout from the
@@ -92,11 +117,17 @@ def run_pp_training(
                 "params": unpartition(rest, stacked),
                 "opt": pp.pp_opt_state_to_dense(opt_state, unpartition),
             }
+            if ema is not None:
+                template["ema"] = unpartition(*ema)
             restored, extra = checkpoint.restore(train_dir, template)
             rest, stacked = partition({"params": restored["params"]}, mesh)
             opt_state = pp.pp_opt_state_from_dense(
                 restored["opt"], split_dense, mesh
             )
+            if ema is not None:
+                # older siblings without an "ema" leaf graft the
+                # template (re-seeded from the resume-point params)
+                ema = partition({"params": restored["ema"]}, mesh)
             step_total = checkpoint.latest_step(train_dir)
             start_epoch = int((extra or {}).get("epoch", 0)) + 1
             print(f"resumed pp train state from step {step_total}, "
@@ -124,11 +155,20 @@ def run_pp_training(
         checkpoint.save(
             ckpt_dir, {"params": dense}, step=step_total, extra=extra
         )
+        sibling = {
+            "params": dense,
+            "opt": pp.pp_opt_state_to_dense(opt_state, unpartition),
+        }
+        if ema is not None:
+            dense_ema = unpartition(*ema)
+            sibling["ema"] = dense_ema
+            checkpoint.save(
+                ckpt_dir.rstrip("/") + "_ema", {"params": dense_ema},
+                step=step_total,
+                extra={**extra, "averaged": True},
+            )
         checkpoint.save(
-            train_dir,
-            {"params": dense,
-             "opt": pp.pp_opt_state_to_dense(opt_state, unpartition)},
-            step=step_total, extra=extra, block=False,
+            train_dir, sibling, step=step_total, extra=extra, block=False,
         )
 
     for epoch in range(start_epoch, epochs + 1):
@@ -141,6 +181,12 @@ def run_pp_training(
                 rest, stacked, opt_state, batch
             )
             step_total += 1
+            if ema is not None:
+                d = ema_decay
+                if ema_warmup:
+                    d = min(ema_decay,
+                            (1.0 + step_total) / (10.0 + step_total))
+                ema = ema_step(ema, (rest, stacked), d)
             loss_sum += metrics["loss"]
             count += 1
             if checkpoint_interval and step_total % checkpoint_interval == 0:

@@ -82,8 +82,9 @@ def parse_args(argv=None):
                          "composes with --mesh-data as DPxPP; "
                          "checkpoints export dense so a pp-N run "
                          "resumes at any other width and `sample` "
-                         "restores the artifact directly; no EMA "
-                         "shadow / *_ema artifact under PP")
+                         "restores the artifact directly; the EMA "
+                         "shadow rides the same stage-sharded layout "
+                         "and exports the *_ema sibling")
     tr.add_argument("--pp-microbatches", type=int, default=None,
                     help="GPipe microbatches per step (default: "
                          "--mesh-pipe); must divide --batch-size; "
@@ -480,6 +481,9 @@ def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
         split_dense=lambda dense: pp.pp_prior_split(prior, dense),
         variables=pvars,
         kind="prior",
+        ema_decay=(cfg.train.ema_decay
+                   if cfg.train.exponential_moving_average else 0.0),
+        ema_warmup=getattr(args, "ema_warmup", False),
         epoch_line=lambda epoch, nll: (
             f"prior epoch {epoch}: nll/code {nll:.4f} "
             f"(ppl {np.exp(nll):.1f} of {args.z_dim})"

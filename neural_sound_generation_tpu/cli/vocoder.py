@@ -52,8 +52,8 @@ def parse_args(argv=None):
                          "composes with --mesh-data as DPxPP; "
                          "checkpoints export the flat layout "
                          "`synthesize` restores, so runs resume at any "
-                         "pipe width; no EMA shadow / *_ema artifact "
-                         "under PP")
+                         "pipe width; the EMA shadow rides the same "
+                         "stage-sharded layout and exports *_ema")
     tr.add_argument("--pp-microbatches", type=int, default=None,
                     help="GPipe microbatches per step (default: "
                          "--mesh-pipe); must divide --batch-size")
@@ -356,6 +356,9 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
         ),
         variables=variables,
         kind="wavenet",
+        ema_decay=(cfg.train.ema_decay
+                   if cfg.train.exponential_moving_average else 0.0),
+        ema_warmup=getattr(args, "ema_warmup", False),
         epoch_line=lambda epoch, loss: (
             f"wavenet epoch {epoch}: loss {loss:.4f}"
         ),

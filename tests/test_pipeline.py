@@ -505,6 +505,7 @@ def test_run_pp_training_interval_epochs(rng, tmp_path):
         variables=variables,
         kind="prior",
         epoch_line=lambda e, l: f"prior epoch {e}: {l:.3f}",
+        ema_decay=0.5,
     )
     assert epochs_seen == [0, 1]  # shuffle order pinned per epoch
 
@@ -528,3 +529,20 @@ def test_run_pp_training_interval_epochs(rng, tmp_path):
     with ocp.PyTreeCheckpointer() as c:
         art = c.restore(_os.path.join(ckpt, "step_6"))["state"]
     assert "block_0" in art["params"] and "block_1" in art["params"]
+
+    # the EMA shadow exports the *_ema sibling in the same dense layout
+    # and lags the live params (decay 0.5 after 6 steps != live)
+    from neural_sound_generation_tpu.training import checkpoint as ckpt_mod
+
+    assert ckpt_mod.latest_step(ckpt + "_ema") == 6
+    with ocp.PyTreeCheckpointer() as c:
+        ema_art = c.restore(
+            _os.path.join(ckpt + "_ema", "step_6"))["state"]
+    live = art["params"]["block_0"]["attn_qkv"]["kernel"]
+    shadow = ema_art["params"]["block_0"]["attn_qkv"]["kernel"]
+    assert not np.allclose(np.asarray(live), np.asarray(shadow))
+    # the *_pp_train sibling carries the dense EMA for resume fidelity
+    with ocp.PyTreeCheckpointer() as c:
+        sib = c.restore(
+            _os.path.join(ckpt + "_pp_train", "step_6"))["state"]
+    assert "ema" in sib

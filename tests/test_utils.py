@@ -306,6 +306,9 @@ def test_prior_cli_pipeline_parallel(tmp_path, monkeypatch, capsys):
     step1 = ckpt_mod.latest_step(prior_ckpt)
     assert step1 and step1 >= 1
     assert ckpt_mod.latest_step(prior_ckpt + "_pp_train") == step1
+    # the EMA shadow rides the stage-sharded layout and exports the
+    # same *_ema sibling the dense path writes
+    assert ckpt_mod.latest_step(prior_ckpt + "_ema") == step1
 
     # cross-layout resume: the pp4 checkpoint steps on under pp2 with
     # moments restored (dense layout is mesh-width-independent)
