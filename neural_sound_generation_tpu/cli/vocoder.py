@@ -266,7 +266,7 @@ def cmd_train(args):
 
 
 def build_pp_vocoder_train(model, cfg, n_pipe: int, n_data: int,
-                           n_micro: int, lr: float):
+                           n_micro: int, lr: float, bf16: bool = False):
     """The CLI-reachable pipeline-parallel vocoder training machinery
     (also the path ``__graft_entry__.dryrun_multichip`` exercises):
     DPxPP mesh, the SAME optimizer the dense path builds
@@ -286,7 +286,7 @@ def build_pp_vocoder_train(model, cfg, n_pipe: int, n_data: int,
         dataclasses.replace(cfg.train, initial_learning_rate=lr)
     )
     init_fn, step_fn = pp.make_pp_wavenet_train_step(
-        model, cfg, mesh, n_micro, tx
+        model, cfg, mesh, n_micro, tx, bf16=bf16
     )
     return mesh, tx, init_fn, step_fn
 
@@ -319,11 +319,17 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
             "--mesh-pipe does not thread speaker embeddings; train "
             "speaker-conditioned vocoders on the DP/TP mesh"
         )
-    if getattr(args, "bf16", False):
-        raise SystemExit(
-            "--mesh-pipe stages the f32 layer math; drop --bf16 "
-            "(bf16 PP staging is not wired)"
-        )
+    bf16 = bool(getattr(args, "bf16", False))
+    if bf16:
+        # the staged path takes the f32 MODULE and selects bf16 stage
+        # math explicitly (params stay f32, loss head f32 — the dense
+        # --bf16 convention); rebuild the module f32 so the staged
+        # kernels control the compute dtype
+        import copy as _copy
+
+        a2 = _copy.copy(args)
+        a2.bf16 = False
+        model = build_model(cfg, a2)
     if model.cin_channels <= 0:
         raise SystemExit(
             "--mesh-pipe requires mel conditioning (cin_channels > 0)"
@@ -347,7 +353,8 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
         set_epoch=loaders["train"].set_epoch,
         epoch_batches=step_batches,
         build=lambda p, d, m: build_pp_vocoder_train(
-            model, cfg, p, d, m, cfg.train.initial_learning_rate
+            model, cfg, p, d, m, cfg.train.initial_learning_rate,
+            bf16=bf16,
         ),
         partition=lambda v, mesh: pp.wavenet_stack_params(model, v, mesh),
         unpartition=lambda r, s: pp.wavenet_unstack_params(model, r, s),

@@ -546,3 +546,47 @@ def test_run_pp_training_interval_epochs(rng, tmp_path):
         sib = c.restore(
             _os.path.join(ckpt + "_pp_train", "step_6"))["state"]
     assert "ema" in sib
+
+
+def test_wavenet_pp_bf16_staging(rng):
+    """dtype=bf16 staged math: logits close to the f32 staging at init
+    (bf16 rounding tolerance), the train step runs with a bf16 ring
+    payload, and the loss decreases — the PP counterpart of the dense
+    --bf16 vocoder path."""
+    import optax
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_wavenet_train_step, wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c = _wavenet(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+
+    want = jax.jit(
+        lambda r, s: wavenet_pp_logits(model, r, s, x, c, mesh, n_micro=2)
+    )(rest, stacked)
+    got = jax.jit(
+        lambda r, s: wavenet_pp_logits(
+            model, r, s, x, c, mesh, n_micro=2, dtype=jnp.bfloat16
+        )
+    )(rest, stacked)
+    assert got.dtype == want.dtype == jnp.float32  # loss head stays f32
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05
+    )
+
+    cfg = Config()
+    init_fn, step = make_pp_wavenet_train_step(
+        model, cfg, mesh, n_micro=2, tx=optax.adam(3e-3), bf16=True
+    )
+    opt_state = init_fn(rest, stacked)
+    batch = {"y": x, "c": c}
+    losses = []
+    for _ in range(15):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.3, losses[::5]
+    assert "pipe" in stacked["dilated"]["kernel"].sharding.spec

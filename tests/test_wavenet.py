@@ -508,6 +508,17 @@ def test_vocoder_cli_pipeline_parallel(tmp_path, monkeypatch, capsys):
             "--epochs", "1",
         ])
 
+    # --bf16 composes with --mesh-pipe: the staged math runs bf16
+    # (f32 module, f32 loss head) and the run trains + checkpoints
+    bf_ckpt = str(tmp_path / "wn_pp_bf16")
+    vocoder_cli.main([
+        "train", "--datadir", str(out_dir), "--ckpt-dir", bf_ckpt,
+        "--batch-size", "2", "--layers", "4", "--stacks", "2",
+        "--residual-channels", "8", "--max-batches-per-epoch", "2",
+        "--mesh-pipe", "2", "--bf16", "--epochs", "1",
+    ])
+    assert ckpt_mod.latest_step(bf_ckpt) is not None
+
 
 def test_vocoder_cli_resume(tmp_path, capsys):
     """--resume on the vocoder CLI continues the epoch count (previously
