@@ -117,17 +117,22 @@ def run_pp_training(
                 "params": unpartition(rest, stacked),
                 "opt": pp.pp_opt_state_to_dense(opt_state, unpartition),
             }
-            if ema is not None:
-                template["ema"] = unpartition(*ema)
             restored, extra = checkpoint.restore(train_dir, template)
             rest, stacked = partition({"params": restored["params"]}, mesh)
             opt_state = pp.pp_opt_state_from_dense(
                 restored["opt"], split_dense, mesh
             )
             if ema is not None:
-                # older siblings without an "ema" leaf graft the
-                # template (re-seeded from the resume-point params)
-                ema = partition({"params": restored["ema"]}, mesh)
+                # second pass with the RESTORED params as the template:
+                # a sibling that carries an "ema" leaf restores it,
+                # a pre-EMA sibling grafts the resume-point params —
+                # never the fresh-init weights the shadow was seeded
+                # from before restore
+                got, _ = checkpoint.restore(
+                    train_dir,
+                    {"ema": jax.device_get(restored["params"])},
+                )
+                ema = partition({"params": got["ema"]}, mesh)
             step_total = checkpoint.latest_step(train_dir)
             start_epoch = int((extra or {}).get("epoch", 0)) + 1
             print(f"resumed pp train state from step {step_total}, "
@@ -138,6 +143,17 @@ def run_pp_training(
             )
             rest, stacked = partition({"params": restored["params"]}, mesh)
             opt_state = init_fn(rest, stacked)
+            if ema is not None:
+                # the shadow must NOT stay at the fresh-init weights
+                # captured before restore: prefer the *_ema sibling a
+                # dense run wrote, else re-seed from the resume-point
+                # params (the dense path's convention)
+                ema_dir = ckpt_dir.rstrip("/") + "_ema"
+                seed = jax.device_get(restored["params"])
+                if checkpoint.latest_step(ema_dir) is not None:
+                    got, _ = checkpoint.restore(ema_dir, {"params": seed})
+                    seed = got["params"]
+                ema = partition({"params": seed}, mesh)
             step_total = checkpoint.latest_step(ckpt_dir)
             start_epoch = int((extra or {}).get("epoch", 0)) + 1
             print(f"resumed params from step {step_total}, epoch "
@@ -182,10 +198,14 @@ def run_pp_training(
             )
             step_total += 1
             if ema is not None:
-                d = ema_decay
-                if ema_warmup:
-                    d = min(ema_decay,
-                            (1.0 + step_total) / (10.0 + step_total))
+                from neural_sound_generation_tpu.training.train_state import (
+                    resolve_ema_decay,
+                )
+
+                # step_total is post-increment; the shared schedule
+                # takes the pre-increment step
+                d = float(resolve_ema_decay(
+                    ema_decay, ema_warmup, step_total - 1))
                 ema = ema_step(ema, (rest, stacked), d)
             loss_sum += metrics["loss"]
             count += 1

@@ -159,6 +159,17 @@ class InferenceService:
         # multispeaker checkpoints (gin_channels > 0): decode paths need
         # a speaker embedding; /reconstruct and /decode use this default
         # (--speaker-id), /sample conditions on the request label
+        n_spk = int(getattr(model, "n_speakers", 0) or 0)
+        if n_spk > 0 and (
+            default_speaker is None
+            or not 0 <= int(default_speaker) < n_spk
+        ):
+            # fail at construction, not at the first jit trace deep in
+            # /reconstruct (int(None) TypeError / silent embed clamp)
+            raise ValueError(
+                f"speaker-conditioned model ({n_spk} speakers) needs "
+                f"default_speaker in [0, {n_spk}), got {default_speaker}"
+            )
         self.default_speaker = default_speaker
         # (wavenet_model, wavenet_variables) or None for Griffin-Lim
         self._vocoder = vocoder
@@ -311,6 +322,15 @@ class InferenceService:
             # out-of-range labels would be silently clamped by the gather
             raise ValueError(
                 f"label must be in [0, {n_classes}), got {label}"
+            )
+        n_speakers = int(getattr(self.model, "n_speakers", 0) or 0)
+        if n_speakers > 0 and label >= n_speakers:
+            # multispeaker decoders use the label AS the speaker id —
+            # the 7-row speaker embedding would silently clamp ids the
+            # n_classes check alone lets through
+            raise ValueError(
+                f"label is the speaker id for this multispeaker model: "
+                f"must be in [0, {n_speakers}), got {label}"
             )
         seed = int(payload.get("seed", 0))
         labels = jnp.full((n,), label, jnp.int32)
@@ -933,13 +953,21 @@ def build_service(args):
         init_kwargs = (
             {"g": jnp.zeros((1,), jnp.int32)} if n_speakers else {}
         )
-        if n_speakers and getattr(args, "speaker_id", None) is None:
+        sid = getattr(args, "speaker_id", None)
+        if n_speakers and sid is None:
             raise SystemExit(
                 f"this preset serves a speaker-conditioned model "
                 f"(gin_channels {gin}): pass --speaker-id 0.."
                 f"{n_speakers - 1} as the default voice for "
                 f"/reconstruct and /decode (/sample uses the request "
                 f"label)"
+            )
+        if n_speakers and not 0 <= int(sid) < n_speakers:
+            # the embedding gather would silently clamp a bad id to the
+            # last speaker — refuse instead of serving the wrong voice
+            raise SystemExit(
+                f"--speaker-id {sid} out of range: this model has "
+                f"{n_speakers} speakers (0..{n_speakers - 1})"
             )
     sample = jnp.zeros((1, cfg.audio.num_mels, frames, 1))
     variables = model.init(

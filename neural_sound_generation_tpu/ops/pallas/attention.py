@@ -374,6 +374,13 @@ def chunked_causal_attention(q, k, v, scale, block: int = 320):
         qpos = i * block + jnp.arange(block)
 
         def inner(carry, j):
+            # deliberately UNIFORM over all nb KV blocks, with the
+            # upper triangle handled by masking: wrapping the body in
+            # lax.cond(j <= i, ...) to skip the dead half was measured
+            # SLOWER (135 vs 78 ms fwd+bwd at T=2240 — the branch
+            # defeats XLA's scan pipelining and doubles the backward's
+            # control flow), so the ~2x masked FLOPs stay (they are
+            # cheap relative to the traffic this path exists to avoid)
             m, l, acc = carry
             kj = jax.lax.dynamic_index_in_dim(kb, j, 2, keepdims=False)
             vj = jax.lax.dynamic_index_in_dim(vb, j, 2, keepdims=False)

@@ -122,6 +122,17 @@ def _fused_opt_init(params, cfg: TrainConfig, use_schedule: bool) -> FusedOptSta
     )
 
 
+def resolve_ema_decay(ema_decay, ema_warmup: bool, step):
+    """The single source of the EMA decay schedule: the reference's
+    fixed decay (hparams.py:118), optionally ramped
+    min(decay, (1+t)/(10+t)) under TrainConfig.ema_warmup. ``step`` is
+    the 0-based step BEFORE the increment (t = step + 1)."""
+    if not ema_warmup:
+        return ema_decay
+    t = jnp.asarray(step + 1, jnp.float32)
+    return jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+
+
 def _use_pallas_fused() -> bool:
     """Opt-in (NSG_FUSED_OPT=pallas) single-pass Pallas lowering of the
     fused optimizer update; TPU backend only. Read at trace time."""
@@ -166,11 +177,11 @@ def fused_flat_update(s: FusedOptState, count, m, v, flat_p, flat_g,
             if s.clip > 0 else jnp.float32(1.0)
         )
         lr_now = s.lr(count) if callable(s.lr) else s.lr
-        if ema is not None and ema_warmup:
-            t = (step + 1).astype(jnp.float32)
-            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-        else:
-            d = jnp.asarray(ema_decay or 0.0, jnp.float32)
+        d = (
+            jnp.asarray(resolve_ema_decay(ema_decay, ema_warmup, step),
+                        jnp.float32)
+            if ema is not None else jnp.float32(0.0)
+        )
         new_p, new_m, new_v, new_ema = fused_adam_update(
             flat_g, flat_p, m, v, ema, gscale, lr_now,
             count_inc.astype(jnp.float32), d,
@@ -197,11 +208,7 @@ def fused_flat_update(s: FusedOptState, count, m, v, flat_p, flat_g,
     new_flat_p = flat_p - lr * m_hat / (jnp.sqrt(v_hat) + s.eps)
     new_ema = ema  # flat f32 vector under the fused path
     if new_ema is not None:
-        if ema_warmup:
-            t = (step + 1).astype(jnp.float32)
-            d = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
-        else:
-            d = ema_decay
+        d = resolve_ema_decay(ema_decay, ema_warmup, step)
         new_ema = d * new_ema + (1.0 - d) * new_flat_p
     return (new_flat_p, m_f32.astype(m.dtype), v_f32.astype(v.dtype),
             new_ema, count_inc, gnorm)

@@ -232,9 +232,13 @@ def test_serve_multispeaker_checkpoint(tmp_path, rng):
     checkpoint.save(ckpt, state, step=1)
 
     base = dict(preset=preset, dim=8, z_dim=16, frames=16, ckpt_dir=ckpt)
-    # speaker-conditioned model without --speaker-id is a loud error
+    # speaker-conditioned model without --speaker-id is a loud error,
+    # and an out-of-range id is refused rather than silently clamped
+    # to the last speaker by the embedding gather
     with pytest.raises(SystemExit, match="speaker-conditioned"):
         build_service(argparse.Namespace(**base))
+    with pytest.raises(SystemExit, match="out of range"):
+        build_service(argparse.Namespace(**base, speaker_id=9))
 
     svc0 = build_service(argparse.Namespace(**base, speaker_id=0))
     assert "speaker_embed" in svc0.variables["params"]
