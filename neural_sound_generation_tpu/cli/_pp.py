@@ -81,6 +81,9 @@ def run_pp_training(
     """
     from neural_sound_generation_tpu.parallel import pipeline as pp
     from neural_sound_generation_tpu.training import checkpoint
+    from neural_sound_generation_tpu.training.train_state import (
+        resolve_ema_decay,
+    )
 
     mesh, tx, init_fn, step_fn = build(n_pipe, n_data, n_micro)
     rest, stacked = partition(variables, mesh)
@@ -96,7 +99,13 @@ def run_pp_training(
         )
 
     @jax.jit
-    def ema_step(e, pair, d):
+    def ema_step(e, pair, step):
+        # the decay schedule is computed INSIDE the jit from a traced
+        # step scalar: the warmup branch of resolve_ema_decay returns a
+        # jnp value, and float()-ing it per step forced a device->host
+        # sync that serialized the otherwise-async PP dispatch
+        # (round-4 advisor finding)
+        d = resolve_ema_decay(ema_decay, ema_warmup, step)
         return jax.tree_util.tree_map(
             lambda ee, px: d * ee + (1.0 - d) * px, e, pair
         )
@@ -198,15 +207,11 @@ def run_pp_training(
             )
             step_total += 1
             if ema is not None:
-                from neural_sound_generation_tpu.training.train_state import (
-                    resolve_ema_decay,
-                )
-
                 # step_total is post-increment; the shared schedule
-                # takes the pre-increment step
-                d = float(resolve_ema_decay(
-                    ema_decay, ema_warmup, step_total - 1))
-                ema = ema_step(ema, (rest, stacked), d)
+                # takes the pre-increment step (traced — no host sync)
+                ema = ema_step(
+                    ema, (rest, stacked), np.int32(step_total - 1)
+                )
             loss_sum += metrics["loss"]
             count += 1
             if checkpoint_interval and step_total % checkpoint_interval == 0:

@@ -938,6 +938,17 @@ def build_service(args):
                 f"--frames must be a multiple of 8 for hiervqvae "
                 f"(got {frames}); try {frames - frames % 8}"
             )
+        if cfg.arch.gin_channels > 0:
+            # the hier template carries no speaker embedding: restoring
+            # a speaker-conditioned checkpoint here would silently drop
+            # its embeddings and never validate --speaker-id — fail
+            # loudly like the flat path does for the same preset
+            raise SystemExit(
+                "--model hiervqvae does not support speaker-conditioned "
+                f"presets (gin_channels {cfg.arch.gin_channels}): serve "
+                "the multispeaker checkpoint with the flat model, or "
+                "drop the preset's gin_channels"
+            )
         model = HierVQVAE(input_dim=1, dim=args.dim, z_dim=args.z_dim)
         init_kwargs = {}
     else:

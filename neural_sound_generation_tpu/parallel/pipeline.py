@@ -384,22 +384,35 @@ def _map_adam_moments(opt_state, fn):
     ``ScaleByAdamState`` inside an optax chain's state tuple; every other
     transform state passes through unchanged. The moments of the PP train
     steps are (rest, stacked) pairs — this is how they convert between
-    the partitioned layout and the dense checkpoint layout."""
+    the partitioned layout and the dense checkpoint layout.
+
+    Recurses into nested tuples: ``make_optimizer`` wraps optax.adam
+    inside ``optax.chain`` when clip_thresh/weight_decay are configured
+    (train_state.py:306-312), nesting the adam state one tuple deeper —
+    a preset with clipping must still checkpoint/restore under PP
+    (mirrors checkpoint._find_adam_sd's any-position search)."""
     import optax
 
-    out, found = [], False
-    for st in tuple(opt_state):
+    def visit(st):
         if isinstance(st, optax.ScaleByAdamState):
-            out.append(
+            return (
                 optax.ScaleByAdamState(
                     count=st.count, mu=fn(st.mu), nu=fn(st.nu)
-                )
+                ),
+                True,
             )
-            found = True
-        else:
-            out.append(st)
+        if isinstance(st, tuple) and not hasattr(st, "_fields"):
+            out, found = [], False
+            for sub in st:
+                new, hit = visit(sub)
+                out.append(new)
+                found = found or hit
+            return tuple(out), found
+        return st, False
+
+    out, found = visit(tuple(opt_state))
     assert found, "expected a ScaleByAdamState in the optimizer chain"
-    return tuple(out)
+    return out
 
 
 def pp_opt_state_to_dense(opt_state, unpartition_fn):
@@ -433,14 +446,21 @@ def pp_opt_state_from_dense(dense_opt, partition_fn, mesh: Mesh,
         rest, stacked = partition_fn(dense)
         return _place_pair(rest, stacked, mesh, axis)
 
-    out = []
-    for st in _map_adam_moments(dense_opt, place):
+    def visit(st):
         if isinstance(st, optax.ScaleByAdamState):
-            st = st._replace(count=jax.device_put(st.count, rep))
-        else:
-            st = jax.device_put(st, rep)
-        out.append(st)
-    return tuple(out)
+            return optax.ScaleByAdamState(
+                count=jax.device_put(st.count, rep),
+                mu=place(st.mu),
+                nu=place(st.nu),
+            )
+        if isinstance(st, tuple) and not hasattr(st, "_fields"):
+            # recurse into optax.chain nesting (clip/weight-decay wrap
+            # the adam state one tuple deeper) without clobbering the
+            # placed moment shardings with a blanket replicated put
+            return tuple(visit(s) for s in st)
+        return jax.device_put(st, rep)
+
+    return visit(tuple(dense_opt))
 
 
 def wavenet_stack_params(model, params, mesh: Mesh = None,

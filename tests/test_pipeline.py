@@ -437,6 +437,78 @@ def test_pp_opt_state_dense_roundtrip(rng):
     assert "pipe" in s["attn_qkv"]["kernel"].sharding.spec
 
 
+def test_pp_opt_state_roundtrip_with_clip_chain(rng):
+    """make_optimizer with clip_thresh/weight_decay wraps optax.adam in
+    optax.chain, nesting the adam state one tuple deeper — the
+    dense<->partitioned moment conversion must find it there (round-4
+    advisor finding: any preset configuring clipping died on `assert
+    found` at the first PP checkpoint save)."""
+    import dataclasses
+
+    from neural_sound_generation_tpu.cli.prior import build_pp_train
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        pp_opt_state_from_dense,
+        pp_opt_state_to_dense,
+        pp_prior_partition,
+        pp_prior_split,
+        pp_prior_unpartition,
+    )
+
+    model, variables, codes, labels = _prior(n_layers=4, dim=32)
+    train_cfg = dataclasses.replace(
+        Config().train, clip_thresh=1.0, weight_decay=1e-4
+    )
+    mesh4, _, init_fn, step4 = build_pp_train(
+        model, n_pipe=4, n_data=1, n_micro=4, lr=3e-3, train_cfg=train_cfg
+    )
+    rest, stacked = pp_prior_partition(model, variables, mesh4)
+    opt_state = init_fn(rest, stacked)
+    batch = {"codes": codes, "labels": labels}
+    for _ in range(2):
+        rest, stacked, opt_state, m = step4(rest, stacked, opt_state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    unpart = lambda r, s: pp_prior_unpartition(model, r, s)  # noqa: E731
+    dense_o = pp_opt_state_to_dense(opt_state, unpart)
+
+    # the adam state is nested: find it and check the moments converted
+    def find_adam(st):
+        import optax
+
+        if isinstance(st, optax.ScaleByAdamState):
+            return st
+        if isinstance(st, tuple) and not hasattr(st, "_fields"):
+            for sub in st:
+                got = find_adam(sub)
+                if got is not None:
+                    return got
+        return None
+
+    adam = find_adam(dense_o)
+    assert adam is not None and int(adam.count) == 2
+    assert "block_0" in adam.mu and "head" in adam.mu
+
+    # re-partition at a different width and keep training
+    mesh2, _, _, step2 = build_pp_train(
+        model, n_pipe=2, n_data=1, n_micro=4, lr=3e-3, train_cfg=train_cfg
+    )
+    rest2, stacked2 = pp_prior_partition(
+        model, {"params": unpart(rest, stacked)}, mesh2
+    )
+    opt2 = pp_opt_state_from_dense(
+        dense_o, lambda d: pp_prior_split(model, d), mesh2
+    )
+    adam2 = find_adam(opt2)
+    assert "pipe" in adam2.mu[1]["attn_qkv"]["kernel"].sharding.spec
+    np.testing.assert_array_equal(
+        np.asarray(adam2.mu[1]["attn_qkv"]["kernel"][0]),
+        np.asarray(adam.mu["block_0"]["attn_qkv"]["kernel"]),
+    )
+    _, _, _, m2 = step2(rest2, stacked2, opt2, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_pp_train_step_learns(rng):
     """A full pipeline-parallel training step: masked-CE loss on the PP
     logits, grads through embed + staged blocks + head, plain Adam.
