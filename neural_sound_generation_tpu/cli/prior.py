@@ -285,11 +285,6 @@ def cmd_train(args):
             yield out
 
     if getattr(args, "mesh_pipe", 1) > 1:
-        if bottom_level:
-            raise SystemExit(
-                "--mesh-pipe does not thread the spatial conditioning of "
-                "the hier bottom prior; train it on the DP/TP mesh"
-            )
         _train_pp(args, cfg, prior, pvars, epoch_batches, loaders)
         return
 
@@ -446,11 +441,6 @@ def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
             "stack; use --arch transformer (the pixelcnn layers are not "
             "a uniform stack)"
         )
-    if getattr(args, "moe_experts", 0):
-        raise SystemExit(
-            "--mesh-pipe does not collect the MoE load-balance loss; "
-            "train routed priors with --mesh-model (expert parallelism)"
-        )
     n_pipe = args.mesh_pipe
     if prior.n_layers % n_pipe:
         raise SystemExit(
@@ -463,7 +453,12 @@ def _train_pp(args, cfg, prior, pvars, epoch_batches, loaders):
 
     def step_batches():
         for batch in epoch_batches():
-            yield {"codes": batch["codes"], "labels": batch["labels"]}
+            out = {"codes": batch["codes"], "labels": batch["labels"]}
+            if "cond" in batch:
+                # hier-bottom spatial conditioning: consumed by the
+                # replicated embed_sequence outside the staged loop
+                out["cond"] = batch["cond"]
+            yield out
 
     run_pp_training(
         ckpt_dir=args.ckpt_dir,

@@ -314,11 +314,6 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
             f"--stacks {model.stacks} does not stage evenly over "
             f"--mesh-pipe {n_pipe}"
         )
-    if model.gin_channels > 0:
-        raise SystemExit(
-            "--mesh-pipe does not thread speaker embeddings; train "
-            "speaker-conditioned vocoders on the DP/TP mesh"
-        )
     bf16 = bool(getattr(args, "bf16", False))
     if bf16:
         # the staged path takes the f32 MODULE and selects bf16 stage
@@ -340,9 +335,15 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
 
     def step_batches():
         for batch in epoch_batches():
-            # a gin<=0 model ignores speaker ids; corpora that carry
-            # them (cmu_arctic layouts) must still train under PP
-            yield {k: v for k, v in batch.items() if k != "g"}
+            if model.gin_channels > 0:
+                # speaker ids thread through the staged path: the
+                # embedding rides the stage-local broadcast, the
+                # per-layer g convs are staged with their stacks
+                yield batch
+            else:
+                # a gin<=0 model ignores speaker ids; corpora that carry
+                # them (cmu_arctic layouts) must still train under PP
+                yield {k: v for k, v in batch.items() if k != "g"}
 
     run_pp_training(
         ckpt_dir=args.ckpt_dir,

@@ -108,6 +108,15 @@ class SwitchMoE(nn.Module):
         mean_p = jnp.mean(probs, axis=(0, 1))               # (E,)
         self.sow("moe_losses", "load_balance",
                  e * jnp.sum(frac * mean_p))
+        # per-ROW stats for the pipeline-parallel path: routing and
+        # capacity are per row (cumsum over axis=1), so the global
+        # frac/mean_p are exact means of these rows — a PP run carries
+        # them per microbatch and recombines to the identical aux loss
+        # (parallel/pipeline.py routed path). Dropped silently when the
+        # caller only mutates 'moe_losses'.
+        self.sow("moe_stats", "rows",
+                 jnp.stack([jnp.mean(dispatch, axis=1),
+                            jnp.mean(probs, axis=1)], axis=1))  # (B, 2, E)
 
         slot = jax.nn.one_hot(
             (pos - 1.0).astype(jnp.int32), cap, dtype=jnp.float32

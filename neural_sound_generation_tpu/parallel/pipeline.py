@@ -275,23 +275,20 @@ def prior_pp_logits(
     persistently holding only its L/S layers, per-stage optimizer
     state) use :func:`pp_prior_partition` +
     :func:`make_pp_prior_train_step`.
-    """
-    from neural_sound_generation_tpu.models.transformer_prior import (
-        TransformerPrior, _Block,
-    )
 
-    if getattr(model, "n_experts", 0) > 0:
-        raise ValueError(
-            "pipeline path does not collect the MoE load-balance loss; "
-            "train routed priors on the DP/TP(EP) mesh instead"
-        )
+    Routed models (``n_experts > 0``) return ``(logits, aux)`` — the
+    Switch load-balance loss collected ACROSS stages (per-row stats
+    ride the microbatch ring; see :func:`_pp_logits_core`) — so PP
+    training applies the same regularizer the dense trainer does.
+    """
     if "params" in params:
         params = params["params"]
     rest = {k: v for k, v in params.items() if not k.startswith("block_")}
     stacked = stack_layer_params(params, model.n_layers)
-    return _pp_logits_core(
+    logits, aux = _pp_logits_core(
         model, rest, stacked, codes, label, mesh, n_micro, cond_map, axis
     )
+    return (logits, aux) if aux is not None else logits
 
 
 def _pp_logits_core(model, rest, stacked, codes, label, mesh, n_micro,
@@ -299,7 +296,20 @@ def _pp_logits_core(model, rest, stacked, codes, label, mesh, n_micro,
     """Shared forward for the convenience (`prior_pp_logits`) and
     partitioned (`make_pp_prior_train_step`) paths. ``rest`` holds the
     embed/head params (replicated; `embed_sequence`/`head_logits` touch
-    only these), ``stacked`` the block stack with leading layer axis."""
+    only these — incl. the hier-bottom cond_proj, so spatial
+    conditioning needs no staging), ``stacked`` the block stack with
+    leading layer axis. Returns ``(logits, aux)``; ``aux`` is None for
+    dense models, else the Switch load-balance loss.
+
+    Routed collection: the dense aux is mean over layers of
+    ``E * sum_e(frac_le * mean_p_le)`` with frac/mean_p means over
+    (B, T) (models/moe.py __call__). Routing and capacity are per ROW,
+    so each block application under PP sows per-row stats (mb, 2, E);
+    they accumulate into a (mb, L, 2, E) buffer riding the ppermute
+    ring (each stage writes its layers' rows at the layer counter, a
+    third int leaf on the ring), and the caller re-means over the
+    gathered (B, L, 2, E) — numerically identical to the unpipelined
+    trainer's aux for any microbatch count and DP sharding."""
     from neural_sound_generation_tpu.models.transformer_prior import (
         TransformerPrior, _Block,
     )
@@ -314,18 +324,49 @@ def _pp_logits_core(model, rest, stacked, codes, label, mesh, n_micro,
     )                                                     # (B, T, D)
     xm = x.reshape(n_micro, mb, *x.shape[1:])
 
+    routed = getattr(model, "n_experts", 0) > 0
     block = _Block(dim=model.dim, n_heads=model.n_heads,
-                   mlp_ratio=model.mlp_ratio, dtype=model.dtype)
+                   mlp_ratio=model.mlp_ratio,
+                   n_experts=model.n_experts,
+                   capacity_factor=model.capacity_factor,
+                   dtype=model.dtype)
 
-    def block_fn(p, a):
-        return block.apply({"params": p}, a)
+    aux = None
+    if routed:
+        L, E = model.n_layers, model.n_experts
+        stats0 = jnp.zeros((n_micro, mb, L, 2, E), jnp.float32)
+        cnt0 = jnp.zeros((n_micro, mb), jnp.int32)
 
-    ym = pipeline_blocks(block_fn, stacked, xm, mesh, axis=axis)
+        def block_fn(p, a):
+            hh, stats, cnt = a
+            y, muts = block.apply(
+                {"params": p}, hh, mutable=["moe_stats"]
+            )
+            rows = muts["moe_stats"]["moe"]["rows"][0]    # (mb, 2, E)
+            stats = lax.dynamic_update_slice(
+                stats, rows[:, None], (0, cnt[0], 0, 0)
+            )
+            return (y, stats, cnt + 1)
+
+        ym, stats, _ = pipeline_blocks(
+            block_fn, stacked, (xm, stats0, cnt0), mesh, axis=axis
+        )
+        stats = stats.reshape(b, L, 2, E)
+        frac = jnp.mean(stats[:, :, 0], axis=0)           # (L, E)
+        mean_p = jnp.mean(stats[:, :, 1], axis=0)         # (L, E)
+        aux = jnp.mean(E * jnp.sum(frac * mean_p, axis=-1))
+    else:
+
+        def block_fn(p, a):
+            return block.apply({"params": p}, a)
+
+        ym = pipeline_blocks(block_fn, stacked, xm, mesh, axis=axis)
+
     y = ym.reshape(b, *x.shape[1:])
     logits = model.apply(
         {"params": rest}, y, method=TransformerPrior.head_logits
     )
-    return logits.reshape(b, h, w, model.input_dim)
+    return logits.reshape(b, h, w, model.input_dim), aux
 
 
 def pp_prior_split(model, params):
@@ -537,14 +578,19 @@ def wavenet_unstack_params(model, rest, stacked):
     return params
 
 
-def _wavenet_stage_fn(model, dtype=None):
+def _wavenet_stage_fn(model, dtype=None, has_g: bool = False):
     """block_fn over ONE stack of WaveNet residual layers.
 
     ``p`` leaves: (per, ...) — this stack's layers; act = (h, skips),
     with the conditioning arriving as the stage-local broadcast slice.
     The layer math mirrors WaveNet.__call__ exactly
-    (models/wavenet.py:170-176): z = dilated(h) + cond(c); gated =
-    tanh(a)*sigmoid(b); skips += skip(gated); h += res(gated).
+    (models/wavenet.py:170-184): z = dilated(h) + cond(c) [+ g(g_emb)];
+    gated = tanh(a)*sigmoid(b); skips += skip(gated); h += res(gated).
+
+    ``has_g``: the broadcast slice is ``(c_up, g_emb)`` — the speaker
+    embedding (mb, gin) is time-constant, so its per-layer 1x1 conv
+    collapses to one (gin, G) matmul broadcast over T (the reference's
+    gin conditioning, src/hparams.py:80-84, staged).
 
     ``dtype=jnp.bfloat16`` runs the stage math in bf16 (params stay f32
     and cast per use — flax ``dtype=`` promotion semantics): full-rate
@@ -563,8 +609,12 @@ def _wavenet_stage_fn(model, dtype=None):
         )
         return y + cast(bias)
 
-    def stage_fn(p, act, c_up):
+    def stage_fn(p, act, bc):
         h, skips = act
+        if has_g:
+            c_up, g_emb = bc
+        else:
+            c_up = bc
         for j in range(per):
             d = 2 ** j
             z = causal_dilated(
@@ -572,6 +622,8 @@ def _wavenet_stage_fn(model, dtype=None):
             )
             if "cond" in p:
                 z = z + c_up @ cast(p["cond"]["kernel"][j][0])
+            if has_g:
+                z = z + (g_emb @ cast(p["g"]["kernel"][j][0]))[:, None, :]
             a, b = jnp.split(z, 2, axis=-1)
             gated = jnp.tanh(a) * jax.nn.sigmoid(b)
             skips = skips + (
@@ -595,26 +647,26 @@ def wavenet_pp_logits(
     n_micro: int,
     axis: str = "pipe",
     dtype=None,
+    g: Optional[jnp.ndarray] = None,
 ):
     """WaveNet teacher-forced forward with the residual stacks
-    pipeline-parallel: (B, T, 1) scalar inputs + (B, T', cin) mels ->
-    (B, T, out_channels), numerically identical to
-    ``model.apply(variables, x, c)``. Stage s holds stack s's layers
-    (static dilations 1..2^(per-1) inside the stage program); the
-    (residual, skip-sum) pair rides the microbatch ring while the
-    upsampled conditioning is stage-locally indexed (``broadcast``)
-    and only the skip sum is carried out (``out_fn``). first_conv,
-    the conditioning upsampler, and the post head run replicated
-    outside the staged loop. Speaker conditioning (gin_channels) is
-    not threaded through this path."""
+    pipeline-parallel: (B, T, 1) scalar inputs + (B, T', cin) mels
+    [+ (B,) int speaker ids] -> (B, T, out_channels), numerically
+    identical to ``model.apply(variables, x, c, g)``. Stage s holds
+    stack s's layers (static dilations 1..2^(per-1) inside the stage
+    program); the (residual, skip-sum) pair rides the microbatch ring
+    while the upsampled conditioning — and, for gin_channels > 0, the
+    speaker embedding — is stage-locally indexed (``broadcast``) and
+    only the skip sum is carried out (``out_fn``). first_conv, the
+    conditioning upsampler, the speaker embedding table, and the post
+    head run replicated outside the staged loop; the per-layer g convs
+    are staged with their stacks. This is what makes the multispeaker
+    preset (src/presets/multispeaker_cmu_arctic_mixture.json,
+    gin_channels=16) trainable under --mesh-pipe."""
     import flax.linen as nn
 
     from neural_sound_generation_tpu.models.wavenet import WaveNet
 
-    assert model.gin_channels <= 0, (
-        "wavenet_pp_logits does not thread speaker embeddings; "
-        "train speaker-conditioned vocoders on the DP/TP mesh"
-    )
     assert model.dtype == jnp.float32, (
         "build the module f32; ``dtype=jnp.bfloat16`` selects bf16 "
         "STAGE math explicitly (params stay f32 — the dense --bf16 "
@@ -632,23 +684,37 @@ def wavenet_pp_logits(
     c_up = model.apply(
         {"params": rest}, c, method=lambda m, cc: m.upsampler(cc)
     )[:, : h.shape[1], :]
+    g_emb = None
+    if model.gin_channels > 0:
+        assert g is not None, (
+            "speaker-conditioned model (gin_channels > 0) needs g"
+        )
+        g_emb = model.apply(
+            {"params": rest}, g, method=lambda m, gg: m.speaker_embed(gg)
+        )                                                 # (B, gin)
     if dtype is not None:
         # bf16 activations enter the ring (halved ppermute payload);
         # the post head below runs f32 like the dense bf16 model's
         h = h.astype(dtype)
         c_up = c_up.astype(dtype)
+        if g_emb is not None:
+            g_emb = g_emb.astype(dtype)
 
     def mstack(a):
         return a.reshape(n_micro, mb, *a.shape[1:])
 
     skips0 = jnp.zeros(h.shape[:-1] + (model.skip_out_channels,), h.dtype)
     act = (mstack(h), mstack(skips0))
-    stage_fn = _wavenet_stage_fn(model, dtype=dtype)
+    stage_fn = _wavenet_stage_fn(model, dtype=dtype, has_g=g_emb is not None)
     # conditioning is read-only per stage -> `broadcast` keeps it off
     # the ppermute ring; only the skip sum is carried out (`out_fn`)
+    bcast = (
+        mstack(c_up) if g_emb is None
+        else (mstack(c_up), mstack(g_emb))
+    )
     skips = pipeline_blocks(
         stage_fn, stacked, act, mesh, axis=axis,
-        broadcast=mstack(c_up), out_fn=lambda a: a[1],
+        broadcast=bcast, out_fn=lambda a: a[1],
     )
     skips = skips.reshape(b, *skips.shape[2:]).astype(jnp.float32)
 
@@ -673,7 +739,7 @@ def make_pp_wavenet_train_step(model, cfg, mesh: Mesh, n_micro: int, tx,
     ``step_fn(rest, stacked, opt_state, batch)`` is jitted with the
     partitioned args donated so weights update in place in their shards.
     Batch: ``{"y": targets (B, T, 1) f32 | (B, T) int, "c": (B, T',
-    n_mels)[, "input_lengths": (B,)]}``."""
+    n_mels)[, "g": (B,) int speakers, "input_lengths": (B,)]}``."""
     from neural_sound_generation_tpu.models.wavenet import WaveNet
     from neural_sound_generation_tpu.training.losses import (
         discretized_mix_logistic_loss,
@@ -687,7 +753,7 @@ def make_pp_wavenet_train_step(model, cfg, mesh: Mesh, n_micro: int, tx,
         x = WaveNet.shift_inputs(targets, scalar)
         y_hat = wavenet_pp_logits(
             model, rest, stacked, x, batch["c"], mesh, n_micro, axis=axis,
-            dtype=jnp.bfloat16 if bf16 else None,
+            dtype=jnp.bfloat16 if bf16 else None, g=batch.get("g"),
         )
         lengths = batch.get("input_lengths")
         if scalar:
@@ -725,30 +791,43 @@ def make_pp_prior_train_step(model, mesh: Mesh, n_micro: int, tx,
     layers), ``step_fn(rest, stacked, opt_state, batch) -> (rest,
     stacked, opt_state, metrics)``, jitted with the partitioned args
     donated so weights update in place in their shards. Batch:
-    ``{"codes": (B, H, W) int, "labels": (B,) int}``."""
+    ``{"codes": (B, H, W) int, "labels": (B,) int[, "cond": (B, H, W,
+    Cc) — the hier-bottom prior's spatial conditioning, consumed by the
+    replicated ``embed_sequence`` outside the staged loop]}``.
+
+    Routed models (``n_experts > 0``) add the Switch load-balance aux
+    (weight 0.01, the trainer's coefficient) collected across stages —
+    ``metrics`` then carries ``moe_load_balance`` alongside the nll."""
+    aux_weight = 0.01  # Switch-paper default, same as trainer.py
+    routed = getattr(model, "n_experts", 0) > 0
 
     def loss_fn(rest, stacked, batch):
-        logits = _pp_logits_core(
+        logits, aux = _pp_logits_core(
             model, rest, stacked, batch["codes"], batch["labels"],
-            mesh, n_micro, axis=axis,
+            mesh, n_micro, cond_map=batch.get("cond"), axis=axis,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(
             logp, batch["codes"][..., None], axis=-1
         )
-        return jnp.mean(nll)
+        nll = jnp.mean(nll)
+        metrics = {"loss": nll}
+        if routed:
+            metrics["moe_load_balance"] = aux
+            return nll + aux_weight * aux, metrics
+        return nll, metrics
 
     def init_fn(rest, stacked):
         return tx.init((rest, stacked))
 
     def step(rest, stacked, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            rest, stacked, batch
-        )
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, stacked, batch)
         updates, opt_state = tx.update(grads, opt_state, (rest, stacked))
         import optax
 
         rest, stacked = optax.apply_updates((rest, stacked), updates)
-        return rest, stacked, opt_state, {"loss": loss}
+        return rest, stacked, opt_state, metrics
 
     return init_fn, jax.jit(step, donate_argnums=(0, 1, 2))

@@ -327,6 +327,101 @@ def test_cmu_arctic_multispeaker_end_to_end(tmp_path):
         ])
 
 
+def test_pp_composes_with_conditioning_cli(tmp_path):
+    """Round-5: the three round-4 PP SystemExit guards are gone — the
+    multispeaker vocoder (speaker embeddings), the switch-MoE prior
+    (load-balance aux across stages), and the hier-bottom prior
+    (spatial conditioning) all train under --mesh-pipe through the
+    production CLIs, and the PP-trained artifacts restore on the
+    downstream dense surfaces (synthesize / sample templates)."""
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+    from neural_sound_generation_tpu.training import checkpoint
+
+    preset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "neural_sound_generation_tpu", "config", "presets",
+        "multispeaker_cmu_arctic_mixture.json",
+    )
+    in_dir = _make_cmu_arctic(tmp_path / "in", per_speaker=2)
+    out_dir = tmp_path / "out_ms"
+    preprocess_cli.main([
+        "cmu_arctic", str(in_dir), str(out_dir), "--preset", preset,
+    ])
+
+    # (a) speaker-conditioned WaveNet under PP: gin embedding rides the
+    # broadcast, per-layer g convs staged; the dense artifact then
+    # synthesizes per speaker through the ordinary CLI
+    wn_ckpt = str(tmp_path / "wn_pp_ms")
+    vocoder_cli.main([
+        "train", "--datadir", str(out_dir), "--ckpt-dir", wn_ckpt,
+        "--preset", preset, "--batch-size", "2", "--epochs", "1",
+        "--layers", "2", "--stacks", "2", "--residual-channels", "8",
+        "--max-batches-per-epoch", "2", "--mesh-pipe", "2",
+    ])
+    assert checkpoint.latest_step(wn_ckpt) is not None
+    mel = sorted(out_dir.glob("*-mel-*.npy"))[0]
+    wav_out = tmp_path / "pp_ms_syn.wav"
+    vocoder_cli.main([
+        "synthesize", "--ckpt-dir", wn_ckpt, "--mel-npy", str(mel),
+        "--output", str(wav_out), "--preset", preset,
+        "--layers", "2", "--stacks", "2", "--residual-channels", "8",
+        "--max-frames", "4", "--speaker-id", "5",
+    ])
+    assert wav_out.exists()
+
+    # (b) switch-MoE transformer prior under PP (aux collected across
+    # stages); needs a VQ-VAE for code extraction
+    train_cli.main([
+        "--model", "vqvae", "--dataset", "cmu_arctic",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--preset", preset, "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    vq_ckpt = str(
+        tmp_path / "models" / "vqvae" / "checkpoint_cmu_arctic_8_16"
+    )
+    moe_ckpt = str(tmp_path / "moe_pp_prior")
+    prior_cli.main([
+        "train", "--datadir", str(out_dir), "--vqvae-ckpt", vq_ckpt,
+        "--ckpt-dir", moe_ckpt, "--preset", preset,
+        "--dim", "8", "--z-dim", "16", "--arch", "transformer",
+        "--moe-experts", "2", "--prior-dim", "16", "--prior-layers", "2",
+        "--n-classes", "7", "--batch-size", "2", "--epochs", "1",
+        "--max-batches-per-epoch", "2", "--mesh-pipe", "2",
+    ])
+    assert checkpoint.latest_step(moe_ckpt) is not None
+
+    # (c) hier-bottom prior under PP (spatial conditioning through the
+    # replicated embedding)
+    lj_in = _make_ljspeech(tmp_path / "lj_in", n=4)
+    lj_out = tmp_path / "lj_out"
+    preprocess_cli.main(["ljspeech", str(lj_in), str(lj_out)])
+    train_cli.main([
+        "--model", "hiervqvae", "--dataset", "ljspeech",
+        "--datadir", str(lj_out),
+        "--sampledir", str(tmp_path / "results_hier"),
+        "--ckpt-dir", str(tmp_path / "models_hier"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    hier_ckpt = str(
+        tmp_path / "models_hier" / "hiervqvae" / "checkpoint_ljspeech_8_16"
+    )
+    bottom_ckpt = str(tmp_path / "bottom_pp_prior")
+    prior_cli.main([
+        "train", "--datadir", str(lj_out), "--vqvae-ckpt", hier_ckpt,
+        "--ckpt-dir", bottom_ckpt, "--hier", "--hier-level", "bottom",
+        "--dim", "8", "--z-dim", "16", "--arch", "transformer",
+        "--prior-dim", "16", "--prior-layers", "2",
+        "--batch-size", "2", "--epochs", "1",
+        "--max-batches-per-epoch", "2", "--mesh-pipe", "2",
+    ])
+    assert checkpoint.latest_step(bottom_ckpt) is not None
+
+
 def test_speaker_filtered_training(tmp_path):
     """--speaker-id trains on a single speaker's slice (dataloader.py
     speaker filter semantics)."""

@@ -142,6 +142,210 @@ def test_prior_pp_logits_dp_x_pp(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+def _moe_prior(n_layers=4, dim=32, k=16, n_experts=4):
+    model = TransformerPrior(
+        input_dim=k, dim=dim, n_layers=n_layers, n_heads=2, n_classes=4,
+        n_experts=n_experts, max_rows=8, max_cols=8,
+    )
+    codes = jnp.asarray(
+        np.random.default_rng(1).integers(0, k, size=(8, 4, 6)), jnp.int32
+    )
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), codes, labels)
+    return model, variables, codes, labels
+
+
+def _dense_moe_loss(model, params, codes, labels, aux_weight=0.01):
+    """The trainer's routed-prior loss (trainer.py _pixelcnn_loss_fn):
+    nll + aux_weight * mean-over-layers load balance."""
+    logits, muts = model.apply(
+        {"params": params}, codes, labels, mutable=["moe_losses"]
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = jnp.mean(-jnp.take_along_axis(logp, codes[..., None], axis=-1))
+    terms = jax.tree_util.tree_leaves(muts["moe_losses"])
+    aux = sum(terms) / max(1, len(terms))
+    return logits, nll, aux, nll + aux_weight * aux
+
+
+@pytest.mark.parametrize("n_pipe,n_data,n_micro", [(4, 1, 4), (2, 2, 2)])
+def test_prior_pp_moe_matches_dense(rng, n_pipe, n_data, n_micro):
+    """Round-5: the routed prior under PP — logits AND the Switch
+    load-balance aux collected across stages (per-row stats riding the
+    ring) equal the dense trainer's, incl. under DP x PP. The round-4
+    'does not collect the MoE load-balance loss' guard is gone."""
+    model, variables, codes, labels = _moe_prior()
+    mesh = make_pp_mesh(n_pipe=n_pipe, n_data=n_data)
+    want_logits, _, want_aux, _ = _dense_moe_loss(
+        model, variables["params"], codes, labels
+    )
+    got_logits, got_aux = jax.jit(
+        lambda v: prior_pp_logits(
+            model, v, codes, labels, mesh, n_micro=n_micro
+        )
+    )(variables)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(want_logits), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(got_aux), float(want_aux), atol=1e-5
+    )
+
+
+def test_prior_pp_moe_grads_match_dense(rng):
+    """Full-loss gradients (nll + 0.01*aux) through the PP path equal
+    the dense trainer's for every layer's router and expert weights —
+    the aux's router gradient survives the ring."""
+    model, variables, codes, labels = _moe_prior()
+    mesh = make_pp_mesh(4)
+    params = variables["params"]
+
+    def loss_pp(p):
+        logits, aux = prior_pp_logits(
+            model, p, codes, labels, mesh, n_micro=4
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = jnp.mean(
+            -jnp.take_along_axis(logp, codes[..., None], axis=-1)
+        )
+        return nll + 0.01 * aux
+
+    def loss_dense(p):
+        _, _, _, total = _dense_moe_loss(model, p, codes, labels)
+        return total
+
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    g_dense = jax.jit(jax.grad(loss_dense))(params)
+    for i in range(model.n_layers):
+        np.testing.assert_allclose(
+            np.asarray(g_pp[f"block_{i}"]["moe"]["router"]["kernel"]),
+            np.asarray(g_dense[f"block_{i}"]["moe"]["router"]["kernel"]),
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_pp[f"block_{i}"]["moe"]["w_in"]),
+            np.asarray(g_dense[f"block_{i}"]["moe"]["w_in"]),
+            atol=2e-5,
+        )
+    # router actually receives a load-balance gradient (non-zero)
+    r = np.abs(np.asarray(g_pp["block_0"]["moe"]["router"]["kernel"]))
+    assert r.max() > 0
+
+
+def test_prior_pp_moe_train_step_learns(rng):
+    """make_pp_prior_train_step on a routed prior: stage-sharded stacks
+    (incl. expert weights) + moments, aux in metrics, loss drops."""
+    import optax
+
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_prior_train_step, pp_prior_partition,
+    )
+
+    model, variables, codes, labels = _moe_prior()
+    mesh = make_pp_mesh(4)
+    rest, stacked = pp_prior_partition(model, variables, mesh)
+    assert "moe" in stacked and "pipe" in (
+        stacked["moe"]["w_in"].sharding.spec
+    )
+    init_fn, step = make_pp_prior_train_step(
+        model, mesh, 4, optax.adam(3e-3)
+    )
+    opt_state = init_fn(rest, stacked)
+    batch = {"codes": codes, "labels": labels}
+    losses, auxes = [], []
+    for _ in range(25):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+        auxes.append(float(m["moe_load_balance"]))
+    assert np.isfinite(losses).all() and np.isfinite(auxes).all()
+    assert losses[-1] < 0.8 * losses[0], losses[::8]
+
+
+def _spatial_prior(n_layers=4, dim=32, k=16, cc=8):
+    """Hier-bottom shape: spatially conditioned prior + a cond map."""
+    model = TransformerPrior(
+        input_dim=k, dim=dim, n_layers=n_layers, n_heads=2, n_classes=4,
+        spatial_cond=True, max_rows=8, max_cols=8,
+    )
+    r = np.random.default_rng(2)
+    codes = jnp.asarray(r.integers(0, k, size=(8, 4, 6)), jnp.int32)
+    labels = jnp.asarray(np.arange(8) % 4, jnp.int32)
+    cond = jnp.asarray(
+        r.standard_normal((8, 4, 6, cc)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), codes, labels, cond)
+    return model, variables, codes, labels, cond
+
+
+def test_prior_pp_spatial_cond_matches_dense(rng):
+    """Round-5: the hier-bottom prior's spatial conditioning under PP —
+    cond_map is consumed by the replicated embed_sequence (cond_proj in
+    `rest`), so the staged forward equals the dense model.apply and the
+    cond-path gradients match. The round-4 guard in cli/prior.py is
+    gone."""
+    model, variables, codes, labels, cond = _spatial_prior()
+    mesh = make_pp_mesh(4)
+    want = model.apply(variables, codes, labels, cond)
+    got = jax.jit(
+        lambda v: prior_pp_logits(
+            model, v, codes, labels, mesh, n_micro=4, cond_map=cond
+        )
+    )(variables)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # the conditioning is live: a different map changes the logits
+    got2 = jax.jit(
+        lambda v: prior_pp_logits(
+            model, v, codes, labels, mesh, n_micro=4, cond_map=cond * 2.0
+        )
+    )(variables)
+    assert not np.allclose(np.asarray(got), np.asarray(got2))
+
+    # cond_proj gradient parity (it sits in the replicated rest)
+    def loss_pp(p):
+        lo = prior_pp_logits(
+            model, p, codes, labels, mesh, n_micro=4, cond_map=cond
+        )
+        return jnp.mean(lo**2)
+
+    def loss_dense(p):
+        return jnp.mean(model.apply({"params": p}, codes, labels, cond) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(variables["params"])
+    g_dense = jax.jit(jax.grad(loss_dense))(variables["params"])
+    np.testing.assert_allclose(
+        np.asarray(g_pp["cond_proj"]["kernel"]),
+        np.asarray(g_dense["cond_proj"]["kernel"]),
+        atol=2e-5,
+    )
+
+
+def test_prior_pp_spatial_cond_train_step_learns(rng):
+    """make_pp_prior_train_step with batch['cond']: the conditioned
+    staged step trains (PP x hier-bottom, composed)."""
+    import optax
+
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_prior_train_step, pp_prior_partition,
+    )
+
+    model, variables, codes, labels, cond = _spatial_prior()
+    mesh = make_pp_mesh(4)
+    rest, stacked = pp_prior_partition(model, variables, mesh)
+    assert "cond_proj" in rest
+    init_fn, step = make_pp_prior_train_step(
+        model, mesh, 4, optax.adam(3e-3)
+    )
+    opt_state = init_fn(rest, stacked)
+    batch = {"codes": codes, "labels": labels, "cond": cond}
+    losses = []
+    for _ in range(25):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * losses[0], losses[::8]
+
+
 def test_pp_partitioned_layout_is_memory_real(rng):
     """pp_prior_partition must leave each device holding only its L/S
     layers' weights (the point of PP), with embed/head replicated; the
@@ -276,6 +480,156 @@ def test_wavenet_pp_grads_flow(rng):
             np.asarray(gref[f"dilated_{i}"]["kernel"]),
             atol=1e-5,
         )
+
+
+def _wavenet_speaker(rng, layers=8, stacks=4, n_speakers=3):
+    """Speaker-conditioned vocoder (the multispeaker preset shape:
+    gin_channels > 0, src/presets/multispeaker_cmu_arctic_mixture.json)."""
+    from neural_sound_generation_tpu.models.wavenet import WaveNet
+
+    model = WaveNet(
+        out_channels=30, layers=layers, stacks=stacks,
+        residual_channels=8, gate_channels=8, skip_out_channels=8,
+        kernel_size=3, cin_channels=4, gin_channels=6,
+        n_speakers=n_speakers, upsample_scales=(4, 4), scalar_input=True,
+    )
+    b, t = 4, 64
+    x = jnp.asarray(rng.standard_normal((b, t, 1)).astype(np.float32) * 0.1)
+    c = jnp.asarray(
+        rng.standard_normal((b, t // 16, 4)).astype(np.float32) * 0.1
+    )
+    g = jnp.asarray(rng.integers(0, n_speakers, size=(b,)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, c, g)
+    return model, variables, x, c, g
+
+
+def test_wavenet_pp_speaker_matches_model(rng):
+    """Round-5: speaker embeddings thread through the staged path — the
+    gin-conditioned forward (g embedding on the broadcast, per-layer g
+    convs staged with their stacks) equals the dense model.apply. This
+    is what makes the multispeaker preset trainable under --mesh-pipe
+    (the round-4 SystemExit guard is gone)."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c, g = _wavenet_speaker(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    assert "g" in stacked                  # per-layer g convs are staged
+    assert "speaker_embed" in rest         # the table stays replicated
+
+    want = model.apply(variables, x, c, g)
+    got = jax.jit(
+        lambda r, s: wavenet_pp_logits(
+            model, r, s, x, c, mesh, n_micro=2, g=g
+        )
+    )(rest, stacked)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # distinct speakers actually produce distinct logits (the embedding
+    # is live, not silently dropped)
+    got_other = jax.jit(
+        lambda r, s: wavenet_pp_logits(
+            model, r, s, x, c, mesh, n_micro=2, g=(g + 1) % 3
+        )
+    )(rest, stacked)
+    assert not np.allclose(np.asarray(got), np.asarray(got_other))
+
+
+def test_wavenet_pp_speaker_grads_match_dense(rng):
+    """Speaker-path gradients under PP == dense: the staged g convs AND
+    the replicated embedding table both receive the dense model's
+    gradient (staged == dense for logits AND grads, per the round-4
+    verdict's done-condition)."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c, g = _wavenet_speaker(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+
+    def loss_pp(r, s):
+        return jnp.mean(
+            wavenet_pp_logits(model, r, s, x, c, mesh, n_micro=2, g=g) ** 2
+        )
+
+    gr, gs = jax.jit(jax.grad(loss_pp, argnums=(0, 1)))(rest, stacked)
+
+    def loss_ref(p):
+        return jnp.mean(model.apply({"params": p}, x, c, g) ** 2)
+
+    gref = jax.grad(loss_ref)(variables["params"])
+    per = model.layers // model.stacks
+    for i in range(model.layers):
+        np.testing.assert_allclose(
+            np.asarray(gs["g"]["kernel"][i // per, i % per]),
+            np.asarray(gref[f"g_{i}"]["kernel"]),
+            atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(gr["speaker_embed"]["embedding"]),
+        np.asarray(gref["speaker_embed"]["embedding"]),
+        atol=1e-5,
+    )
+
+
+def test_wavenet_pp_speaker_train_step_learns(rng):
+    """make_pp_wavenet_train_step with a speaker-conditioned model:
+    the full optimizer step (stage-sharded stacks incl. g convs + Adam
+    moments) runs and the MoL loss drops — PP x multispeaker training,
+    the two round-4 marquee features composed."""
+    import optax
+
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        make_pp_wavenet_train_step, wavenet_stack_params,
+    )
+
+    model, variables, x, c, g = _wavenet_speaker(rng)
+    cfg = Config()
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    init_fn, step = make_pp_wavenet_train_step(
+        model, cfg, mesh, n_micro=2, tx=optax.adam(3e-3)
+    )
+    opt_state = init_fn(rest, stacked)
+    batch = {"y": x, "c": c, "g": g}
+    losses = []
+    for _ in range(20):
+        rest, stacked, opt_state, m = step(rest, stacked, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.5, losses[::6]
+    assert "pipe" in stacked["g"]["kernel"].sharding.spec
+
+
+def test_wavenet_pp_speaker_bf16(rng):
+    """bf16 staged math composes with the speaker path: logits close to
+    f32 staging, embedding cast rides the broadcast ring at half width."""
+    from neural_sound_generation_tpu.parallel.pipeline import (
+        wavenet_pp_logits, wavenet_stack_params,
+    )
+
+    model, variables, x, c, g = _wavenet_speaker(rng)
+    mesh = make_pp_mesh(4)
+    rest, stacked = wavenet_stack_params(model, variables, mesh)
+    want = jax.jit(
+        lambda r, s: wavenet_pp_logits(
+            model, r, s, x, c, mesh, n_micro=2, g=g
+        )
+    )(rest, stacked)
+    got = jax.jit(
+        lambda r, s: wavenet_pp_logits(
+            model, r, s, x, c, mesh, n_micro=2, g=g, dtype=jnp.bfloat16
+        )
+    )(rest, stacked)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05
+    )
 
 
 def test_wavenet_stack_unstack_roundtrip(rng):
