@@ -163,6 +163,7 @@ def make_model(
             quantize_channels=cfg.audio.quantize_channels,
             n_speakers=n_speakers if gin > 0 else 0,
             gin_channels=gin,
+            num_quantizers=mc.num_quantizers,
         )
     return VQVAE(
         input_dim=mc.input_dim,

@@ -122,8 +122,11 @@ class VQVAE(nn.Module):
             self.feature_proj = nn.Dense(self.dim, kernel_init=conv_kernel_init)
 
     def _condition(self, z, g=None, features=None):
-        """Add global conditioning to latents (B, H', W', dim)."""
-        if g is not None:
+        """Add global conditioning to latents (B, H', W', dim). Speaker
+        ids are ignored when the model is unconditioned (gin<=0) — the
+        WaveNet convention, so speaker-id-carrying corpora train
+        unconditioned configs too."""
+        if g is not None and self.n_speakers > 0 and self.gin_channels > 0:
             emb = self.speaker_proj(self.speaker_embed(g))  # (B, dim)
             z = z + emb[:, None, None, :]
         if features is not None:

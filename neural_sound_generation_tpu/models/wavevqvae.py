@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from neural_sound_generation_tpu.models.layers import (
     ConvTranspose, _s2d_conv, conv_kernel_init)
-from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq, vq_st
+from neural_sound_generation_tpu.ops.vq import (
+    codebook_lookup, residual_vq, vq, vq_st)
 
 
 class ResBlock1D(nn.Module):
@@ -96,6 +97,9 @@ class WaveVQVAE(nn.Module):
     quantize_channels: int = 256
     n_speakers: int = 0
     gin_channels: int = -1
+    # residual VQ stages (SoundStream-style) on the waveform units;
+    # 1 = single codebook. Codebook becomes (num_quantizers, z_dim, dim).
+    num_quantizers: int = 1
 
     @property
     def hop(self) -> int:
@@ -107,10 +111,15 @@ class WaveVQVAE(nn.Module):
 
     def setup(self):
         init = nn.initializers.uniform(scale=2.0 / self.z_dim)
+        cb_shape = (
+            (self.z_dim, self.dim)
+            if self.num_quantizers == 1
+            else (self.num_quantizers, self.z_dim, self.dim)
+        )
         self.codebook = self.param(
             "codebook",
             lambda key, shape: init(key, shape) - 1.0 / self.z_dim,
-            (self.z_dim, self.dim),
+            cb_shape,
         )
         self.encoder = WaveEncoder(self.dim, self.num_downsample)
         self.decoder = WaveDecoder(
@@ -131,25 +140,44 @@ class WaveVQVAE(nn.Module):
         return x  # (B, T, 1) float
 
     def _condition(self, d, g):
-        if g is not None:
+        # ignore speaker ids when the model is unconditioned (the
+        # WaveNet convention, models/wavenet.py:174): corpora that carry
+        # them (cmu_arctic layouts) must still train gin<=0 configs,
+        # e.g. the 8-bit preset (gin_channels=-1) on CMU Arctic
+        if g is not None and self.n_speakers > 0 and self.gin_channels > 0:
             emb = self.speaker_proj(self.speaker_embed(g))
             d = d + emb[:, None, :]
         return d
 
     def __call__(self, x, train: bool = True, g: Optional[jnp.ndarray] = None):
         z_e = self.encoder(self._embed_input(x), train)
-        codes_st, indices = vq_st(z_e, self.codebook)
-        z_q = codebook_lookup(self.codebook, indices).reshape(z_e.shape)
+        if self.num_quantizers > 1:
+            codes_st, z_q, _ = residual_vq(z_e, self.codebook)
+        else:
+            codes_st, indices = vq_st(z_e, self.codebook)
+            z_q = codebook_lookup(self.codebook, indices).reshape(z_e.shape)
         out = self.decoder(self._condition(codes_st, g), train)
         return out, z_e, z_q
 
     def encode(self, x, train: bool = False):
         """Waveform -> discrete unit indices (B, T / 2^num_downsample) —
-        ZeroSpeech unit extraction."""
+        ZeroSpeech unit extraction; (Q, B, T') stage indices under
+        residual VQ."""
         z_e = self.encoder(self._embed_input(x), train)
+        if self.num_quantizers > 1:
+            _, _, indices = residual_vq(z_e, self.codebook)
+            return indices.reshape(
+                (self.num_quantizers,) + z_e.shape[:-1]
+            )
         return vq(z_e, self.codebook)
 
     def decode(self, indices, g: Optional[jnp.ndarray] = None, train: bool = False):
-        """Unit indices -> waveform (or logits for mulaw-quantize)."""
-        z_q = codebook_lookup(self.codebook, indices)
+        """Unit indices -> waveform (or logits for mulaw-quantize);
+        (Q, B, T') stage indices sum their stage vectors under RVQ."""
+        if self.num_quantizers > 1:
+            z_q = 0.0
+            for q in range(self.num_quantizers):
+                z_q = z_q + codebook_lookup(self.codebook[q], indices[q])
+        else:
+            z_q = codebook_lookup(self.codebook, indices)
         return self.decoder(self._condition(z_q, g), train)

@@ -327,6 +327,44 @@ def test_cmu_arctic_multispeaker_end_to_end(tmp_path):
         ])
 
 
+def test_wave_soak_quick(tmp_path, capsys):
+    """CI pin of the wave-domain soak CLI sequence (BASELINE config #3):
+    scripts/wave_soak.py --quick runs all three arms — mu-law float
+    WaveVQVAE, the RVQ arm, and the 8-bit mulaw-quantize preset — at
+    tiny sizes, emitting the summary JSON line PERF.md's full-size run
+    records."""
+    import importlib.util as _ilu
+    import json as _json
+
+    spec = _ilu.spec_from_file_location(
+        "wave_soak",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "wave_soak.py",
+        ),
+    )
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["--quick", "--workdir", str(tmp_path / "soak")])
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ]
+    summary = [e for e in lines if e["phase"] == "summary"]
+    assert len(summary) == 1
+    s = summary[0]
+    assert np.isfinite(s["mulaw"]["heldout_mulaw_mse"])
+    assert np.isfinite(s["mulaw_quantize_8bit"]["heldout_ce_bits"])
+    assert "stage1" in s["rvq"]["codebook"]
+    # audible artifacts exist for every arm
+    for tag in ("audio_mulaw", "audio_rvq", "audio_8bit"):
+        assert any(
+            f.endswith(".wav")
+            for f in os.listdir(tmp_path / "soak" / tag)
+        ), tag
+
+
 def test_pp_composes_with_conditioning_cli(tmp_path):
     """Round-5: the three round-4 PP SystemExit guards are gone — the
     multispeaker vocoder (speaker embeddings), the switch-MoE prior

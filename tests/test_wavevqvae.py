@@ -48,6 +48,57 @@ def test_wave_vqvae_encode_decode_roundtrip(rng):
     assert wav.shape == (2, 256, 1)
 
 
+def test_wave_vqvae_rvq_roundtrip_and_refinement(rng):
+    """Round-5: residual VQ on the waveform family (num_quantizers > 1,
+    SoundStream-style). Encode emits (Q, B, T') stage indices, decode
+    sums stage vectors, and the two-stage quantization error is strictly
+    below stage-one alone (the refinement property, mirroring the 2-D
+    family's RVQ)."""
+    from neural_sound_generation_tpu.ops.vq import residual_vq
+
+    model = WaveVQVAE(dim=16, z_dim=32, num_downsample=4, num_quantizers=2)
+    x = jnp.asarray(rng.standard_normal((2, 256, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert variables["params"]["codebook"].shape == (2, 32, 16)
+    (out, z_e, z_q), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert out.shape == x.shape and z_q.shape == z_e.shape
+
+    idx = model.apply(variables, x, train=False, method=WaveVQVAE.encode)
+    assert idx.shape == (2, 2, 16)  # (Q, B, T')
+    wav = model.apply(variables, idx, train=False, method=WaveVQVAE.decode)
+    assert wav.shape == (2, 256, 1)
+
+    # refinement: ||z_e - sum_q z_q|| < ||z_e - z_q1||
+    cb = variables["params"]["codebook"]
+    _, z_q2, _ = residual_vq(z_e, cb)
+    from neural_sound_generation_tpu.ops.vq import codebook_lookup, vq
+
+    idx1 = vq(z_e, cb[0])
+    z_q1 = codebook_lookup(cb[0], idx1).reshape(z_e.shape)
+    e2 = float(jnp.mean((z_e - z_q2) ** 2))
+    e1 = float(jnp.mean((z_e - z_q1) ** 2))
+    assert e2 < e1
+
+
+def test_wave_vqvae_rvq_train_step(rng):
+    """RVQ wavevqvae trains through the production step (3-term loss on
+    the summed stage vectors) and the loss drops."""
+    cfg = Config().parse("batch_size=4")
+    model = WaveVQVAE(dim=8, z_dim=16, num_downsample=3, num_quantizers=2)
+    x = jnp.asarray(rng.standard_normal((4, 128, 1)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = create_train_state(variables, cfg.train)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, {"x": x}, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.75 * losses[0], losses[::8]
+
+
 def test_wave_vqvae_train_step_decreases_loss(rng):
     cfg = Config().parse("batch_size=4")
     model = WaveVQVAE(dim=8, z_dim=16, num_downsample=3)
