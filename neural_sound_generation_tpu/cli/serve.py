@@ -17,6 +17,11 @@ server exposing the batched on-device inference paths:
   POST /sample   {"n": 1, "label": 0, "seed": 0} -> wav bytes — ancestral
                  sampling from a loaded PixelCNN prior (--prior-ckpt;
                  hiervqvae needs --bottom-ckpt too)
+  POST /sample_stream  same payload -> chunked raw s16le PCM as the
+                 WaveNet vocoder emits it (requires --vocoder wavenet):
+                 TTFB is prior+decode+first chunk instead of the full
+                 n-utterance synthesis; X-Sample-Rate/X-PCM-Format
+                 headers carry the framing
   GET  /health   -> {"status": "ok", "backend": ...}
   GET  /metrics  -> per-endpoint request/error counts + latency
                  percentiles, stream-mux occupancy
@@ -303,10 +308,10 @@ class InferenceService:
             raise ValueError("hiervqvae sampling needs top AND bottom priors")
         self._prior = (prior, prior_vars, bottom, bottom_vars)
 
-    def sample(self, payload: dict) -> bytes:
-        """Ancestral sampling as a service: prior samples code grids ->
-        decoder -> Griffin-Lim -> wav bytes (n samples concatenated in
-        time). The reference's generative chain, reachable over HTTP."""
+    def _sample_mels(self, payload: dict):
+        """Shared front half of /sample and /sample_stream: validate the
+        payload, run the prior(s), decode code grids to mels. Returns
+        (mels (n, n_mels, frames), seed, k_gl)."""
         if self._prior is None:
             raise ValueError(
                 "no prior loaded on this server (start with --prior-ckpt)"
@@ -337,9 +342,10 @@ class InferenceService:
         key = jax.random.PRNGKey(seed)
         prior, pv, bottom, bv = self._prior
         # sample the prior(s) and decode ONCE to mels; the synthesis
-        # backend (trained WaveNet vs Griffin-Lim) is chosen below for
-        # BOTH model families — key splits mirror sample_*_audio so the
-        # GL path stays bit-identical to the pre-split behavior
+        # backend (trained WaveNet vs Griffin-Lim) is chosen by the
+        # caller for BOTH model families — key splits mirror
+        # sample_*_audio so the GL path stays bit-identical to the
+        # pre-split behavior
         if self.hier:
             from neural_sound_generation_tpu.inference import (
                 sample_hier_mels,
@@ -368,6 +374,14 @@ class InferenceService:
                 g=labels if getattr(self.model, "n_speakers", 0) > 0
                 else None,
             )
+        return mels, seed, k_gl
+
+    def sample(self, payload: dict) -> bytes:
+        """Ancestral sampling as a service: prior samples code grids ->
+        decoder -> Griffin-Lim -> wav bytes (n samples concatenated in
+        time). The reference's generative chain, reachable over HTTP."""
+        mels, seed, k_gl = self._sample_mels(payload)
+        n = mels.shape[0]
         if self._vocoder is not None:
             # synthesize through the trained WaveNet
             mels_np = np.asarray(mels)
@@ -705,6 +719,48 @@ class InferenceService:
                 "<i2"
             ).tobytes()
 
+    def sample_stream(self, payload: dict):
+        """Streaming /sample: the prior->decode->vocoder chain is the
+        longest serving path, and the buffered /sample holds the client
+        until EVERY utterance has fully synthesized. This yields raw
+        s16le PCM pieces as the WaveNet emits them (the
+        /reconstruct_stream discipline applied to the generative chain):
+        TTFB = prior sampling + decode + the FIRST vocoder chunk, and
+        the n utterances stream back-to-back in order. Requires
+        --vocoder wavenet. Fixed PCM scaling (x*32767) — streaming
+        cannot know the future peak."""
+        if self._vocoder is None:
+            raise ValueError(
+                "streaming sample requires --vocoder wavenet"
+            )
+        mels, seed, _ = self._sample_mels(payload)
+        mels_np = np.asarray(mels)
+
+        def pcm(chunk):
+            return (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
+                "<i2"
+            ).tobytes()
+
+        if self._stream_mux is not None:
+            # all n utterances synthesize CONCURRENTLY through the mux
+            # slots; drain in order so the client hears sample 0 first
+            opens = [
+                self._stream_mux.open(
+                    jnp.transpose(jnp.asarray(m)),
+                    jax.random.PRNGKey(seed + i),
+                )
+                for i, m in enumerate(mels_np)
+            ]
+            for g in opens:
+                for chunk in g:
+                    yield pcm(self._post_np(chunk))
+        else:
+            for i, m in enumerate(mels_np):
+                for chunk in self._vocode_stream(
+                    jnp.asarray(m), seed=seed + i
+                ):
+                    yield pcm(chunk)
+
     @staticmethod
     def _check_codes(arr: np.ndarray, limit: int, name: str):
         # out-of-range indices would be silently CLAMPED by the device
@@ -844,6 +900,21 @@ def make_handler(service: InferenceService):
                 elif self.path == "/sample":
                     payload = json.loads(body) if body else {}
                     self._send(200, service.sample(payload), "audio/wav")
+                elif self.path == "/sample_stream":
+                    payload = json.loads(body) if body else {}
+                    gen = service.sample_stream(payload)
+                    # pull the first piece BEFORE sending headers:
+                    # validation errors still get a clean 400
+                    first = next(gen, b"")
+                    self._send_chunked(
+                        itertools.chain([first], gen),
+                        "application/octet-stream",
+                        headers=(
+                            ("X-Sample-Rate",
+                             str(service.cfg.audio.sample_rate)),
+                            ("X-PCM-Format", "s16le"),
+                        ),
+                    )
                 else:
                     self._send(404, b'{"error": "not found"}')
                     return False

@@ -643,6 +643,111 @@ def test_wavenet_vocoder_reconstruct_stream(wavenet_server):
     )
 
 
+@pytest.fixture(scope="module")
+def wavenet_sample_server():
+    """Server with BOTH a prior and a WaveNet vocoder: /sample and
+    /sample_stream run the full generative chain prior -> decoder ->
+    WaveNet (the longest serving path, round-5 streaming item)."""
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import (
+        VQVAE, GatedPixelCNN, WaveNet,
+    )
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    wn = WaveNet(out_channels=30, layers=2, stacks=1, residual_channels=8,
+                 gate_channels=8, skip_out_channels=8, cin_channels=80,
+                 upsample_scales=(16, 16), scalar_input=True)
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 80))
+    wn_vars = wn.init(jax.random.PRNGKey(1), x0, c0, None)
+    service = InferenceService(cfg, model, variables, frames=16,
+                               vocoder=(wn, wn_vars))
+    prior = GatedPixelCNN(input_dim=16, dim=8, n_layers=2, n_classes=4)
+    pv = prior.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 20, 4), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    service.attach_prior(prior, pv)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_sample_stream_matches_buffered_sample(wavenet_sample_server):
+    """/sample_stream emits chunked s16le PCM whose concatenated
+    waveform matches the buffered /sample (same seed, WaveNet backend)
+    up to the peak normalization the non-streaming path applies."""
+    import io as _io
+    import urllib.request
+
+    from scipy.io import wavfile
+
+    body = json.dumps({"n": 2, "label": 1, "seed": 3}).encode()
+    req = urllib.request.Request(
+        wavenet_sample_server + "/sample_stream", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["X-Sample-Rate"] == "22050"
+        assert r.headers["X-PCM-Format"] == "s16le"
+        assert r.headers.get("Content-Length") is None  # streamed
+        pcm = r.read()
+    streamed = np.frombuffer(pcm, "<i2").astype(np.float64) / 32767.0
+
+    with _post(wavenet_sample_server + "/sample", body,
+               {"Content-Type": "application/json"}) as r:
+        sr, wav = wavfile.read(_io.BytesIO(r.read()))
+    whole = wav.astype(np.float64)
+
+    assert len(streamed) == len(whole)
+    assert np.isfinite(streamed).all()
+    denom_s = max(np.abs(streamed).max(), 1e-9)
+    denom_w = max(np.abs(whole).max(), 1e-9)
+    np.testing.assert_allclose(
+        streamed / denom_s, whole / denom_w, atol=2e-3
+    )
+
+
+def test_sample_stream_without_vocoder_is_400(sample_server):
+    """A prior-only server (Griffin-Lim backend) refuses /sample_stream
+    cleanly — validation runs before the chunked headers go out."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        sample_server + "/sample_stream",
+        data=json.dumps({"n": 1}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    assert b"vocoder" in ei.value.read()
+
+
+def test_sample_stream_bad_label_is_400(wavenet_sample_server):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        wavenet_sample_server + "/sample_stream",
+        data=json.dumps({"label": 99}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+
 def test_reconstruct_stream_without_vocoder_is_400(server):
     import urllib.error
     import urllib.request
