@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32; measured +9-12%% "
                         "throughput on TPU v5e, see PERF.md)")
+    p.add_argument("--num-downsample", type=int, default=6,
+                   help="wavevqvae: stride-2 encoder layers; unit rate "
+                        "is sr/2^n (6 = 64x ZeroSpeech-style units, "
+                        "4 = 16x for waveform fidelity)")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
     p.add_argument("--ema-warmup", action="store_true",
@@ -118,6 +122,7 @@ def build_config(args) -> Config:
             ema_codebook=getattr(args, "ema_codebook", False),
             restart_dead_threshold=getattr(args, "restart_dead_threshold", 0.0),
             num_quantizers=getattr(args, "num_quantizers", 1),
+            num_downsample=getattr(args, "num_downsample", 6),
         ),
         train=dataclasses.replace(
             cfg.train,
@@ -159,6 +164,7 @@ def make_model(
         return WaveVQVAE(
             dim=mc.dim,
             z_dim=mc.z_dim,
+            num_downsample=mc.num_downsample,
             input_type=cfg.audio.input_type,
             quantize_channels=cfg.audio.quantize_channels,
             n_speakers=n_speakers if gin > 0 else 0,

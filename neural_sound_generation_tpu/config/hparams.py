@@ -169,6 +169,10 @@ class ModelConfig:
     beta: float = 1.0  # commitment weight (main.py:49-51)
     # residual VQ stages (SoundStream-style); 1 = single codebook
     num_quantizers: int = 1
+    # wavevqvae only: stride-2 encoder layers — the unit rate is
+    # sr / 2^num_downsample (6 -> 64x, the ZeroSpeech-style 250 Hz at
+    # 16 kHz; 4 -> 16x trades unit rate for waveform fidelity)
+    num_downsample: int = 6
     # EMA codebook updates (VQ-VAE v2 style) as a config switch; the
     # reference uses gradient-descent codebook learning only.
     ema_codebook: bool = False

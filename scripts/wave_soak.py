@@ -10,7 +10,11 @@ production CLIs (the multispeaker-soak playbook, round-4):
          WaveVQVAE (dim 256, K=512, 64x downsample) to convergence ->
          held-out waveform reconstruction (mu-law MSE + linear-domain
          SNR) -> codebook health (usage + perplexity) -> audible
-         held-out reconstructions and unit->decode resyntheses.
+         held-out reconstructions.
+  Arm A16  the same chain at 16x downsample (--num-downsample 4): the
+         unit-rate/fidelity trade-off (64x is the ZeroSpeech-style
+         250 Hz unit rate; 16x spends 4x more codes per second on
+         waveform detail).
   Arm B  residual VQ (--num-quantizers 2): same data, the SoundStream-
          style refinement — held-out error must beat Arm A's single
          codebook at equal epochs.
@@ -19,6 +23,12 @@ production CLIs (the multispeaker-soak playbook, round-4):
          sr 16000): preprocess a CMU-Arctic-layout corpus with the
          preset byte-for-byte -> categorical WaveVQVAE -> held-out CE +
          top-1 code accuracy -> argmax decode -> audible wav.
+
+All arms train with the framework's anti-collapse toolkit on by default
+(--ema-codebook + --restart-dead-threshold): the first full run (plain
+gradient codebook, the reference's own scheme) collapsed to 8/512 codes
+on the wave domain — that control is recorded in PERF.md and
+reproducible with --codebook grad.
 
 Prints one JSON line per phase; the final "summary" line is what
 PERF.md's "Wave-domain soak" section records. --quick shrinks all arms
@@ -128,6 +138,12 @@ def main(argv=None):
     ap.add_argument("--epochs-8bit", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--per-speaker", type=int, default=10)
+    ap.add_argument("--codebook", choices=["ema", "grad"], default="ema",
+                    help="'ema' trains every arm with --ema-codebook + "
+                         "dead-code restarts (the wave domain collapses "
+                         "the plain gradient codebook to ~8/512 codes — "
+                         "measured, PERF.md); 'grad' reproduces that "
+                         "reference-parity control")
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes: the CPU CI pin of the CLI sequence")
     args = ap.parse_args(argv)
@@ -175,6 +191,14 @@ def main(argv=None):
     emit("preprocess_mulaw", utterances=args.n_utts,
          secs=round(time.time() - t0, 1))
 
+    # the anti-collapse toolkit (EMA codebook + dead-code restarts):
+    # the plain gradient codebook — the reference's scheme — collapses
+    # on the wave domain (measured control in PERF.md)
+    cb_flags = (
+        ["--ema-codebook", "--restart-dead-threshold", "0.03"]
+        if args.codebook == "ema" else []
+    )
+
     def train_wave(ckpt_root, extra):
         train_cli.main([
             "--model", "wavevqvae", "--dataset", "ljspeech",
@@ -185,7 +209,7 @@ def main(argv=None):
             "--epochs", str(args.epochs),
             "--dim", str(args.dim), "--z-dim", str(args.z_dim),
             "--multi-steps", "1" if args.quick else "4",
-        ] + extra)
+        ] + cb_flags + extra)
         return os.path.join(
             ckpt_root, "wavevqvae",
             f"checkpoint_ljspeech_{args.dim}_{args.z_dim}",
@@ -197,11 +221,12 @@ def main(argv=None):
 
     cfg = load_preset(mulaw_preset, Config())
 
-    def heldout_eval(ckpt, num_quantizers, tag):
+    def heldout_eval(ckpt, num_quantizers, tag, num_downsample=6):
         """Held-out mu-law MSE, linear-domain SNR, codebook health; and
         audible artifacts (held-out recon + unit->decode resynthesis)."""
         model = WaveVQVAE(
             dim=args.dim, z_dim=args.z_dim,
+            num_downsample=num_downsample,
             input_type=cfg.audio.input_type,
             quantize_channels=cfg.audio.quantize_channels,
             num_quantizers=num_quantizers,
@@ -279,6 +304,16 @@ def main(argv=None):
     a_stats = heldout_eval(ckpt_a, 1, "mulaw")
     emit("heldout_mulaw", **a_stats)
 
+    # ---------------- Arm A16: 16x downsample -----------------
+    # the unit-rate/fidelity trade-off: 4x more codes per second
+    t0 = time.time()
+    ckpt_a16 = train_wave(
+        os.path.join(wd, "models_a16"), ["--num-downsample", "4"]
+    )
+    emit("wavevqvae16_train", secs=round(time.time() - t0, 1))
+    a16_stats = heldout_eval(ckpt_a16, 1, "mulaw_16x", num_downsample=4)
+    emit("heldout_mulaw_16x", **a16_stats)
+
     # ---------------- Arm B: residual VQ -----------------
     t0 = time.time()
     ckpt_b = train_wave(os.path.join(wd, "models_b"), ["--num-quantizers", "2"])
@@ -308,7 +343,7 @@ def main(argv=None):
         "--epochs", str(args.epochs_8bit),
         "--dim", str(args.dim), "--z-dim", str(args.z_dim),
         "--multi-steps", "1" if args.quick else "4",
-    ])
+    ] + cb_flags)
     ckpt_c = os.path.join(
         wd, "models_c", "wavevqvae",
         f"checkpoint_cmu_arctic_{args.dim}_{args.z_dim}",
@@ -370,7 +405,9 @@ def main(argv=None):
     emit("heldout_8bit", **c_stats)
 
     emit("summary",
-         mulaw=a_stats, rvq=b_stats, mulaw_quantize_8bit=c_stats,
+         codebook=args.codebook,
+         mulaw=a_stats, mulaw_16x=a16_stats, rvq=b_stats,
+         mulaw_quantize_8bit=c_stats,
          rvq_beats_single=bool(
              b_stats["heldout_mulaw_mse"] < a_stats["heldout_mulaw_mse"]
          ))

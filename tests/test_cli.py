@@ -355,10 +355,11 @@ def test_wave_soak_quick(tmp_path, capsys):
     assert len(summary) == 1
     s = summary[0]
     assert np.isfinite(s["mulaw"]["heldout_mulaw_mse"])
+    assert np.isfinite(s["mulaw_16x"]["heldout_mulaw_mse"])
     assert np.isfinite(s["mulaw_quantize_8bit"]["heldout_ce_bits"])
     assert "stage1" in s["rvq"]["codebook"]
     # audible artifacts exist for every arm
-    for tag in ("audio_mulaw", "audio_rvq", "audio_8bit"):
+    for tag in ("audio_mulaw", "audio_mulaw_16x", "audio_rvq", "audio_8bit"):
         assert any(
             f.endswith(".wav")
             for f in os.listdir(tmp_path / "soak" / tag)
