@@ -27,24 +27,36 @@ SR = 16000
 
 
 def estimate_f0(wav: np.ndarray, sr: int = SR,
-                fmin: float = 60.0, fmax: float = 400.0) -> float:
-    """Median autocorrelation-peak F0 over voiced 40 ms frames."""
+                fmin: float = 60.0, fmax: float = 400.0,
+                n_harm: int = 4) -> float:
+    """Median harmonic-product-spectrum F0 over voiced 40 ms frames.
+
+    Round-5 replacement for the autocorrelation-peak estimator: that
+    one read the two lowest-F0 speakers an octave HIGH (PERF.md round-4
+    "Multi-speaker soak" caveat — the pitch contour smears the long
+    true-period peak more than its half-period alias within a frame),
+    and naive octave correction over-corrects high-F0 speakers (the
+    autocorrelation at 2T of any periodic frame is near-equal to T's).
+    HPS resolves the ambiguity structurally: the product of the
+    spectrum at k*f aligns every harmonic only at the true fundamental,
+    so neither octave is favored."""
     frame = int(0.04 * sr)
     hop = frame // 2
-    lo, hi = int(sr / fmax), int(sr / fmin)
+    nfft = 8192
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sr)
+    b_lo = int(np.searchsorted(freqs, fmin))
+    b_hi = int(np.searchsorted(freqs, fmax))
+    win = np.hanning(frame)
     f0s = []
     for start in range(0, len(wav) - frame, hop):
         seg = wav[start:start + frame]
         if np.sqrt(np.mean(seg ** 2)) < 0.02:
             continue
-        seg = seg - seg.mean()
-        ac = np.correlate(seg, seg, "full")[frame - 1:]
-        if ac[0] <= 0:
-            continue
-        ac = ac / ac[0]
-        lag = lo + int(np.argmax(ac[lo:hi]))
-        if ac[lag] > 0.3:
-            f0s.append(sr / lag)
+        spec = np.abs(np.fft.rfft((seg - seg.mean()) * win, n=nfft))
+        hps = np.log(spec[b_lo:b_hi] + 1e-12).copy()
+        for k in range(2, n_harm + 1):
+            hps += np.log(spec[b_lo * k:b_hi * k:k][: b_hi - b_lo] + 1e-12)
+        f0s.append(float(freqs[b_lo + int(np.argmax(hps))]))
     return float(np.median(f0s)) if f0s else float("nan")
 
 

@@ -462,3 +462,44 @@ def test_prior_cli_resume(tmp_path, capsys):
     out = capsys.readouterr().out
     assert f"resumed train state from step {step3}, epoch 4" in out
     assert ckpt_mod.latest_step(prior_ckpt) > step3
+
+
+def test_f0_estimator_octave_robust():
+    """The HPS F0 estimator (scripts/ms_f0_check.py) must read ALL seven
+    soak speakers' fundamentals nearest-correct on ground-truth audio —
+    the round-4 autocorrelation estimator read the two lowest an octave
+    high, capping the multi-speaker claim at 5/7 for estimator (not
+    model) reasons."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "ms_f0_check",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "ms_f0_check.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(int(sr * 1.2)) / sr
+    targets = 100.0 * (1.155 ** np.arange(7))
+    for sid, f0b in enumerate(targets):
+        rolloff = 0.45 + 0.06 * sid
+        contour = 1.0 + 0.08 * np.sin(2 * np.pi * 1.3 * t)
+        phase = 2 * np.pi * np.cumsum(f0b * contour) / sr
+        wav = sum(
+            (rolloff ** k) * np.sin(k * phase + rng.uniform(0, 6.28))
+            for k in range(1, 9)
+        )
+        env = 0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 2.0 * t))
+        wav = wav * env + 0.003 * rng.standard_normal(len(t))
+        wav = (0.6 * wav / np.abs(wav).max()).astype(np.float32)
+        est = mod.estimate_f0(wav, sr)
+        nearest = int(np.argmin(np.abs(targets - est)))
+        assert nearest == sid, (sid, est)
