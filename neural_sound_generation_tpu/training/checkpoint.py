@@ -9,6 +9,7 @@ latest-step query for resume.
 
 from __future__ import annotations
 
+import atexit
 import logging
 import os
 import re
@@ -49,6 +50,23 @@ def wait_for_pending() -> None:
     same-process resume always sees fully-written step dirs."""
     while _PENDING:
         _PENDING.pop(0).result()
+
+
+def _drain_at_exit() -> None:
+    # join outstanding async writes BEFORE interpreter teardown starts
+    # shutting executors down: an orbax write racing exit dies with
+    # "cannot schedule new futures after shutdown" and the last
+    # checkpoint of a run silently never lands. Failures here are
+    # logged, not raised — atexit is past the point of recovery.
+    try:
+        wait_for_pending()
+    except Exception:  # pragma: no cover
+        logging.getLogger("nsg.checkpoint").exception(
+            "async checkpoint write failed during interpreter exit"
+        )
+
+
+atexit.register(_drain_at_exit)
 
 
 def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None,
