@@ -296,11 +296,131 @@ def main(argv=None):
          n_requests=len(lats))
     httpd.shutdown()
 
+    # ---- round-5 streaming item: /sample_stream TTFB + sustained PCM
+    # rate vs the buffered /sample, on a flat prior + WaveNet server
+    # (the generative chain's longest serving path)
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+    from neural_sound_generation_tpu.models import WaveNet
+
+    wn_layers = "2" if args.quick else "12"
+    wn_stacks = "1" if args.quick else "2"
+    wn_res = "8" if args.quick else "64"
+    wn_ckpt = os.path.join(wd, "wavenet")
+    t0 = time.time()
+    vocoder_cli.main([
+        "train", "--datadir", out_dir, "--ckpt-dir", wn_ckpt,
+        "--batch-size", "2", "--epochs", str(args.wn_epochs),
+        "--layers", wn_layers, "--stacks", wn_stacks,
+        "--residual-channels", wn_res,
+    ])
+    flat_prior_ckpt = os.path.join(wd, "prior_flat")
+    prior_cli.main([
+        "train", "--datadir", out_dir, "--vqvae-ckpt", flat_ckpt,
+        "--ckpt-dir", flat_prior_ckpt,
+        "--dim", str(args.dim), "--z-dim", str(args.z_dim),
+        "--arch", "transformer", "--prior-dim", pd_top,
+        "--prior-layers", pl_top,
+        "--batch-size", str(args.batch_size),
+        "--epochs", str(args.prior_epochs),
+    ])
+    emit("stream_prereq_train", secs=round(time.time() - t0, 1))
+
+    fstate = create_train_state(
+        flat_model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 80, w_top * 8, 1)), train=False),
+        cfg.train,
+    )
+    fstate, _ = checkpoint.restore(flat_ckpt, fstate)
+    fvars = jax.device_put(
+        {"params": fstate.params, "batch_stats": fstate.batch_stats}
+    )
+    wn = WaveNet(
+        out_channels=30, layers=int(wn_layers), stacks=int(wn_stacks),
+        residual_channels=int(wn_res), gate_channels=int(wn_res),
+        skip_out_channels=min(256, int(wn_res)),
+        cin_channels=cfg.audio.num_mels,
+        upsample_scales=tuple(cfg.arch.upsample_scales),
+        scalar_input=cfg.audio.is_scalar_input,
+    )
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, cfg.audio.num_mels))
+    wn_template = wn.init(jax.random.PRNGKey(0), x0, c0)
+    wn_vars, _ = checkpoint.restore(wn_ckpt, wn_template)
+    wn_vars = jax.device_put(wn_vars)
+
+    fprior = TransformerPrior(
+        input_dim=args.z_dim, dim=int(pd_top), n_layers=int(pl_top),
+        n_heads=max(1, int(pd_top) // 64), n_classes=10,
+    )
+    fpv = fprior.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 80 // 4, w_top * 2), jnp.int32), lab0,
+    )
+    fpv, _ = checkpoint.restore(flat_prior_ckpt, fpv)
+    fpv = jax.device_put(fpv)
+
+    service2 = InferenceService(
+        cfg, flat_model, fvars, frames=w_top * 8, vocoder=(wn, wn_vars)
+    )
+    service2.attach_prior(fprior, fpv)
+    httpd2 = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service2))
+    threading.Thread(target=httpd2.serve_forever, daemon=True).start()
+    url2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+
+    def post2(path, payload):
+        req = urllib.request.Request(
+            url2 + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        t0 = time.time()
+        with urllib.request.urlopen(req, timeout=600) as r:
+            body = r.read()
+        return time.time() - t0, body
+
+    def post_stream(payload):
+        req = urllib.request.Request(
+            url2 + "/sample_stream", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        t0 = time.time()
+        with urllib.request.urlopen(req, timeout=600) as r:
+            first = r.read(8192)
+            ttfb = time.time() - t0
+            rest = r.read()
+        total = time.time() - t0
+        n_pcm = (len(first) + len(rest)) // 2
+        return ttfb, total, n_pcm
+
+    post2("/sample", {"n": 1, "seed": 0})        # warm
+    post_stream({"n": 1, "seed": 0})
+    buf_lats, ttfbs, rates = [], [], []
+    for s in range(2 if args.quick else 5):
+        dt, body = post2("/sample", {"n": 1, "seed": s + 1})
+        buf_lats.append(dt)
+        ttfb, total, n_pcm = post_stream({"n": 1, "seed": s + 1})
+        ttfbs.append(ttfb)
+        if total > ttfb:
+            rates.append((n_pcm - 4096) / (total - ttfb))
+    audio_s = n_pcm / cfg.audio.sample_rate
+    emit("sample_stream",
+         buffered_median_s=round(float(np.median(buf_lats)), 3),
+         stream_ttfb_median_s=round(float(np.median(ttfbs)), 3),
+         audio_seconds=round(audio_s, 2),
+         sustained_pcm_per_s=(
+             round(float(np.median(rates)), 0) if rates else None),
+         sustained_x_realtime=(
+             round(float(np.median(rates)) / cfg.audio.sample_rate, 2)
+             if rates else None),
+         n_requests=len(buf_lats))
+    httpd2.shutdown()
+
     emit("summary",
          hier_vs_flat_recon=round(mse_h / max(mse_f, 1e-12), 3),
          codes_used_top=used_top, codes_used_bottom=used_bot,
          sampling_secs_per_sample=round(sampling_per, 2),
-         serve_sample_median_s=round(float(np.median(lats)), 3))
+         serve_sample_median_s=round(float(np.median(lats)), 3),
+         stream_ttfb_median_s=round(float(np.median(ttfbs)), 3),
+         stream_buffered_median_s=round(float(np.median(buf_lats)), 3))
 
 
 if __name__ == "__main__":
