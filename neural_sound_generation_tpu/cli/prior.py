@@ -127,7 +127,39 @@ def parse_args(argv=None):
                     help="sample the two-level chain; --prior-ckpt is the "
                          "top prior, --bottom-ckpt the conditional bottom")
     sa.add_argument("--bottom-ckpt", default=None)
+    # the two levels are routinely DIFFERENT architectures (transformer
+    # on the short top grid, pixelcnn past the long-T cliff — the
+    # measured steer in long_t_warning): without per-level overrides a
+    # mixed chain restored fresh-init weights into whichever level's
+    # template didn't match (round-5 review finding)
+    sa.add_argument("--bottom-arch", choices=["pixelcnn", "transformer"],
+                    default=None,
+                    help="bottom prior family when it differs from "
+                         "--arch (default: same as --arch)")
+    sa.add_argument("--bottom-dim", type=int, default=None,
+                    help="bottom prior width (default: --prior-dim)")
+    sa.add_argument("--bottom-layers", type=int, default=None,
+                    help="bottom prior depth (default: --prior-layers)")
+    sa.add_argument("--bottom-heads", type=int, default=None,
+                    help="bottom attention heads (default: --prior-heads)")
     return p.parse_args(argv)
+
+
+def _bottom_args(args):
+    """The sample-time bottom prior's build args: --bottom-* overrides
+    falling back to the top-level --arch/--prior-* flags."""
+    import copy
+
+    b = copy.copy(args)
+    if getattr(args, "bottom_arch", None):
+        b.arch = args.bottom_arch
+    if getattr(args, "bottom_dim", None):
+        b.prior_dim = args.bottom_dim
+    if getattr(args, "bottom_layers", None):
+        b.prior_layers = args.bottom_layers
+    if getattr(args, "bottom_heads", None):
+        b.prior_heads = args.bottom_heads
+    return b
 
 
 def _build_prior(args, spatial_cond: bool):
@@ -507,7 +539,7 @@ def cmd_sample(args):
         sample_x = jnp.zeros((1, h * 8, w * 8, 1))
         model, vq_vars = _load_vqvae(args, sample_x)
         top = _build_prior(args, spatial_cond=False)
-        bottom = _build_prior(args, spatial_cond=True)
+        bottom = _build_prior(_bottom_args(args), spatial_cond=True)
         lab0 = jnp.zeros((1,), jnp.int32)
         tv = top.init(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w), jnp.int32), lab0

@@ -386,20 +386,15 @@ class InferenceService:
             # synthesize through the trained WaveNet
             mels_np = np.asarray(mels)
             if self._stream_mux is not None:
-                # open every session up front so all n utterances
-                # synthesize CONCURRENTLY through the mux slots,
-                # then drain in order
-                opens = [
-                    self._stream_mux.open(
-                        jnp.transpose(jnp.asarray(m)),
-                        jax.random.PRNGKey(seed + i),
-                    )
-                    for i, m in enumerate(mels_np)
-                ]
-                wavs = [
-                    np.concatenate([self._post_np(c) for c in g])
-                    for g in opens
-                ]
+                opens = self._mux_open_all(mels_np, seed)
+                try:
+                    wavs = [
+                        np.concatenate([self._post_np(c) for c in g])
+                        for g in opens
+                    ]
+                finally:
+                    for g in opens:
+                        g.close()  # cancels any session left running
             else:
                 wavs = [
                     self._vocode(jnp.asarray(m), seed=seed + i)
@@ -685,6 +680,28 @@ class InferenceService:
             max_pending=max_pending,
         )
 
+    def _mux_open_all(self, mels_np, seed: int) -> list:
+        """Open one mux session per mel up front so all n utterances
+        synthesize CONCURRENTLY through the slots (shared by /sample
+        and /sample_stream). If a later open() fails — MuxOverloaded on
+        session k — the k already-admitted sessions are CLOSED (which
+        cancels them at the next chunk boundary) instead of left
+        synthesizing full utterances nothing will drain."""
+        opens: list = []
+        try:
+            for i, m in enumerate(mels_np):
+                opens.append(
+                    self._stream_mux.open(
+                        jnp.transpose(jnp.asarray(m)),
+                        jax.random.PRNGKey(seed + i),
+                    )
+                )
+            return opens
+        except BaseException:
+            for g in opens:
+                g.close()
+            raise
+
     def _post_np(self, chunk: np.ndarray) -> np.ndarray:
         """Memoryless inverse mu-law on host-side sample chunks (the
         dsp.* versions are device math; mux chunks are already numpy)."""
@@ -742,18 +759,17 @@ class InferenceService:
             ).tobytes()
 
         if self._stream_mux is not None:
-            # all n utterances synthesize CONCURRENTLY through the mux
-            # slots; drain in order so the client hears sample 0 first
-            opens = [
-                self._stream_mux.open(
-                    jnp.transpose(jnp.asarray(m)),
-                    jax.random.PRNGKey(seed + i),
-                )
-                for i, m in enumerate(mels_np)
-            ]
-            for g in opens:
-                for chunk in g:
-                    yield pcm(self._post_np(chunk))
+            opens = self._mux_open_all(mels_np, seed)
+            try:
+                # drain in order so the client hears sample 0 first
+                for g in opens:
+                    for chunk in g:
+                        yield pcm(self._post_np(chunk))
+            finally:
+                # a client that disconnects mid-stream must not leave
+                # the remaining sessions synthesizing into the void
+                for g in opens:
+                    g.close()
         else:
             for i, m in enumerate(mels_np):
                 for chunk in self._vocode_stream(
@@ -821,6 +837,25 @@ def make_handler(service: InferenceService):
                     )
             self.wfile.write(b"0\r\n\r\n")
 
+        def _send_pcm_stream(self, gen):
+            """The chunked raw-PCM response both streaming endpoints
+            share: pull the FIRST piece before any headers go out (so
+            validation errors still produce a clean 400), then stream
+            with the s16le framing headers."""
+            try:
+                first = next(gen, b"")
+                self._send_chunked(
+                    itertools.chain([first], gen),
+                    "application/octet-stream",
+                    headers=(
+                        ("X-Sample-Rate",
+                         str(service.cfg.audio.sample_rate)),
+                        ("X-PCM-Format", "s16le"),
+                    ),
+                )
+            finally:
+                gen.close()  # release abandoned upstream resources
+
         def _send(self, code, body: bytes, ctype="application/json",
                   headers=()):
             self.send_response(code)
@@ -880,19 +915,7 @@ def make_handler(service: InferenceService):
                 elif self.path == "/reconstruct":
                     self._send(200, service.reconstruct(body), "audio/wav")
                 elif self.path == "/reconstruct_stream":
-                    gen = service.reconstruct_stream(body)
-                    # pull the first piece BEFORE sending headers:
-                    # validation/analysis errors still get a clean 400
-                    first = next(gen, b"")
-                    self._send_chunked(
-                        itertools.chain([first], gen),
-                        "application/octet-stream",
-                        headers=(
-                            ("X-Sample-Rate",
-                             str(service.cfg.audio.sample_rate)),
-                            ("X-PCM-Format", "s16le"),
-                        ),
-                    )
+                    self._send_pcm_stream(service.reconstruct_stream(body))
                 elif self.path == "/decode":
                     self._send(
                         200, service.decode(json.loads(body)), "audio/wav"
@@ -902,19 +925,7 @@ def make_handler(service: InferenceService):
                     self._send(200, service.sample(payload), "audio/wav")
                 elif self.path == "/sample_stream":
                     payload = json.loads(body) if body else {}
-                    gen = service.sample_stream(payload)
-                    # pull the first piece BEFORE sending headers:
-                    # validation errors still get a clean 400
-                    first = next(gen, b"")
-                    self._send_chunked(
-                        itertools.chain([first], gen),
-                        "application/octet-stream",
-                        headers=(
-                            ("X-Sample-Rate",
-                             str(service.cfg.audio.sample_rate)),
-                            ("X-PCM-Format", "s16le"),
-                        ),
-                    )
+                    self._send_pcm_stream(service.sample_stream(payload))
                 else:
                     self._send(404, b'{"error": "not found"}')
                     return False
@@ -1116,18 +1127,31 @@ def build_service(args):
         )
 
         def build_prior(spatial_cond):
-            if getattr(args, "prior_arch", "pixelcnn") == "transformer":
+            # the bottom level routinely uses a DIFFERENT family/size
+            # than the top (pixelcnn past the long-T cliff); without
+            # the --bottom-prior-* overrides a mixed chain silently
+            # grafted fresh-init weights into the mismatched template
+            arch = getattr(args, "prior_arch", "pixelcnn")
+            dim = args.prior_dim
+            layers = args.prior_layers
+            heads = getattr(args, "prior_heads", 8)
+            if spatial_cond:
+                arch = getattr(args, "bottom_prior_arch", None) or arch
+                dim = getattr(args, "bottom_prior_dim", None) or dim
+                layers = getattr(args, "bottom_prior_layers", None) or layers
+                heads = getattr(args, "bottom_prior_heads", None) or heads
+            if arch == "transformer":
                 return TransformerPrior(
-                    input_dim=args.z_dim, dim=args.prior_dim,
-                    n_layers=args.prior_layers,
-                    n_heads=getattr(args, "prior_heads", 8),
+                    input_dim=args.z_dim, dim=dim,
+                    n_layers=layers,
+                    n_heads=heads,
                     n_classes=args.n_classes,
                     n_experts=getattr(args, "prior_moe_experts", 0),
                     spatial_cond=spatial_cond,
                 )
             return GatedPixelCNN(
-                input_dim=args.z_dim, dim=args.prior_dim,
-                n_layers=args.prior_layers, n_classes=args.n_classes,
+                input_dim=args.z_dim, dim=dim,
+                n_layers=layers, n_classes=args.n_classes,
                 spatial_cond=spatial_cond,
             )
 
@@ -1233,6 +1257,17 @@ def parse_args(argv=None):
                         "/sample (top prior for --model hiervqvae)")
     p.add_argument("--bottom-ckpt", default=None,
                    help="bottom prior checkpoint (hiervqvae /sample)")
+    p.add_argument("--bottom-prior-arch",
+                   choices=["pixelcnn", "transformer"], default=None,
+                   help="bottom prior family when it differs from "
+                        "--prior-arch (mixed chains: transformer top, "
+                        "pixelcnn bottom past the long-T cliff)")
+    p.add_argument("--bottom-prior-dim", type=int, default=None,
+                   help="bottom prior width (default: --prior-dim)")
+    p.add_argument("--bottom-prior-layers", type=int, default=None,
+                   help="bottom prior depth (default: --prior-layers)")
+    p.add_argument("--bottom-prior-heads", type=int, default=None,
+                   help="bottom attention heads (default: --prior-heads)")
     p.add_argument("--prior-arch", choices=["pixelcnn", "transformer"],
                    default="pixelcnn",
                    help="prior family the --prior-ckpt artifact was "

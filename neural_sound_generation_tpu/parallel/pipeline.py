@@ -487,8 +487,11 @@ def pp_opt_state_from_dense(dense_opt, partition_fn, mesh: Mesh,
         rest, stacked = partition_fn(dense)
         return _place_pair(rest, stacked, mesh, axis)
 
+    found = []
+
     def visit(st):
         if isinstance(st, optax.ScaleByAdamState):
+            found.append(True)
             return optax.ScaleByAdamState(
                 count=jax.device_put(st.count, rep),
                 mu=place(st.mu),
@@ -501,7 +504,12 @@ def pp_opt_state_from_dense(dense_opt, partition_fn, mesh: Mesh,
             return tuple(visit(s) for s in st)
         return jax.device_put(st, rep)
 
-    return visit(tuple(dense_opt))
+    out = visit(tuple(dense_opt))
+    # fail fast at restore time: a dense state with no Adam moments
+    # (fused layout, template drift) would otherwise surface later as
+    # a confusing structural error inside the jitted step's tx.update
+    assert found, "expected a ScaleByAdamState in the optimizer chain"
+    return out
 
 
 def wavenet_stack_params(model, params, mesh: Mesh = None,

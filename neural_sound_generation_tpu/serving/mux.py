@@ -55,7 +55,8 @@ class MuxOverloaded(RuntimeError):
 
 
 class _Session:
-    __slots__ = ("length", "pos", "slot", "key", "queue", "c_up")
+    __slots__ = ("length", "pos", "slot", "key", "queue", "c_up",
+                 "cancelled")
 
     def __init__(self, c_up, length: int, key):
         self.c_up = c_up  # (L_max, C) padded, device-resident until placed
@@ -64,6 +65,41 @@ class _Session:
         self.slot: Optional[int] = None
         self.key = key
         self.queue: queue.Queue = queue.Queue()
+        self.cancelled = False
+
+
+class _StreamHandle:
+    """Chunk iterator for one mux session, with a ``close()`` that
+    ALWAYS cancels. (A plain generator's close() on a not-yet-started
+    generator skips its finally block entirely — and the session is
+    admitted by ``open()``, before any iteration — so early-abandoned
+    streams would keep synthesizing full utterances into queues nothing
+    drains: a consumer that stops early, a client disconnect, or a
+    later open() raising MuxOverloaded after this one was admitted.)"""
+
+    def __init__(self, mux: "WaveNetStreamMux", sess: "_Session"):
+        self._mux = mux
+        self._sess = sess
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._sess.queue.get()
+        if item is None:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._mux._cancel(self._sess)
+
+    def __del__(self):  # belt-and-braces for dropped references
+        try:
+            self.close()
+        except Exception:  # pragma: no cover
+            pass
 
 
 class WaveNetStreamMux:
@@ -245,15 +281,29 @@ class WaveNetStreamMux:
 
     # ------------------------------------------------------------ private
 
-    @staticmethod
-    def _drain(sess):
-        while True:
-            item = sess.queue.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+    def _drain(self, sess):
+        return _StreamHandle(self, sess)
+
+    def _cancel(self, sess) -> None:
+        """Free a session's slot/queue entry at the next chunk boundary
+        and drop any buffered chunks. Idempotent; safe after normal
+        completion (the session is no longer registered anywhere)."""
+        with self._cv:
+            sess.cancelled = True
+            if sess in self._pending:
+                self._pending.remove(sess)
+            elif sess.slot is not None and (
+                self._sessions[sess.slot] is sess
+            ):
+                self._sessions[sess.slot] = None
+        # drop buffered chunks so an abandoned queue cannot grow; a
+        # racing worker put after this is bounded by the one-chunk
+        # lookahead (the worker checks `cancelled` before delivering)
+        try:
+            while True:
+                sess.queue.get_nowait()
+        except queue.Empty:
+            pass
 
     def _assign_pending_locked(self):
         for slot in range(self.slots):
@@ -350,6 +400,8 @@ class WaveNetStreamMux:
                 out_p, deliveries_p = prev_out
                 arr = np.asarray(out_p)
                 for slot, s, valid, final in deliveries_p:
+                    if s.cancelled:
+                        continue  # consumer gone; don't grow its queue
                     # copy: a view would pin the whole (slots, chunk)
                     # batch buffer for as long as ANY consumer holds its
                     # delivered chunk

@@ -57,7 +57,7 @@ def _drain_at_exit() -> None:
     # shutting executors down: an orbax write racing exit dies with
     # "cannot schedule new futures after shutdown" and the last
     # checkpoint of a run silently never lands. Failures here are
-    # logged, not raised — atexit is past the point of recovery.
+    # logged, not raised — exit hooks are past the point of recovery.
     try:
         wait_for_pending()
     except Exception:  # pragma: no cover
@@ -66,7 +66,20 @@ def _drain_at_exit() -> None:
         )
 
 
-atexit.register(_drain_at_exit)
+# Registration order matters: plain atexit callbacks run AFTER
+# threading._shutdown, which is where concurrent.futures tears its
+# executors down — too late to save an in-flight write. Register on
+# threading's exit hook instead, AFTER importing concurrent.futures so
+# its _python_exit hook registered first: threading runs these hooks in
+# REVERSE registration order, so the drain runs before executor
+# shutdown (the same mechanism concurrent.futures itself relies on).
+import concurrent.futures.thread  # noqa: E402,F401  (hook ordering)
+import threading  # noqa: E402
+
+try:
+    threading._register_atexit(_drain_at_exit)
+except AttributeError:  # pragma: no cover — very old Python
+    atexit.register(_drain_at_exit)
 
 
 def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None,

@@ -245,13 +245,19 @@ def main(argv=None):
 
     # ---- the product path: cli.prior sample --hier writes wavs
     t0 = time.time()
+    # mixed-architecture chain: transformer top, pixelcnn bottom — the
+    # --bottom-* overrides keep each level's template matching its
+    # checkpoint (a single-arch template would silently graft fresh-init
+    # weights into the mismatched level; round-5 review finding)
     prior_cli.main([
         "sample", "--vqvae-ckpt", hier_ckpt, "--prior-ckpt", top_ckpt,
         "--bottom-ckpt", bot_ckpt, "--hier",
         "--output-dir", os.path.join(wd, "hier_samples"),
         "--dim", str(args.dim), "--z-dim", str(args.z_dim),
-        "--arch", "pixelcnn", "--prior-dim", pd_bot,
-        "--prior-layers", pl_bot,
+        "--arch", "transformer", "--prior-dim", pd_top,
+        "--prior-layers", pl_top,
+        "--bottom-arch", "pixelcnn", "--bottom-dim", pd_bot,
+        "--bottom-layers", pl_bot,
         "--code-shape", str(h_top), str(w_top), "--num-samples", "2",
     ])
     n_wavs = len(os.listdir(os.path.join(wd, "hier_samples")))

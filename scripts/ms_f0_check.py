@@ -52,11 +52,27 @@ def estimate_f0(wav: np.ndarray, sr: int = SR,
         seg = wav[start:start + frame]
         if np.sqrt(np.mean(seg ** 2)) < 0.02:
             continue
-        spec = np.abs(np.fft.rfft((seg - seg.mean()) * win, n=nfft))
+        seg = seg - seg.mean()
+        spec = np.abs(np.fft.rfft(seg * win, n=nfft))
         hps = np.log(spec[b_lo:b_hi] + 1e-12).copy()
         for k in range(2, n_harm + 1):
             hps += np.log(spec[b_lo * k:b_hi * k:k][: b_hi - b_lo] + 1e-12)
-        f0s.append(float(freqs[b_lo + int(np.argmax(hps))]))
+        f0 = float(freqs[b_lo + int(np.argmax(hps))])
+        # voicing gate (the autocorrelation estimator's confidence
+        # check, kept through the HPS rewrite): loud UNVOICED frames —
+        # fricatives, vocoder hiss — pass the RMS floor but are not
+        # periodic; require real periodicity at the HPS-implied lag
+        # before the frame may vote
+        ac = np.correlate(seg, seg, "full")[frame - 1:]
+        if ac[0] <= 0:
+            continue
+        lag = int(round(sr / f0))
+        if lag >= frame:
+            continue
+        w0, w1 = max(1, lag - 2), min(frame - 1, lag + 3)
+        if float(np.max(ac[w0:w1]) / ac[0]) <= 0.3:
+            continue
+        f0s.append(f0)
     return float(np.median(f0s)) if f0s else float("nan")
 
 

@@ -266,3 +266,68 @@ def test_sample_hier_audio_end_to_end(setup, rng_module):
     assert wavs.shape[0] == 2 and np.isfinite(np.asarray(wavs)).all()
     cond = hier_cond_map(vq_vars, idx_t)
     assert cond.shape == (2, 2 * Ht, 2 * Wt, 8)
+
+
+def test_hier_sample_cli_mixed_architectures(tmp_path, caplog):
+    """Round-5: `cli.prior sample --hier` with a transformer TOP and a
+    pixelcnn BOTTOM — the routine mixed chain (pixelcnn past the long-T
+    cliff) — restores BOTH checkpoints into matching templates via the
+    --bottom-* overrides. Before the fix, a single-arch template
+    silently grafted fresh-init weights into the mismatched level
+    (checkpoint._fill_missing warns loudly; we assert it never fires)."""
+    import logging
+    import os
+
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from neural_sound_generation_tpu.cli import prior as prior_cli
+    from tests.test_cli import _make_ljspeech
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "hiervqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+    ])
+    hier_ckpt = str(
+        tmp_path / "models" / "hiervqvae" / "checkpoint_ljspeech_8_16"
+    )
+    common = [
+        "--datadir", str(out_dir), "--vqvae-ckpt", hier_ckpt,
+        "--dim", "8", "--z-dim", "16", "--batch-size", "2",
+        "--epochs", "1", "--max-batches-per-epoch", "2",
+    ]
+    prior_cli.main([
+        "train", "--ckpt-dir", str(tmp_path / "top"),
+        "--hier", "--hier-level", "top",
+        "--arch", "transformer", "--prior-dim", "16", "--prior-layers", "2",
+    ] + common)
+    prior_cli.main([
+        "train", "--ckpt-dir", str(tmp_path / "bottom"),
+        "--hier", "--hier-level", "bottom",
+        "--arch", "pixelcnn", "--prior-dim", "8", "--prior-layers", "3",
+    ] + common)
+
+    sample_dir = tmp_path / "samples"
+    with caplog.at_level(logging.WARNING, logger="nsg.checkpoint"):
+        prior_cli.main([
+            "sample", "--vqvae-ckpt", hier_ckpt,
+            "--prior-ckpt", str(tmp_path / "top"),
+            "--bottom-ckpt", str(tmp_path / "bottom"), "--hier",
+            "--output-dir", str(sample_dir),
+            "--dim", "8", "--z-dim", "16",
+            "--arch", "transformer", "--prior-dim", "16",
+            "--prior-layers", "2",
+            "--bottom-arch", "pixelcnn", "--bottom-dim", "8",
+            "--bottom-layers", "3",
+            "--code-shape", "10", "2", "--num-samples", "1",
+        ])
+    # no fresh-init grafts: both levels' templates matched their artifacts
+    fills = [r for r in caplog.records if "missing" in r.getMessage()]
+    assert not fills, [r.getMessage() for r in fills]
+    assert any(f.endswith(".wav") for f in os.listdir(sample_dir))

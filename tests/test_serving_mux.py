@@ -267,3 +267,48 @@ def test_max_pending_admission_control(tiny):
     release.set()
     assert _collect(gen_a).shape == (32,)
     assert _collect(gen_b).shape == (32,)
+
+
+def test_early_close_cancels_session(tiny):
+    """Round-5: an abandoned stream must FREE its slot and stop growing
+    its queue — a client disconnect (or a later open() failing after
+    this one was admitted) previously left the session synthesizing its
+    full utterance into a queue nothing drains."""
+    import time
+
+    model, variables = tiny
+    mux = _mux(model, variables, slots=2)
+    # long utterance: 64 frames -> 256 samples = 8 chunks
+    h = mux.open(_cond(1, frames=64), jax.random.PRNGKey(0))
+    first = next(iter(h))
+    assert first.shape == (32,)
+    h.close()
+    # the slot frees at the next chunk boundary; other sessions proceed
+    deadline = time.time() + 10
+    while mux.active and time.time() < deadline:
+        time.sleep(0.05)
+    assert mux.active == 0
+    # the abandoned queue stays bounded (at most the one-chunk lookahead)
+    time.sleep(0.3)
+    assert h._sess.queue.qsize() <= 2
+
+    # a fresh session still runs to completion after the cancel
+    out = _collect(mux.open(_cond(2, frames=16), jax.random.PRNGKey(1)))
+    assert out.shape == (16 * 4,)
+    assert np.isfinite(out).all()
+
+
+def test_close_before_first_chunk_cancels(tiny):
+    """close() on a handle that was never iterated (the MuxOverloaded-
+    after-admission path) must cancel too — a plain generator's close()
+    would skip its finally entirely here."""
+    import time
+
+    model, variables = tiny
+    mux = _mux(model, variables, slots=2)
+    h = mux.open(_cond(3, frames=64), jax.random.PRNGKey(2))
+    h.close()
+    deadline = time.time() + 10
+    while (mux.active or mux.pending) and time.time() < deadline:
+        time.sleep(0.05)
+    assert mux.active == 0 and mux.pending == 0
