@@ -66,10 +66,18 @@ def parse_args(argv=None):
                     help="ramp the EMA decay min(decay, (1+t)/(10+t)) so "
                          "short runs export a non-stale *_ema artifact "
                          "(fixed reference decay otherwise)")
+    _units_args(tr)
 
     sy = sub.add_parser("synthesize")
     sy.add_argument("--ckpt-dir", required=True)
-    sy.add_argument("--mel-npy", required=True, help="time-major mel .npy")
+    sy.add_argument("--mel-npy", default=None, help="time-major mel .npy "
+                    "(required for --condition mel)")
+    sy.add_argument("--wav-in", default=None,
+                    help="source wav for --condition units: encoded to "
+                         "units by the frozen WaveVQVAE, then resynthesized "
+                         "through the WaveNet (the ZeroSpeech-style "
+                         "units -> autoregressive-decoder chain)")
+    _units_args(sy)
     sy.add_argument("--output", required=True)
     sy.add_argument("--preset", default=None)
     sy.add_argument("--layers", type=int, default=None)
@@ -91,6 +99,79 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _units_args(p):
+    """The units->WaveNet decode-chain surface, shared by train and
+    synthesize: a frozen WaveVQVAE's quantized latents replace the mel
+    conditioning — the autoregressive decoder the raw-waveform family
+    needs for sample-level fidelity (PERF.md round-5 wave soak: the
+    strided-conv decoder's conditional-mean ceiling)."""
+    p.add_argument("--condition", choices=["mel", "units"], default="mel",
+                   help="conditioning signal: preprocessed mels (the "
+                        "reference chain) or a frozen WaveVQVAE's "
+                        "quantized unit latents (--units-vqvae-ckpt)")
+    p.add_argument("--units-vqvae-ckpt", default=None,
+                   help="trained WaveVQVAE checkpoint providing the units")
+    p.add_argument("--units-dim", type=int, default=256,
+                   help="WaveVQVAE hidden width (= conditioning channels)")
+    p.add_argument("--units-z-dim", type=int, default=512)
+    p.add_argument("--units-downsample", type=int, default=6,
+                   help="WaveVQVAE stride-2 layers (unit hop = 2^n)")
+    p.add_argument("--units-num-quantizers", type=int, default=1)
+
+
+def _units_scales(num_downsample: int):
+    """Transposed-conv upsample factors multiplying to the unit hop
+    2^num_downsample (6 -> (4,4,4), 5 -> (4,4,2), 4 -> (4,4))."""
+    scales, n = [], int(num_downsample)
+    while n >= 2:
+        scales.append(4)
+        n -= 2
+    if n:
+        scales.append(2)
+    return tuple(scales)
+
+
+def _build_units_encoder(args, cfg):
+    """Frozen WaveVQVAE -> jitted waveform->z_q conditioning fn."""
+    from neural_sound_generation_tpu.models import WaveVQVAE
+    from neural_sound_generation_tpu.training import (
+        checkpoint, create_train_state,
+    )
+
+    if not args.units_vqvae_ckpt:
+        raise SystemExit(
+            "--condition units requires --units-vqvae-ckpt "
+            "(a trained wavevqvae checkpoint)"
+        )
+    model = WaveVQVAE(
+        dim=args.units_dim, z_dim=args.units_z_dim,
+        num_downsample=args.units_downsample,
+        input_type=cfg.audio.input_type,
+        quantize_channels=cfg.audio.quantize_channels,
+        num_quantizers=args.units_num_quantizers,
+    )
+    hop = model.hop
+    x0 = (
+        jnp.zeros((1, 2 * hop), jnp.int32)
+        if cfg.audio.is_mulaw_quantize
+        else jnp.zeros((1, 2 * hop, 1))
+    )
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    state = create_train_state(variables, cfg.train)
+    state, _ = checkpoint.restore(args.units_vqvae_ckpt, state)
+    ev = jax.device_put(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+
+    @jax.jit
+    def units_cond(x):
+        return model.apply(
+            ev, x, train=False, method=WaveVQVAE.quantized_latents
+        )
+
+    return units_cond, model
+
+
 def build_model(cfg, args):
     from neural_sound_generation_tpu.models import WaveNet
 
@@ -100,6 +181,13 @@ def build_model(cfg, args):
     if not scalar:
         out_channels = cfg.audio.quantize_channels
     residual = args.residual_channels or arch.residual_channels
+    cin = arch.cin_channels
+    scales = tuple(arch.upsample_scales)
+    if getattr(args, "condition", "mel") == "units":
+        # units conditioning: cin = the WaveVQVAE latent width, and the
+        # upsampler must expand by the unit hop (2^num_downsample)
+        cin = args.units_dim
+        scales = _units_scales(args.units_downsample)
     return WaveNet(
         out_channels=out_channels,
         layers=args.layers or arch.layers,
@@ -108,10 +196,10 @@ def build_model(cfg, args):
         gate_channels=residual,
         skip_out_channels=min(arch.skip_out_channels, residual),
         kernel_size=arch.kernel_size,
-        cin_channels=arch.cin_channels,
+        cin_channels=cin,
         gin_channels=arch.gin_channels,
         n_speakers=arch.n_speakers,
-        upsample_scales=tuple(arch.upsample_scales),
+        upsample_scales=scales,
         scalar_input=scalar,
         quantize_channels=cfg.audio.quantize_channels,
         dtype=jnp.bfloat16 if getattr(args, "bf16", False)
@@ -146,9 +234,25 @@ def cmd_train(args):
         args.datadir, None, args.batch_size, cfg, batch_mode="raw"
     )
     model = build_model(cfg, args)
+    units_fn = None
+    if getattr(args, "condition", "mel") == "units":
+        units_fn, units_model = _build_units_encoder(args, cfg)
+        uhop = units_model.hop
+
+    def convert(batch):
+        """(targets, conditioning) for the configured chain: mel from
+        the preprocessed shards, or the frozen WaveVQVAE's quantized
+        latents of the TARGET waveform itself (the units decode chain —
+        teacher-forcing the decoder half of the raw-waveform VQ-VAE)."""
+        targets, c = _batch_to_wavenet(batch, cfg)
+        if units_fn is not None:
+            t = targets.shape[1] - targets.shape[1] % uhop
+            targets = targets[:, :t]
+            c = units_fn(targets)
+        return targets, c
 
     sample = next(iter(loaders["train"]))
-    targets, c = _batch_to_wavenet(sample, cfg)
+    targets, c = convert(sample)
     g = _batch_speakers(sample)
     x = WaveNet.shift_inputs(targets, scalar)
     variables = model.init(jax.random.PRNGKey(args.seed), x, c, g)
@@ -157,7 +261,7 @@ def cmd_train(args):
         for i, batch in enumerate(loaders["train"]):
             if args.max_batches_per_epoch and i >= args.max_batches_per_epoch:
                 break
-            targets, c = _batch_to_wavenet(batch, cfg)
+            targets, c = convert(batch)
             g = _batch_speakers(batch)
             out = {
                 "y": targets,
@@ -395,9 +499,40 @@ def cmd_synthesize(args):
 
     cfg = _load_cfg(args)
     model = build_model(cfg, args)
-    mel = np.load(args.mel_npy)[: args.max_frames]  # (frames, n_mels)
-    c = jnp.asarray(mel, jnp.float32)[None, ...]
-    length = mel.shape[0] * cfg.audio.effective_hop_size
+    if getattr(args, "condition", "mel") == "units":
+        # resynthesis chain: wav -> frozen WaveVQVAE units -> WaveNet
+        if not args.wav_in:
+            raise SystemExit("--condition units synthesize needs --wav-in")
+        units_fn, units_model = _build_units_encoder(args, cfg)
+        wav = jnp.asarray(
+            np.asarray(dsp.load_wav(args.wav_in, cfg.audio.sample_rate))
+        )
+        if cfg.audio.is_mulaw_quantize:
+            x_in = dsp.mulaw_quantize(wav, cfg.audio.quantize_channels)
+        elif cfg.audio.is_mulaw:
+            x_in = dsp.mulaw(wav, cfg.audio.quantize_channels)
+        else:
+            x_in = wav
+        uhop = units_model.hop
+        t = min(
+            int(x_in.shape[0]) - int(x_in.shape[0]) % uhop,
+            args.max_frames * uhop,
+        )
+        if t <= 0:
+            raise SystemExit(
+                f"--wav-in shorter than one unit hop ({uhop} samples)"
+            )
+        x_in = x_in[:t]
+        if not cfg.audio.is_mulaw_quantize:
+            x_in = x_in[..., None]
+        c = units_fn(x_in[None])              # (1, T', units_dim)
+        length = int(c.shape[1]) * uhop
+    else:
+        if not args.mel_npy:
+            raise SystemExit("--condition mel synthesize needs --mel-npy")
+        mel = np.load(args.mel_npy)[: args.max_frames]  # (frames, n_mels)
+        c = jnp.asarray(mel, jnp.float32)[None, ...]
+        length = mel.shape[0] * cfg.audio.effective_hop_size
 
     g = None
     if model.gin_channels > 0:

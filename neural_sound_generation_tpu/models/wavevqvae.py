@@ -171,6 +171,21 @@ class WaveVQVAE(nn.Module):
             )
         return vq(z_e, self.codebook)
 
+    def quantized_latents(self, x, train: bool = False):
+        """Waveform -> the quantized latent sequence z_q (B, T', dim) —
+        the continuous form of the discrete units, summed over stages
+        under RVQ. This is the conditioning signal for the units ->
+        WaveNet decode chain (`cli.vocoder train --condition units`):
+        the autoregressive decoder the raw-waveform VQ-VAE needs for
+        sample-level fidelity (the strided-conv decoder's conditional-
+        mean ceiling, PERF.md round-5 wave soak)."""
+        z_e = self.encoder(self._embed_input(x), train)
+        if self.num_quantizers > 1:
+            _, z_q, _ = residual_vq(z_e, self.codebook)
+            return z_q
+        indices = vq(z_e, self.codebook)
+        return codebook_lookup(self.codebook, indices).reshape(z_e.shape)
+
     def decode(self, indices, g: Optional[jnp.ndarray] = None, train: bool = False):
         """Unit indices -> waveform (or logits for mulaw-quantize);
         (Q, B, T') stage indices sum their stage vectors under RVQ."""

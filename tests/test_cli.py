@@ -327,6 +327,60 @@ def test_cmu_arctic_multispeaker_end_to_end(tmp_path):
         ])
 
 
+def test_units_wavenet_decode_chain_cli(tmp_path):
+    """Round-5: the units -> WaveNet decode chain — a frozen WaveVQVAE's
+    quantized latents condition the autoregressive vocoder
+    (`cli.vocoder train --condition units`), closing the raw-waveform
+    family's conditional-mean decoder ceiling (PERF.md wave soak).
+    Train the unit model, train the conditioned WaveNet, then
+    resynthesize a corpus wav through wav -> units -> WaveNet."""
+    from neural_sound_generation_tpu.cli import vocoder as vocoder_cli
+    from neural_sound_generation_tpu.training import checkpoint
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "wavevqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--num-downsample", "3",
+        "--max-batches-per-epoch", "2",
+    ])
+    units_ckpt = str(
+        tmp_path / "models" / "wavevqvae" / "checkpoint_ljspeech_8_16"
+    )
+    units = [
+        "--condition", "units", "--units-vqvae-ckpt", units_ckpt,
+        "--units-dim", "8", "--units-z-dim", "16",
+        "--units-downsample", "3",
+    ]
+    wn_ckpt = str(tmp_path / "wn_units")
+    vocoder_cli.main([
+        "train", "--datadir", str(out_dir), "--ckpt-dir", wn_ckpt,
+        "--batch-size", "2", "--epochs", "1",
+        "--layers", "2", "--stacks", "1", "--residual-channels", "8",
+        "--max-batches-per-epoch", "2",
+    ] + units)
+    assert checkpoint.latest_step(wn_ckpt) is not None
+    src = sorted((in_dir / "wavs").glob("*.wav"))[0]
+    wav_out = tmp_path / "resynth.wav"
+    vocoder_cli.main([
+        "synthesize", "--ckpt-dir", wn_ckpt, "--wav-in", str(src),
+        "--output", str(wav_out),
+        "--layers", "2", "--stacks", "1", "--residual-channels", "8",
+        "--max-frames", "6",
+    ] + units)
+    assert wav_out.exists()
+    from neural_sound_generation_tpu.ops import dsp as _dsp
+
+    w = np.asarray(_dsp.load_wav(str(wav_out), 22050))
+    assert w.size == 6 * 8  # 6 unit frames x hop 8
+    assert np.isfinite(w).all()
+
+
 def test_wave_soak_quick(tmp_path, capsys):
     """CI pin of the wave-domain soak CLI sequence (BASELINE config #3):
     scripts/wave_soak.py --quick runs all three arms — mu-law float
