@@ -41,6 +41,14 @@ def parse_args(argv=None):
                         "averaged (EMA) model. Default follows the "
                         "reference's intent (hparams.py:116-118): the EMA "
                         "shadow when the checkpoint carries one.")
+    p.add_argument("--num-quantizers", type=int, default=1,
+                   help="residual-VQ stages the checkpoint was trained "
+                        "with (cli.main --num-quantizers); the template "
+                        "codebook must match or restore grafts fresh "
+                        "weights")
+    p.add_argument("--num-downsample", type=int, default=6,
+                   help="wavevqvae stride-2 encoder layers the checkpoint "
+                        "was trained with (cli.main --num-downsample)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="data-parallel shards for the eval sweep (batch "
                         "axis over the mesh's 'data' axis)")
@@ -74,7 +82,6 @@ def main(argv=None):
     args.log_interval = 10
     args.ema_codebook = False
     args.restart_dead_threshold = 0.0
-    args.num_quantizers = 1
     cfg = build_config(args)
 
     loaders = get_audio_data_loaders(
