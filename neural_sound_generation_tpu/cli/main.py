@@ -81,6 +81,14 @@ def parse_args(argv=None):
                    help="wavevqvae: stride-2 encoder layers; unit rate "
                         "is sr/2^n (6 = 64x ZeroSpeech-style units, "
                         "4 = 16x for waveform fidelity)")
+    p.add_argument("--codebook-init", choices=["uniform", "data"],
+                   default="uniform",
+                   help="'data' seeds the codebook from encoder outputs "
+                        "of a warmup batch (Jukebox-style random-sample "
+                        "init) instead of the reference's U(+-1/K) ball "
+                        "at the origin — fights the code-collapse the "
+                        "wave domain exhibits (PERF.md round-5 wave "
+                        "soak); vqvae/wavevqvae families")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
     p.add_argument("--ema-warmup", action="store_true",
@@ -264,6 +272,42 @@ def dump_reconstruction(args, cfg, recon, epoch):
         )
 
 
+def _apply_data_codebook_init(args, model, variables, x, key):
+    """--codebook-init data: replace the fresh codebook with rows drawn
+    from the warmup batch's encoder outputs (ops/vq.data_codebook_init).
+    Runs BEFORE create_train_state so the EMA-codebook shadow (when
+    enabled) copies the seeded rows."""
+    from neural_sound_generation_tpu.models import VQVAE, WaveVQVAE
+    from neural_sound_generation_tpu.ops.vq import data_codebook_init
+
+    if not isinstance(model, (VQVAE, WaveVQVAE)):
+        raise SystemExit(
+            "--codebook-init data supports the vqvae/wavevqvae families "
+            "(hiervqvae keeps the uniform init)"
+        )
+    if isinstance(model, WaveVQVAE):
+        z_e = model.apply(
+            variables, x, False,
+            method=lambda m, xx, train: m.encoder(
+                m._embed_input(xx), train
+            ),
+        )
+    else:
+        z_e = model.apply(
+            variables, x, False,
+            method=lambda m, xx, train: m.encoder(xx, train),
+        )
+    old = variables["params"]["codebook"]
+    new = data_codebook_init(
+        z_e, old.shape, jax.random.fold_in(key, 1)
+    ).astype(old.dtype)
+    variables = dict(variables)
+    variables["params"] = dict(variables["params"])
+    variables["params"]["codebook"] = new
+    print(f"codebook seeded from encoder outputs ({old.shape})")
+    return variables
+
+
 def main(argv=None):
     from neural_sound_generation_tpu.utils.compilation_cache import (
         enable_persistent_cache,
@@ -296,6 +340,10 @@ def main(argv=None):
     variables = model.init(
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
     )
+    if getattr(args, "codebook_init", "uniform") == "data":
+        variables = _apply_data_codebook_init(
+            args, model, variables, jnp.asarray(sample_batch["x"]), key
+        )
     # tensor parallelism (--mesh-model N > 1) needs per-leaf optimizer
     # moments so they can mirror the 'model'-axis param shardings; the
     # flat fused optimizer is the pure-dp fast path (train_state.py)

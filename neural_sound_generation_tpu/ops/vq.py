@@ -358,3 +358,54 @@ def residual_codebook_ema_update(
     if return_residuals:
         return out + (jnp.stack(residuals),)
     return out
+
+
+def data_codebook_init(
+    z_e: jnp.ndarray,
+    codebook_shape,
+    key,
+    noise_scale: float = 0.01,
+) -> jnp.ndarray:
+    """Seed a codebook from ENCODER OUTPUTS instead of U(+-1/K) around
+    the origin (the Jukebox-style random-sample init).
+
+    The reference's uniform init (models.py:125) puts every code in a
+    tiny ball at the origin; when the encoder's output distribution
+    lands elsewhere, only the few codes nearest the data ever win the
+    argmin and the rest never receive gradient/EMA mass — the collapse
+    the round-5 wave soak measured (8-9 of 512 codes live). Drawing the
+    initial rows from ``z_e`` itself starts every code inside the data
+    distribution.
+
+    ``z_e``: (..., D) encoder outputs from one or more warmup batches.
+    ``codebook_shape``: (K, D) or (Q, K, D) for residual VQ — stage q>0
+    is seeded from the RESIDUALS after greedy assignment to the
+    already-seeded earlier stages, matching what it will quantize.
+    Rows get ``noise_scale * std`` jitter so duplicate draws split."""
+    flat = jnp.reshape(z_e, (-1, z_e.shape[-1])).astype(jnp.float32)
+    if len(codebook_shape) == 2:
+        qs, (k, d) = 1, codebook_shape
+    else:
+        qs, k, d = codebook_shape
+    assert d == flat.shape[-1], (codebook_shape, flat.shape)
+
+    def sample_rows(x, kq):
+        k_idx, k_noise = jax.random.split(kq)
+        idx = jax.random.choice(
+            k_idx, x.shape[0], (k,), replace=x.shape[0] < k
+        )
+        rows = jnp.take(x, idx, axis=0)
+        std = jnp.std(x) + 1e-6
+        return rows + noise_scale * std * jax.random.normal(
+            k_noise, rows.shape
+        )
+
+    if qs == 1:
+        return sample_rows(flat, key)
+    books, residual = [], flat
+    for q in range(qs):
+        book = sample_rows(residual, jax.random.fold_in(key, q))
+        books.append(book)
+        idx = vq(residual[None], book)[0]
+        residual = residual - jnp.take(book, idx, axis=0)
+    return jnp.stack(books)

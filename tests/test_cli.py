@@ -327,6 +327,30 @@ def test_cmu_arctic_multispeaker_end_to_end(tmp_path):
         ])
 
 
+def test_codebook_init_data_cli(tmp_path, capsys):
+    """--codebook-init data seeds the codebook from a warmup batch's
+    encoder outputs through the production train CLI (wave family,
+    where the uniform-init collapse was measured)."""
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "wavevqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--num-downsample", "3",
+        "--max-batches-per-epoch", "2",
+        "--codebook-init", "data", "--ema-codebook",
+    ])
+    out = capsys.readouterr().out
+    assert "codebook seeded from encoder outputs" in out
+    assert (
+        tmp_path / "models" / "wavevqvae" / "checkpoint_ljspeech_8_16"
+    ).exists()
+
+
 def test_units_wavenet_decode_chain_cli(tmp_path):
     """Round-5: the units -> WaveNet decode chain — a frozen WaveVQVAE's
     quantized latents condition the autoregressive vocoder

@@ -466,3 +466,44 @@ def test_rvq_restart_candidates_are_stage_residuals():
     )
     # every restarted row is residual-scale, not raw-output-scale
     assert float(jnp.abs(new_cb1).max()) < 60.0
+
+
+def test_data_codebook_init_shapes_and_residual_stages(rng):
+    """data_codebook_init: rows drawn from the data (not the origin
+    ball); RVQ stages are seeded from successive residuals, so stage 1's
+    rows are much smaller than stage 0's."""
+    from neural_sound_generation_tpu.ops.vq import data_codebook_init
+
+    z_e = jnp.asarray(
+        rng.standard_normal((4, 50, 8)).astype(np.float32) * 2.0 + 5.0
+    )
+    cb = data_codebook_init(z_e, (16, 8), jax.random.PRNGKey(0))
+    assert cb.shape == (16, 8)
+    # rows live inside the data distribution (mean ~5), not at origin
+    assert abs(float(jnp.mean(cb)) - 5.0) < 1.0
+
+    rcb = data_codebook_init(z_e, (2, 16, 8), jax.random.PRNGKey(0))
+    assert rcb.shape == (2, 16, 8)
+    n0 = float(jnp.linalg.norm(rcb[0], axis=-1).mean())
+    n1 = float(jnp.linalg.norm(rcb[1], axis=-1).mean())
+    assert n1 < 0.6 * n0, (n0, n1)
+
+
+def test_data_codebook_init_beats_uniform_initial_usage(rng):
+    """The motivating property: on an encoder output distribution away
+    from the origin, the data-seeded codebook starts with far more live
+    codes than the reference's U(+-1/K) origin ball."""
+    from neural_sound_generation_tpu.ops.vq import data_codebook_init, vq
+
+    z_e = jnp.asarray(
+        rng.standard_normal((2048, 16)).astype(np.float32) + 3.0
+    )
+    k = 64
+    uniform = jnp.asarray(
+        rng.uniform(-1.0 / k, 1.0 / k, (k, 16)).astype(np.float32)
+    )
+    seeded = data_codebook_init(z_e, (k, 16), jax.random.PRNGKey(1))
+    used_uniform = len(np.unique(np.asarray(vq(z_e[None], uniform))))
+    used_seeded = len(np.unique(np.asarray(vq(z_e[None], seeded))))
+    assert used_seeded > 3 * used_uniform, (used_uniform, used_seeded)
+    assert used_seeded > k // 2
