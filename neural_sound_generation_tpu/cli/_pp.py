@@ -61,6 +61,7 @@ def run_pp_training(
     epoch_line: Callable[[int, float], str],
     ema_decay: float = 0.0,
     ema_warmup: bool = False,
+    extra_meta: dict | None = None,
 ) -> None:
     """The PP train lifecycle. ``build(n_pipe, n_data, n_micro) ->
     (mesh, tx, init_fn, step_fn)``; ``partition(variables_or_params,
@@ -176,7 +177,7 @@ def run_pp_training(
         # inside epoch N store N-1 so a preempted run replays epoch N
         # with its pinned shuffle order rather than skipping its tail.
         dense = unpartition(rest, stacked)
-        extra = {"epoch": completed_epoch}
+        extra = {"epoch": completed_epoch, **(extra_meta or {})}
         checkpoint.save(
             ckpt_dir, {"params": dense}, step=step_total, extra=extra
         )

@@ -272,7 +272,7 @@ def dump_reconstruction(args, cfg, recon, epoch):
         )
 
 
-def _apply_data_codebook_init(args, model, variables, x, key):
+def _apply_data_codebook_init(model, variables, x, key):
     """--codebook-init data: replace the fresh codebook with rows drawn
     from the warmup batch's encoder outputs (ops/vq.data_codebook_init).
     Runs BEFORE create_train_state so the EMA-codebook shadow (when
@@ -341,8 +341,14 @@ def main(argv=None):
         key, jnp.asarray(sample_batch["x"]), train=False, **init_kwargs
     )
     if getattr(args, "codebook_init", "uniform") == "data":
+        # seed from a TRAIN batch — sample_batch is test-split and a
+        # test-seeded codebook would leak held-out data into init
+        # (round-5 review finding), biasing every eval metric
+        warm = (
+            next(iter(train_loader)) if audio_mode else next(train_iter(0))
+        )
         variables = _apply_data_codebook_init(
-            args, model, variables, jnp.asarray(sample_batch["x"]), key
+            model, variables, jnp.asarray(warm["x"]), key
         )
     # tensor parallelism (--mesh-model N > 1) needs per-leaf optimizer
     # moments so they can mirror the 'model'-axis param shardings; the

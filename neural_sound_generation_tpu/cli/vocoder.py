@@ -159,8 +159,11 @@ def _build_units_encoder(args, cfg):
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
     state = create_train_state(variables, cfg.train)
     state, _ = checkpoint.restore(args.units_vqvae_ckpt, state)
+    # eval_params: the EMA shadow when the checkpoint carries one — the
+    # same weights evaluate/serve treat as the model's inference params,
+    # so the units the WaveNet trains on match the measured unit model
     ev = jax.device_put(
-        {"params": state.params, "batch_stats": state.batch_stats}
+        {"params": state.eval_params, "batch_stats": state.batch_stats}
     )
 
     @jax.jit
@@ -243,13 +246,14 @@ def cmd_train(args):
         """(targets, conditioning) for the configured chain: mel from
         the preprocessed shards, or the frozen WaveVQVAE's quantized
         latents of the TARGET waveform itself (the units decode chain —
-        teacher-forcing the decoder half of the raw-waveform VQ-VAE)."""
-        targets, c = _batch_to_wavenet(batch, cfg)
+        teacher-forcing the decoder half of the raw-waveform VQ-VAE).
+        In units mode the mel block is never converted/uploaded."""
         if units_fn is not None:
+            targets, _ = _batch_to_wavenet(batch, cfg, with_mel=False)
             t = targets.shape[1] - targets.shape[1] % uhop
             targets = targets[:, :t]
-            c = units_fn(targets)
-        return targets, c
+            return targets, units_fn(targets)
+        return _batch_to_wavenet(batch, cfg)
 
     sample = next(iter(loaders["train"]))
     targets, c = convert(sample)
@@ -338,7 +342,7 @@ def cmd_train(args):
         # inside epoch N store N-1 so a preempted run replays epoch N
         # with its pinned shuffle order rather than skipping its tail.
         at = start_step + int(step)
-        extra = {"epoch": completed_epoch}
+        extra = {"epoch": completed_epoch, **_condition_meta(args)}
         checkpoint.save(
             args.ckpt_dir,
             {"params": jax.device_get(state.params)},
@@ -471,18 +475,62 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
         ema_decay=(cfg.train.ema_decay
                    if cfg.train.exponential_moving_average else 0.0),
         ema_warmup=getattr(args, "ema_warmup", False),
+        extra_meta=_condition_meta(args),
         epoch_line=lambda epoch, loss: (
             f"wavenet epoch {epoch}: loss {loss:.4f}"
         ),
     )
 
 
-def _batch_to_wavenet(batch, cfg):
-    """Raw collate batch -> (targets, mel conditioning)."""
+def _condition_meta(args) -> dict:
+    """Checkpoint metadata describing the conditioning chain, written
+    into every save's ``extra`` and validated at synthesize time — a
+    units checkpoint restored with mismatched (or forgotten) --units-*
+    flags would otherwise silently graft fresh-init upsampler/cond
+    weights and emit garbage audio."""
+    if getattr(args, "condition", "mel") != "units":
+        return {"condition": "mel"}
+    return {
+        "condition": "units",
+        "units_dim": int(args.units_dim),
+        "units_z_dim": int(args.units_z_dim),
+        "units_downsample": int(args.units_downsample),
+        "units_num_quantizers": int(args.units_num_quantizers),
+    }
+
+
+def _check_condition_meta(args, extra) -> None:
+    """SystemExit when the checkpoint's recorded conditioning chain
+    does not match the synthesize flags (older checkpoints without the
+    metadata pass through)."""
+    meta = extra or {}
+    if "condition" not in meta:
+        return
+    want = _condition_meta(args)
+    if meta["condition"] != want["condition"]:
+        raise SystemExit(
+            f"this checkpoint was trained with --condition "
+            f"{meta['condition']}; rerun with matching flags"
+        )
+    for k, v in want.items():
+        if k != "condition" and int(meta.get(k, v)) != int(v):
+            raise SystemExit(
+                f"checkpoint metadata {k}={meta[k]} does not match "
+                f"--{k.replace('_', '-')} {v}; the restored model "
+                f"would be a silent architecture mismatch"
+            )
+
+
+def _batch_to_wavenet(batch, cfg, with_mel: bool = True):
+    """Raw collate batch -> (targets, mel conditioning). ``with_mel=
+    False`` skips the mel conversion/upload entirely (units-conditioned
+    training never reads it)."""
     if cfg.audio.is_mulaw_quantize:
         targets = jnp.asarray(batch["y"], jnp.int32)
     else:
         targets = jnp.asarray(batch["y"], jnp.float32)[..., None]
+    if not with_mel:
+        return targets, None
     c = jnp.asarray(batch["c"]).transpose(0, 2, 1)  # (B, T', n_mels)
     return targets, c
 
@@ -498,17 +546,37 @@ def cmd_synthesize(args):
     from neural_sound_generation_tpu.training import checkpoint
 
     cfg = _load_cfg(args)
+    # validate the recorded conditioning chain BEFORE building anything:
+    # a mismatched --units-* flag would otherwise fail deep inside the
+    # units encoder (or silently graft a wrong-architecture WaveNet)
+    _check_condition_meta(args, checkpoint.read_extra(args.ckpt_dir))
     model = build_model(cfg, args)
     if getattr(args, "condition", "mel") == "units":
         # resynthesis chain: wav -> frozen WaveVQVAE units -> WaveNet
         if not args.wav_in:
             raise SystemExit("--condition units synthesize needs --wav-in")
         units_fn, units_model = _build_units_encoder(args, cfg)
-        wav = jnp.asarray(
-            np.asarray(dsp.load_wav(args.wav_in, cfg.audio.sample_rate))
+        wav_np = np.asarray(
+            dsp.load_wav(args.wav_in, cfg.audio.sample_rate)
         )
+        # same preprocessing the training corpus received (peak rescale
+        # BEFORE companding, data/corpora/engine.py:192-198) — without
+        # it a quiet source wav produces units off the frozen encoder's
+        # training distribution, and a full-scale +1.0 sample would
+        # mulaw-quantize to index Q (one past the embedding). Silence
+        # trimming is deliberately skipped: it would shift timing
+        # relative to the source.
+        if cfg.audio.rescaling:
+            wav_np = (
+                wav_np / max(np.abs(wav_np).max(), 1e-8)
+                * cfg.audio.rescaling_max
+            )
+        wav = jnp.asarray(wav_np.astype(np.float32))
         if cfg.audio.is_mulaw_quantize:
-            x_in = dsp.mulaw_quantize(wav, cfg.audio.quantize_channels)
+            x_in = jnp.clip(
+                dsp.mulaw_quantize(wav, cfg.audio.quantize_channels),
+                0, cfg.audio.quantize_channels - 1,
+            )
         elif cfg.audio.is_mulaw:
             x_in = dsp.mulaw(wav, cfg.audio.quantize_channels)
         else:

@@ -200,6 +200,23 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     return state, restored.get("extra")
 
 
+def read_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
+    """The ``extra`` metadata of a checkpoint (latest step by default)
+    WITHOUT a state template — for callers that must validate recorded
+    metadata (e.g. the vocoder's conditioning chain) before they can
+    even build the matching model. Returns None when no checkpoint or
+    no extra exists."""
+    wait_for_pending()
+    at = step if step is not None else latest_step(ckpt_dir)
+    if at is None:
+        return None
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{at}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    extra = payload.get("extra")
+    return dict(extra) if isinstance(extra, dict) else None
+
+
 def _find_adam_sd(opt_sd: dict) -> Optional[dict]:
     """The ScaleByAdamState sub-dict ({'count','mu','nu'}) inside a
     serialized optax chain, at any position."""

@@ -145,6 +145,10 @@ def main(argv=None):
         if wavs:
             src = os.path.join(root, sorted(wavs)[0])
             break
+    assert src is not None, (
+        f"no source wav under {os.path.join(wd, 'ar_in')} — re-run "
+        f"wave_soak (or point --workdir at its workdir)"
+    )
     t0 = time.time()
     out_wav = os.path.join(wd, "units_resynth.wav")
     vocoder_cli.main([

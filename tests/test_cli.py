@@ -404,6 +404,28 @@ def test_units_wavenet_decode_chain_cli(tmp_path):
     assert w.size == 6 * 8  # 6 unit frames x hop 8
     assert np.isfinite(w).all()
 
+    # the checkpoint records its conditioning chain: mismatched (or
+    # forgotten) --units-* flags fail loudly instead of silently
+    # grafting a wrong-architecture model
+    with pytest.raises(SystemExit, match="units_downsample"):
+        vocoder_cli.main([
+            "synthesize", "--ckpt-dir", wn_ckpt, "--wav-in", str(src),
+            "--output", str(tmp_path / "nope.wav"),
+            "--layers", "2", "--stacks", "1", "--residual-channels", "8",
+            "--max-frames", "6",
+            "--condition", "units", "--units-vqvae-ckpt", units_ckpt,
+            "--units-dim", "8", "--units-z-dim", "16",
+            "--units-downsample", "4",  # trained with 3
+        ])
+    with pytest.raises(SystemExit, match="--condition"):
+        vocoder_cli.main([
+            "synthesize", "--ckpt-dir", wn_ckpt,
+            "--mel-npy", str(sorted(out_dir.glob("*-mel-*.npy"))[0]),
+            "--output", str(tmp_path / "nope2.wav"),
+            "--layers", "2", "--stacks", "1", "--residual-channels", "8",
+            "--max-frames", "6",
+        ])
+
 
 def test_wave_soak_quick(tmp_path, capsys):
     """CI pin of the wave-domain soak CLI sequence (BASELINE config #3):
