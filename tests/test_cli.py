@@ -404,6 +404,18 @@ def test_units_wavenet_decode_chain_cli(tmp_path):
     assert w.size == 6 * 8  # 6 unit frames x hop 8
     assert np.isfinite(w).all()
 
+    # units conditioning composes with pipeline parallelism: the unit
+    # latents ride the same broadcast path as mels, stages shard as
+    # usual (2-stage pipe on the virtual CPU mesh)
+    wn_pp_ckpt = str(tmp_path / "wn_units_pp")
+    vocoder_cli.main([
+        "train", "--datadir", str(out_dir), "--ckpt-dir", wn_pp_ckpt,
+        "--batch-size", "2", "--epochs", "1",
+        "--layers", "2", "--stacks", "2", "--residual-channels", "8",
+        "--max-batches-per-epoch", "2", "--mesh-pipe", "2",
+    ] + units)
+    assert checkpoint.latest_step(wn_pp_ckpt) is not None
+
     # the checkpoint records its conditioning chain: mismatched (or
     # forgotten) --units-* flags fail loudly instead of silently
     # grafting a wrong-architecture model

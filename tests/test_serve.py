@@ -871,6 +871,75 @@ def test_batched_reconstruct_over_http(batching_service):
         svc.batcher = None  # don't leak batching into other fixtures
 
 
+def test_sample_mux_overload_cancels_admitted_sessions():
+    """Round-5: /sample with n>slots+pending on a saturated mux answers
+    503 AND the already-admitted sessions of that request are cancelled
+    (slots free at the next chunk boundary) instead of synthesizing
+    full utterances into queues nothing drains."""
+    import time as _time
+
+    from http.server import ThreadingHTTPServer
+
+    from neural_sound_generation_tpu.cli.serve import (
+        InferenceService,
+        make_handler,
+    )
+    from neural_sound_generation_tpu.config import Config
+    from neural_sound_generation_tpu.models import (
+        VQVAE, GatedPixelCNN, WaveNet,
+    )
+
+    cfg = Config()
+    model = VQVAE(input_dim=1, dim=8, z_dim=16)
+    sample = jnp.zeros((1, 80, 16, 1))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    wn = WaveNet(out_channels=30, layers=2, stacks=1, residual_channels=8,
+                 gate_channels=8, skip_out_channels=8, cin_channels=80,
+                 upsample_scales=(16, 16), scalar_input=True)
+    x0 = WaveNet.shift_inputs(jnp.zeros((1, 8, 1)), True)
+    c0 = jnp.zeros((1, 2, 80))
+    wn_vars = wn.init(jax.random.PRNGKey(1), x0, c0, None)
+    svc = InferenceService(cfg, model, variables, frames=16,
+                           vocoder=(wn, wn_vars))
+    prior = GatedPixelCNN(input_dim=16, dim=8, n_layers=2, n_classes=4)
+    pv = prior.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 20, 4), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    svc.attach_prior(prior, pv)
+    # 1 slot, zero pending: the request's second session must overload
+    svc.enable_stream_mux(slots=1, max_seconds=2.0, max_pending=0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/sample",
+            data=json.dumps({"n": 3, "label": 0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=300)
+        assert ei.value.code == 503
+        # the admitted session was cancelled: the slot frees without
+        # anyone draining it
+        deadline = _time.time() + 30
+        mux = svc._stream_mux
+        while (mux.active or mux.pending) and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert mux.active == 0 and mux.pending == 0
+        # and the server still serves a fitting request afterwards
+        req2 = urllib.request.Request(
+            url + "/sample",
+            data=json.dumps({"n": 1, "label": 0}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req2, timeout=300) as r:
+            assert len(r.read()) > 1000
+    finally:
+        httpd.shutdown()
+
+
 def test_stream_mux_serving(batching_service):
     """--stream-slots: concurrent /reconstruct_stream requests share one
     batched generation program and each gets a complete PCM stream."""
