@@ -88,7 +88,9 @@ def parse_args(argv=None):
                         "init) instead of the reference's U(+-1/K) ball "
                         "at the origin — fights the code-collapse the "
                         "wave domain exhibits (PERF.md round-5 wave "
-                        "soak); vqvae/wavevqvae families")
+                        "soak); vqvae/wavevqvae/hiervqvae families "
+                        "(hier seeds top first, then the bottom under "
+                        "the seeded top)")
     p.add_argument("--num-quantizers", type=int, default=1,
                    help="residual VQ stages (1 = single codebook)")
     p.add_argument("--ema-warmup", action="store_true",
@@ -273,17 +275,42 @@ def dump_reconstruction(args, cfg, recon, epoch):
 
 
 def _apply_data_codebook_init(model, variables, x, key):
-    """--codebook-init data: replace the fresh codebook with rows drawn
-    from the warmup batch's encoder outputs (ops/vq.data_codebook_init).
-    Runs BEFORE create_train_state so the EMA-codebook shadow (when
-    enabled) copies the seeded rows."""
-    from neural_sound_generation_tpu.models import VQVAE, WaveVQVAE
+    """--codebook-init data: replace the fresh codebook(s) with rows
+    drawn from the warmup batch's encoder outputs
+    (ops/vq.data_codebook_init). Runs BEFORE create_train_state so the
+    EMA-codebook shadow (when enabled) copies the seeded rows."""
+    from neural_sound_generation_tpu.models import (
+        HierVQVAE, VQVAE, WaveVQVAE,
+    )
     from neural_sound_generation_tpu.ops.vq import data_codebook_init
 
+    def replace(vs, name, z_e, seed):
+        old = vs["params"][name]
+        new = data_codebook_init(
+            z_e, old.shape, jax.random.fold_in(key, seed)
+        ).astype(old.dtype)
+        vs = dict(vs)
+        vs["params"] = dict(vs["params"])
+        vs["params"][name] = new
+        print(f"{name} seeded from encoder outputs ({old.shape})")
+        return vs
+
+    if isinstance(model, HierVQVAE):
+        # two passes: the bottom encoder path consumes the DECODED top
+        # codes, so seed the top codebook first and recompute the
+        # bottom z_e under it
+        def levels(m, xx, train):
+            top, bot = m._levels(xx, train)
+            return top[1], bot[1]  # (z_e_top, z_e_bottom)
+
+        z_e_t, _ = model.apply(variables, x, False, method=levels)
+        variables = replace(variables, "codebook_top", z_e_t, 1)
+        _, z_e_b = model.apply(variables, x, False, method=levels)
+        return replace(variables, "codebook_bottom", z_e_b, 2)
     if not isinstance(model, (VQVAE, WaveVQVAE)):
         raise SystemExit(
-            "--codebook-init data supports the vqvae/wavevqvae families "
-            "(hiervqvae keeps the uniform init)"
+            "--codebook-init data supports the vqvae/wavevqvae/"
+            "hiervqvae families"
         )
     if isinstance(model, WaveVQVAE):
         z_e = model.apply(
@@ -297,15 +324,7 @@ def _apply_data_codebook_init(model, variables, x, key):
             variables, x, False,
             method=lambda m, xx, train: m.encoder(xx, train),
         )
-    old = variables["params"]["codebook"]
-    new = data_codebook_init(
-        z_e, old.shape, jax.random.fold_in(key, 1)
-    ).astype(old.dtype)
-    variables = dict(variables)
-    variables["params"] = dict(variables["params"])
-    variables["params"]["codebook"] = new
-    print(f"codebook seeded from encoder outputs ({old.shape})")
-    return variables
+    return replace(variables, "codebook", z_e, 1)
 
 
 def main(argv=None):

@@ -139,11 +139,13 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--per-speaker", type=int, default=10)
     ap.add_argument("--codebook", choices=["ema", "grad"], default="ema",
-                    help="'ema' trains every arm with --ema-codebook + "
-                         "dead-code restarts (the wave domain collapses "
-                         "the plain gradient codebook to ~8/512 codes — "
-                         "measured, PERF.md); 'grad' reproduces that "
-                         "reference-parity control")
+                    help="'ema' trains every arm with the full "
+                         "anti-collapse toolkit: --ema-codebook + "
+                         "dead-code restarts + train-seeded "
+                         "--codebook-init data (each measured to help, "
+                         "PERF.md); 'grad' reproduces the reference-"
+                         "parity control (uniform init, gradient "
+                         "codebook — collapses to ~8/512 codes)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes: the CPU CI pin of the CLI sequence")
     args = ap.parse_args(argv)
@@ -195,7 +197,8 @@ def main(argv=None):
     # the plain gradient codebook — the reference's scheme — collapses
     # on the wave domain (measured control in PERF.md)
     cb_flags = (
-        ["--ema-codebook", "--restart-dead-threshold", "0.03"]
+        ["--ema-codebook", "--restart-dead-threshold", "0.03",
+         "--codebook-init", "data"]
         if args.codebook == "ema" else []
     )
 

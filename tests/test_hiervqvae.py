@@ -331,3 +331,31 @@ def test_hier_sample_cli_mixed_architectures(tmp_path, caplog):
     fills = [r for r in caplog.records if "missing" in r.getMessage()]
     assert not fills, [r.getMessage() for r in fills]
     assert any(f.endswith(".wav") for f in os.listdir(sample_dir))
+
+
+def test_hiervqvae_codebook_init_data_cli(tmp_path, capsys):
+    """--codebook-init data on the hier family: both codebooks seed
+    from encoder outputs (top first, bottom recomputed under the
+    seeded top) through the production CLI."""
+    from neural_sound_generation_tpu.cli import main as train_cli
+    from neural_sound_generation_tpu.cli import preprocess as preprocess_cli
+    from tests.test_cli import _make_ljspeech
+
+    in_dir = _make_ljspeech(tmp_path / "in", n=4)
+    out_dir = tmp_path / "out"
+    preprocess_cli.main(["ljspeech", str(in_dir), str(out_dir)])
+    train_cli.main([
+        "--model", "hiervqvae", "--dataset", "ljspeech",
+        "--datadir", str(out_dir),
+        "--sampledir", str(tmp_path / "results"),
+        "--ckpt-dir", str(tmp_path / "models"),
+        "--batch-size", "2", "--epochs", "1",
+        "--dim", "8", "--z-dim", "16", "--max-batches-per-epoch", "2",
+        "--codebook-init", "data",
+    ])
+    out = capsys.readouterr().out
+    assert "codebook_top seeded from encoder outputs" in out
+    assert "codebook_bottom seeded from encoder outputs" in out
+    assert (
+        tmp_path / "models" / "hiervqvae" / "checkpoint_ljspeech_8_16"
+    ).exists()
