@@ -82,6 +82,23 @@ def main(argv=None):
     args.log_interval = 10
     args.ema_codebook = False
     args.restart_dead_threshold = 0.0
+    # validate recorded model metadata BEFORE building the template: a
+    # mismatched --num-quantizers/--num-downsample (or wrong --model)
+    # would otherwise graft fresh-init weights mid-restore with only a
+    # log warning (the vocoder chain got the same guard this round)
+    meta = checkpoint.read_extra(args.ckpt_dir) or {}
+    if "arch" in meta and meta["arch"] != args.model:
+        raise SystemExit(
+            f"checkpoint was trained as --model {meta['arch']}, "
+            f"not {args.model}"
+        )
+    for k, flag in (("num_quantizers", args.num_quantizers),
+                    ("num_downsample", args.num_downsample)):
+        if k in meta and int(meta[k]) != int(flag):
+            raise SystemExit(
+                f"checkpoint metadata {k}={meta[k]} does not match "
+                f"--{k.replace('_', '-')} {flag}"
+            )
     cfg = build_config(args)
 
     loaders = get_audio_data_loaders(

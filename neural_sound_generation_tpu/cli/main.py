@@ -295,6 +295,17 @@ def _apply_data_codebook_init(model, variables, x, key):
         print(f"{name} seeded from encoder outputs ({old.shape})")
         return vs
 
+    def warm_apply(vs, method):
+        # TRAIN-mode encode (batch statistics, mutation discarded):
+        # training quantizes train-mode batch-normalized z_e, while
+        # eval mode at init is an identity BN pass (running mean 0 /
+        # var 1) — seeding from the latter can land the rows off the
+        # distribution training actually quantizes (review finding)
+        out, _ = model.apply(
+            vs, x, True, method=method, mutable=["batch_stats"]
+        )
+        return out
+
     if isinstance(model, HierVQVAE):
         # two passes: the bottom encoder path consumes the DECODED top
         # codes, so seed the top codebook first and recompute the
@@ -303,9 +314,9 @@ def _apply_data_codebook_init(model, variables, x, key):
             top, bot = m._levels(xx, train)
             return top[1], bot[1]  # (z_e_top, z_e_bottom)
 
-        z_e_t, _ = model.apply(variables, x, False, method=levels)
+        z_e_t, _ = warm_apply(variables, levels)
         variables = replace(variables, "codebook_top", z_e_t, 1)
-        _, z_e_b = model.apply(variables, x, False, method=levels)
+        _, z_e_b = warm_apply(variables, levels)
         return replace(variables, "codebook_bottom", z_e_b, 2)
     if not isinstance(model, (VQVAE, WaveVQVAE)):
         raise SystemExit(
@@ -313,16 +324,13 @@ def _apply_data_codebook_init(model, variables, x, key):
             "hiervqvae families"
         )
     if isinstance(model, WaveVQVAE):
-        z_e = model.apply(
-            variables, x, False,
-            method=lambda m, xx, train: m.encoder(
-                m._embed_input(xx), train
-            ),
+        z_e = warm_apply(
+            variables,
+            lambda m, xx, train: m.encoder(m._embed_input(xx), train),
         )
     else:
-        z_e = model.apply(
-            variables, x, False,
-            method=lambda m, xx, train: m.encoder(xx, train),
+        z_e = warm_apply(
+            variables, lambda m, xx, train: m.encoder(xx, train)
         )
     return replace(variables, "codebook", z_e, 1)
 
@@ -410,7 +418,9 @@ def main(argv=None):
             ckpt_dir,
             trainer.state,
             step=int(np.asarray(jax.device_get(trainer.state.step))),
-            extra={"epoch": epoch, "arch": args.model},
+            extra={"epoch": epoch, "arch": args.model,
+                   "num_quantizers": cfg.model.num_quantizers,
+                   "num_downsample": cfg.model.num_downsample},
             block=block,
         )
 
@@ -432,7 +442,10 @@ def main(argv=None):
         def cb(state, step):
             checkpoint.save(
                 ckpt_dir, state, step=int(step),
-                extra={"epoch": epoch - 1, "arch": args.model}, block=False,
+                extra={"epoch": epoch - 1, "arch": args.model,
+                       "num_quantizers": cfg.model.num_quantizers,
+                       "num_downsample": cfg.model.num_downsample},
+                block=False,
             )
         return cb
 

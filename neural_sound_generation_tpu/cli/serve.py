@@ -680,6 +680,15 @@ class InferenceService:
             max_pending=max_pending,
         )
 
+    @staticmethod
+    def _pcm_s16le(chunk: np.ndarray) -> bytes:
+        """The fixed-scaling s16le conversion both streaming endpoints
+        share (x in [-1,1] -> x*32767 — streaming cannot know the
+        future peak, so no peak normalization)."""
+        return (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
+            "<i2"
+        ).tobytes()
+
     def _mux_open_all(self, mels_np, seed: int) -> list:
         """Open one mux session per mel up front so all n utterances
         synthesize CONCURRENTLY through the slots (shared by /sample
@@ -732,9 +741,7 @@ class InferenceService:
             )
         full = self._reconstruct_full_mel(wav_bytes)
         for chunk in self._vocode_stream(jnp.asarray(full)):
-            yield (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
-                "<i2"
-            ).tobytes()
+            yield self._pcm_s16le(chunk)
 
     def sample_stream(self, payload: dict):
         """Streaming /sample: the prior->decode->vocoder chain is the
@@ -752,11 +759,7 @@ class InferenceService:
             )
         mels, seed, _ = self._sample_mels(payload)
         mels_np = np.asarray(mels)
-
-        def pcm(chunk):
-            return (np.clip(chunk, -1.0, 1.0) * 32767.0).astype(
-                "<i2"
-            ).tobytes()
+        pcm = self._pcm_s16le
 
         if self._stream_mux is not None:
             opens = self._mux_open_all(mels_np, seed)
@@ -1094,6 +1097,16 @@ def build_service(args):
     if getattr(args, "vocoder", "griffin-lim") == "wavenet":
         if not getattr(args, "vocoder_ckpt", None):
             raise SystemExit("--vocoder wavenet requires --vocoder-ckpt")
+        # serve's synthesis chain is mel -> WaveNet; a units-conditioned
+        # checkpoint (cli.vocoder --condition units) would restore into
+        # the mel template as a silent architecture graft
+        wn_meta = checkpoint.read_extra(args.vocoder_ckpt) or {}
+        if wn_meta.get("condition", "mel") != "mel":
+            raise SystemExit(
+                "--vocoder-ckpt was trained with --condition "
+                f"{wn_meta['condition']}; serve synthesizes from mels — "
+                "use a mel-conditioned vocoder checkpoint"
+            )
         import types
 
         from neural_sound_generation_tpu.cli.vocoder import (

@@ -298,6 +298,12 @@ def cmd_train(args):
     start_step, start_epoch = 0, 1
     train_dir = args.ckpt_dir.rstrip("/") + "_train"
     if args.resume:
+        # a --resume whose --condition/--units-* flags differ from the
+        # checkpoint's recorded chain would graft a mismatched model
+        for d in (train_dir, args.ckpt_dir):
+            if checkpoint.latest_step(d) is not None:
+                _check_condition_meta(args, checkpoint.read_extra(d))
+                break
         if checkpoint.latest_step(train_dir) is not None:
             # full-fidelity resume: params, Adam moments, step counter
             # and the running EMA all continue (the *_train sibling is
@@ -440,6 +446,13 @@ def _train_pp(args, cfg, model, variables, epoch_batches, loaders):
     n_data = args.mesh_data or 1
     n_micro = args.pp_microbatches or n_pipe
     validate_pp_mesh(n_pipe, n_data, n_micro, args.batch_size)
+    if args.resume:
+        from neural_sound_generation_tpu.training import checkpoint
+
+        for d in (args.ckpt_dir.rstrip("/") + "_pp_train", args.ckpt_dir):
+            if checkpoint.latest_step(d) is not None:
+                _check_condition_meta(args, checkpoint.read_extra(d))
+                break
 
     def step_batches():
         for batch in epoch_batches():

@@ -10,6 +10,7 @@ latest-step query for resume.
 from __future__ import annotations
 
 import atexit
+import json
 import logging
 import os
 import re
@@ -106,6 +107,18 @@ def save(ckpt_dir: str, state: Any, step: int, extra: Optional[dict] = None,
     def _write():
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, payload, force=True)
+        if extra:
+            # tiny sidecar AFTER the orbax commit: read_extra can answer
+            # metadata queries (arch/conditioning validation) without
+            # materializing the full params tree from disk
+            try:
+                with open(os.path.join(path, "_extra.json"), "w",
+                          encoding="utf-8") as f:
+                    json.dump(extra, f, default=_json_scalar)
+            except (TypeError, OSError):  # pragma: no cover
+                logging.getLogger("nsg.checkpoint").warning(
+                    "could not write extra sidecar for %s", path
+                )
         return path
 
     if block:
@@ -200,17 +213,35 @@ def restore(ckpt_dir: str, template: Any, step: Optional[int] = None):
     return state, restored.get("extra")
 
 
+def _json_scalar(o):
+    """json.dump default for numpy scalars in extra dicts."""
+    if hasattr(o, "item"):
+        return o.item()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
 def read_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
     """The ``extra`` metadata of a checkpoint (latest step by default)
     WITHOUT a state template — for callers that must validate recorded
-    metadata (e.g. the vocoder's conditioning chain) before they can
-    even build the matching model. Returns None when no checkpoint or
-    no extra exists."""
+    metadata (e.g. the vocoder's conditioning chain, evaluate's model
+    shape) before they can even build the matching model. Prefers the
+    tiny ``_extra.json`` sidecar ``save`` writes; falls back to a full
+    orbax restore for checkpoints written before the sidecar existed.
+    Returns None when no checkpoint or no extra exists."""
     wait_for_pending()
     at = step if step is not None else latest_step(ckpt_dir)
     if at is None:
         return None
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{at}")
+    sidecar = os.path.join(path, "_extra.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar, encoding="utf-8") as f:
+                got = json.load(f)
+            if isinstance(got, dict):
+                return got
+        except (OSError, ValueError):  # pragma: no cover — fall through
+            pass
     with ocp.PyTreeCheckpointer() as ckptr:
         payload = ckptr.restore(path)
     extra = payload.get("extra")
